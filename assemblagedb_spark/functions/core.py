@@ -1,0 +1,136 @@
+"""Pure scalar functions, expressed as engine-portable SQL text.
+
+The core trick of this module: every hot-path scalar (gram windows, minhash
+permutations, simhash bits) is written as *arithmetic SQL* that parses and
+evaluates identically in Spark SQL (JVM-side, whole-stage codegen — no Python
+UDF) and in DuckDB (the correctness oracle). No engine-specific hash function
+is ever used in a result that gets compared.
+
+Gram semantics (reference ``assemblage_db/src/index.rs:826-835``): pad the
+UTF-8 bytes with three zero bytes on each side, slide a 4-byte window, read
+each window as a big-endian u32. A text of n bytes yields n+3 grams; the empty
+text yields three zero grams.
+
+The SQL form uses ``ascii(substring(text, p, 1))`` per byte. For ASCII text
+(all harness data; the reference's own fixtures) codepoint == byte, so the SQL
+form equals the byte-exact driver-side ``index_text``. Non-ASCII input would
+gram by codepoint instead of by UTF-8 byte — a documented deviation of the
+SQL fast path only; ``index_text`` itself stays byte-exact.
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# Byte-4-gram index
+# ---------------------------------------------------------------------------
+
+
+def _byte_at_sql(col: str, pos: str) -> str:
+    """Byte value of ``col`` at 1-indexed position ``pos``; 0 outside (the
+    reference's zero padding)."""
+    return (
+        f"(CASE WHEN {pos} BETWEEN 1 AND length({col}) "
+        f"THEN ascii(substring({col}, {pos}, 1)) ELSE 0 END)"
+    )
+
+
+def gram_term_sql(col: str, var: str) -> str:
+    """u32 big-endian gram of the window starting at text position ``var``
+    (positions -2..length, matching the reference's padded windows).
+
+    Portable across Spark SQL and DuckDB.
+    """
+    b0 = _byte_at_sql(col, f"({var})")
+    b1 = _byte_at_sql(col, f"({var}+1)")
+    b2 = _byte_at_sql(col, f"({var}+2)")
+    b3 = _byte_at_sql(col, f"({var}+3)")
+    return f"(CAST({b0} AS BIGINT) * 16777216 + {b1} * 65536 + {b2} * 256 + {b3})"
+
+
+def spark_grams_array_expr(col: str) -> str:
+    """Spark SQL expression: ARRAY<BIGINT> of all grams of string column
+    ``col`` (n+3 grams for n bytes, 3 zero grams for empty text).
+
+    Evaluates fully inside whole-stage codegen; explode downstream.
+    """
+    return (
+        f"transform(sequence(-2, length(coalesce({col}, ''))), "
+        f"i -> {gram_term_sql(col, 'i')})"
+    )
+
+
+def duckdb_grams_select(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB subquery text producing (``id_col``, gram) exploded rows with
+    semantics identical to :func:`spark_grams_array_expr`."""
+    return (
+        f"(SELECT {id_col}, {gram_term_sql(text_col, 'i')} AS gram FROM "
+        f"(SELECT {id_col}, {text_col}, "
+        f"unnest(range(-2, length({text_col}) + 1)) AS i FROM {table}))"
+    )
+
+
+def index_text(s: str) -> list[int]:
+    """Driver-side byte-exact gram index of a search term
+    (reference ``index.rs:826-835``)."""
+    b = bytes(3) + s.encode("utf-8") + bytes(3)
+    return [int.from_bytes(b[i : i + 4], "big") for i in range(len(b) - 3)]
+
+
+def trim_for_search(grams: list[int]) -> list[int]:
+    """Prefix/suffix slop for ad-hoc search: drop ``min((n-1)/2, 3)`` grams
+    from each end (reference ``index.rs:195-200``)."""
+    if not grams:
+        return grams
+    d = min((len(grams) - 1) // 2, 3)
+    return grams[d : len(grams) - d]
+
+
+# ---------------------------------------------------------------------------
+# Portable arithmetic hashing (minhash / simhash / LSH)
+# ---------------------------------------------------------------------------
+
+# Mersenne prime 2^31 - 1: universal-hash modulus small enough that
+# a*x+b stays within int64 for 32-bit gram inputs in both engines.
+MINHASH_PRIME = 2147483647
+
+
+def minhash_coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for k universal hash functions
+    h_j(x) = (a_j * x + b_j) mod P. A fixed LCG keeps this reproducible
+    without RNG (portable to SQL literal lists)."""
+    coeffs = []
+    state = seed
+    for _ in range(k):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        a = state % (MINHASH_PRIME - 1) + 1
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        b = state % MINHASH_PRIME
+        coeffs.append((a, b))
+    return coeffs
+
+
+def universal_hash_sql(x: str, a: int, b: int, prime: int = MINHASH_PRIME) -> str:
+    """(a*x + b) mod prime — identical int64 arithmetic in Spark and DuckDB."""
+    return f"((CAST({x} AS BIGINT) * {a} + {b}) % {prime})"
+
+
+# ---------------------------------------------------------------------------
+# Id namespacing
+# ---------------------------------------------------------------------------
+
+
+def xor_id_expr(id_col: str, namespace: int) -> str:
+    """XOR-namespace an integer id (the Spark analogue of the reference's
+    UUID-XOR import collision-proofing, ``index.rs:653-655``).
+
+    Portable: Spark ``xor(a,b)`` doesn't exist as a function but ``a ^ b``
+    parses in both engines? DuckDB uses ``xor()``; Spark uses ``^``. Callers
+    use :func:`xor_id_expr` for Spark and ``xor()`` for DuckDB oracles.
+    """
+    return f"(CAST({id_col} AS BIGINT) ^ CAST({namespace} AS BIGINT))"
+
+
+def xor_uuid_hex(id_hex: str, namespace_hex: str) -> str:
+    """Driver-side XOR of two 32-char hex UUIDs (byte-exact reference
+    semantics, ``index.rs:653-655``) — used by the import path for string ids."""
+    return format(int(id_hex.replace("-", ""), 16) ^ int(namespace_hex.replace("-", ""), 16), "032x")

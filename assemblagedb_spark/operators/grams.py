@@ -1,0 +1,50 @@
+"""Gram-index construction: text blocks → inverted byte-4-gram index.
+
+Reference behavior (``assemblage_db/src/index.rs:682-759, 826-835``): the
+indexing unit is the *block* (a child of a Page list or block-styled node);
+a block's gram sequence is the grams of its chain-concatenated descendant
+texts (the 3-gram boundary splice at ``index.rs:722-743`` is equivalent to
+concatenate-then-gram, see SURVEY §7 "What's hard" #4).
+
+Scale design: grams are produced by a Catalyst-only expression (no Python),
+exploded, and aggregated with a map-side-combining ``groupBy``. At 100 TB the
+``grams`` table is written partitioned/bucketed by ``gram`` so ad-hoc search
+(a broadcast join of a tiny query-gram set against postings) prunes to the
+touched buckets and never shuffles the index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from assemblagedb_spark.functions.core import spark_grams_array_expr
+
+
+def grams_array(text_col: str) -> Column:
+    """ARRAY<BIGINT> gram column for a string column (JVM-side)."""
+    return F.expr(spark_grams_array_expr(text_col))
+
+
+def block_grams(blocks: DataFrame, id_col: str = "node_id", text_col: str = "text") -> DataFrame:
+    """(block_id, text) → inverted index rows (node_id, gram, occurrences).
+
+    One row per distinct gram per block; ``occurrences`` is the multiset
+    count, which the search kernel needs for min(q_occ, m_occ) accumulation
+    (reference ``index.rs:219-226``).
+    """
+    return (
+        blocks.select(F.col(id_col).alias("node_id"), grams_array(text_col).alias("grams"))
+        .select("node_id", F.explode("grams").alias("gram"))
+        .groupBy("node_id", "gram")
+        .agg(F.count(F.lit(1)).cast("int").alias("occurrences"))
+    )
+
+
+def gram_counts(grams: DataFrame) -> DataFrame:
+    """Per-block total gram count (slot 3 ``Count``, ``index.rs:349-356``).
+
+    Sum of occurrences == length of the block's gram sequence (n_bytes + 3).
+    """
+    return grams.groupBy("node_id").agg(
+        F.sum("occurrences").cast("int").alias("gram_count")
+    )

@@ -1,0 +1,149 @@
+"""Graph traversal operators: BFS closure, ancestor walk, sibling queries.
+
+Reference semantics re-expressed over an ``edges(parent_id, child_id, idx)``
+relation:
+
+- ``descendants`` (``assemblage_db/src/lib.rs:695-797``): transitive closure
+  downward, cycle-safe via a visited set.
+- ``ancestors`` (``lib.rs:552-639``): walk upward; the reference's
+  ``ancestor_path`` stops when a node has 0 or >1 parents or a cycle closes.
+- ``before``/``after`` (``core.rs:152-299``): nearest non-blank sibling per
+  direction within the same parent.
+
+Scale design: BFS is a loop of hash joins on ``parent_id``; each iteration
+shuffles only the *frontier* (small after the first hops), the edges side
+stays partitioned by ``parent_id`` and is reused across iterations via
+``persist``. Cycle safety = anti-join against the accumulated visited set —
+the DataFrame equivalent of the reference's ``HashSet`` guard. Frontiers are
+``localCheckpoint``-ed every few rounds so the lineage (and thus the task
+binary) does not grow unboundedly — the standard iterative-algorithm pattern
+on Spark (GraphX does the same internally).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def descendants(
+    edges: DataFrame,
+    roots: DataFrame,
+    *,
+    max_depth: int | None = None,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Transitive closure downward from ``roots`` (one column ``node_id``).
+
+    Returns (node_id, depth) with depth = shortest hop distance from any
+    root (roots themselves at depth 0). Cycle-safe: a node already visited
+    at a smaller depth is never re-expanded.
+    """
+    e = edges.select("parent_id", "child_id").persist()
+    visited = roots.select("node_id").distinct().withColumn("depth", F.lit(0))
+    frontier = visited
+    depth = 0
+    while True:
+        if max_depth is not None and depth >= max_depth:
+            break
+        nxt = (
+            e.join(frontier.withColumnRenamed("node_id", "parent_id").select("parent_id"), "parent_id")
+            .select(F.col("child_id").alias("node_id"))
+            .distinct()
+            .join(visited.select("node_id"), "node_id", "left_anti")
+            .withColumn("depth", F.lit(depth + 1))
+        )
+        nxt = nxt.localCheckpoint(eager=True) if (depth + 1) % checkpoint_every == 0 else nxt.persist()
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+        depth += 1
+    e.unpersist()
+    return visited
+
+
+def ancestors(
+    edges: DataFrame,
+    starts: DataFrame,
+    *,
+    single_parent_only: bool = True,
+    max_depth: int = 64,
+) -> DataFrame:
+    """Upward walk from each start node (column ``node_id``).
+
+    Returns (start_id, ancestor_id, depth), depth = 1 for the immediate
+    parent. With ``single_parent_only`` (the reference's ``ancestor_path``,
+    lib.rs:552-639) a walk stops when the current node has 0 or >1 parents
+    or revisits a node on its own path (cycle guard).
+    """
+    parent_of = edges.groupBy("child_id").agg(
+        F.collect_set("parent_id").alias("parents")
+    )
+    if single_parent_only:
+        parent_of = parent_of.filter(F.size("parents") == 1)
+    parent_of = parent_of.select(
+        "child_id", F.explode("parents").alias("parent_id")
+    ).persist()
+
+    frontier = starts.select(
+        F.col("node_id").alias("start_id"),
+        F.col("node_id").alias("current_id"),
+        F.array(F.col("node_id")).alias("path"),
+    )
+    out = None
+    for depth in range(1, max_depth + 1):
+        step = (
+            frontier.join(
+                parent_of.withColumnRenamed("child_id", "current_id"), "current_id"
+            )
+            # cycle guard: stop a walk that revisits its own path
+            .filter(~F.array_contains("path", F.col("parent_id")))
+            .select(
+                "start_id",
+                F.col("parent_id").alias("ancestor_id"),
+                F.concat("path", F.array("parent_id")).alias("path"),
+            )
+        )
+        step = step.persist() if depth % 8 else step.localCheckpoint(eager=True)
+        if step.isEmpty():
+            break
+        found = step.select("start_id", "ancestor_id").withColumn("depth", F.lit(depth))
+        out = found if out is None else out.unionByName(found)
+        frontier = step.select(
+            "start_id", F.col("ancestor_id").alias("current_id"), "path"
+        )
+    parent_of.unpersist()
+    if out is None:
+        schema = "start_id string, ancestor_id string, depth int"
+        return starts.sparkSession.createDataFrame([], schema)
+    return out
+
+
+def siblings_before_after(
+    edges: DataFrame,
+    blank: F.Column | None = None,
+) -> DataFrame:
+    """For every child: the nearest non-blank previous and next sibling
+    within the same parent (reference ``before``/``after``, core.rs:152-299 —
+    flat-case semantics: blank siblings are skipped, search continues past
+    them).
+
+    ``blank`` is a boolean Column over the edges frame marking siblings to
+    skip (the reference skips whitespace-only and Aside-styled siblings).
+    Implemented as two running-extreme windows — one shuffle on parent_id,
+    no self-join, linear in |edges| at any scale.
+    """
+    if blank is None:
+        blank = F.lit(False)
+    e = edges.withColumn("__blank", blank)
+    w = Window.partitionBy("parent_id").orderBy("idx")
+    before_w = w.rowsBetween(Window.unboundedPreceding, -1)
+    after_w = w.rowsBetween(1, Window.unboundedFollowing)
+    # max/min of struct(idx, child_id) picks the nearest eligible sibling
+    # (struct comparison is field-order lexicographic, idx first).
+    eligible = F.when(~F.col("__blank"), F.struct("idx", "child_id"))
+    return (
+        e.withColumn("before_id", F.max(eligible).over(before_w)["child_id"])
+        .withColumn("after_id", F.min(eligible).over(after_w)["child_id"])
+        .select("parent_id", "child_id", "idx", "before_id", "after_id")
+    )
