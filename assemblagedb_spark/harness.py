@@ -366,6 +366,399 @@ FROM lines
 """
 
 
+# ---------------------------------------------------------------------------
+# Materialized overlaps (SURVEY §2.4 store_overlaps) on a doc subset
+# ---------------------------------------------------------------------------
+
+
+def q_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric materialized overlaps, score > 0.5, self excluded
+    (index.rs:302-347), over the doc_id % 5 == 0 block subset."""
+    from assemblagedb_spark.operators.overlaps import overlap_pairs
+
+    blocks = _doc_blocks(spark, sf_dir).filter(F.col("node_id") % 5 == 0)
+    g = block_grams(blocks)
+    c = gram_counts(g)
+    return overlap_pairs(g, c).select(
+        F.col("src_id").cast("long"), F.col("dst_id").cast("long"),
+        "a", "b", "intersection", "score",
+    )
+
+
+O_OVERLAPS = f"""
+WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+doc_grams AS (
+  SELECT node_id, gram, COUNT(*)::BIGINT AS occurrences FROM
+  (SELECT doc_id AS node_id, {gram_term_sql('text', 'i')} AS gram
+   FROM (SELECT doc_id, text, unnest(range(-2, length(text) + 1)) AS i FROM sub))
+  GROUP BY node_id, gram),
+counts AS (SELECT node_id, SUM(occurrences)::BIGINT AS n FROM doc_grams GROUP BY node_id),
+inter AS (
+  SELECT a.node_id AS src_id, b.node_id AS dst_id,
+         SUM(LEAST(a.occurrences, b.occurrences))::BIGINT AS i_raw
+  FROM doc_grams a JOIN doc_grams b USING (gram)
+  WHERE a.node_id <> b.node_id GROUP BY 1, 2),
+scored AS (
+  SELECT src_id, dst_id,
+         (255 * ca.n // GREATEST(ca.n, cb.n))::INT AS a,
+         (255 * cb.n // GREATEST(ca.n, cb.n))::INT AS b,
+         (255 * i_raw // GREATEST(ca.n, cb.n))::INT AS intersection
+  FROM inter JOIN counts ca ON ca.node_id = src_id JOIN counts cb ON cb.node_id = dst_id)
+SELECT src_id, dst_id, a, b, intersection, (intersection / LEAST(a, b)) AS score
+FROM scored WHERE (intersection / LEAST(a, b)) > 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup suite (training-data pipeline operators)
+# ---------------------------------------------------------------------------
+
+_NORM_DUCK = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from assemblagedb_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+O_DEDUP_EXACT = f"""
+SELECT md5({_NORM_DUCK}) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*)::BIGINT AS n_copies
+FROM documents GROUP BY 1
+"""
+
+_MINHASH_K = 16
+_LSH_BANDS = 4
+_LSH_ROWS = 4
+
+
+def _coeff_values_sql() -> str:
+    from assemblagedb_spark.functions.core import minhash_coeffs
+
+    return ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(minhash_coeffs(_MINHASH_K)))
+
+
+_DOC_SHINGLES_CTE = (
+    "shingles AS (SELECT DISTINCT doc_id, gram FROM "
+    f"(SELECT doc_id, {gram_term_sql('text', 'i')} AS gram "
+    "FROM (SELECT doc_id, text, unnest(range(-2, length(text) + 1)) AS i FROM documents)))"
+)
+
+_MINHASH_CTE = (
+    f"coeffs(j, a, b) AS (VALUES {{coeffs}}), "
+    "mh AS (SELECT doc_id, j, MIN((gram * a + b) % 2147483647) AS minhash "
+    "FROM shingles CROSS JOIN coeffs GROUP BY doc_id, j)"
+)
+
+
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minhash signatures, exploded to (doc_id, h_idx, minhash) for compare."""
+    from assemblagedb_spark.operators.dedup import minhash_signatures
+
+    sig = minhash_signatures(load_table(spark, sf_dir, "documents"), k=_MINHASH_K)
+    return sig.select(
+        "doc_id", F.posexplode("sig").alias("h_idx", "minhash")
+    ).select("doc_id", F.col("h_idx").cast("long"), "minhash")
+
+
+O_DEDUP_MINHASH_SIG = (
+    f"WITH {_DOC_SHINGLES_CTE}, {_MINHASH_CTE.format(coeffs=_coeff_values_sql())} "
+    "SELECT doc_id, j::BIGINT AS h_idx, minhash FROM mh"
+)
+
+
+def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: agree on all rows of any band."""
+    from assemblagedb_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    sig = minhash_signatures(load_table(spark, sf_dir, "documents"), k=_MINHASH_K)
+    return lsh_candidate_pairs(sig, bands=_LSH_BANDS, rows_per_band=_LSH_ROWS)
+
+
+O_DEDUP_LSH_PAIRS = (
+    f"WITH {_DOC_SHINGLES_CTE}, {_MINHASH_CTE.format(coeffs=_coeff_values_sql())}, "
+    f"bands AS (SELECT doc_id, j // {_LSH_ROWS} AS band, "
+    "string_agg(minhash, ',' ORDER BY j) AS band_sig "
+    f"FROM mh GROUP BY doc_id, j // {_LSH_ROWS}) "
+    "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig "
+    "WHERE a.doc_id < b.doc_id"
+)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from assemblagedb_spark.operators.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(load_table(spark, sf_dir, "documents"), bits=32)
+
+
+O_DEDUP_SIMHASH = f"""
+WITH {_DOC_SHINGLES_CTE},
+votes AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN ((gram * 1103515245 + 12345) % 2147483647) // (1::BIGINT << i) % 2 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM shingles CROSS JOIN (SELECT unnest(range(0, 32)) AS i) GROUP BY doc_id, i)
+SELECT doc_id, SUM(CASE WHEN vote > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram jaccard pairs >= 0.5 on the doc_id % 5 == 0 subset."""
+    from assemblagedb_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return ngram_jaccard_pairs(docs, min_jaccard=0.5)
+
+
+O_DEDUP_JACCARD = f"""
+WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+sh AS (SELECT DISTINCT doc_id, gram FROM
+  (SELECT doc_id, {gram_term_sql('text', 'i')} AS gram
+   FROM (SELECT doc_id, text, unnest(range(-2, length(text) + 1)) AS i FROM sub))),
+sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS inter
+  FROM sh a JOIN sh b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b, inter, na.n AS n_a, nb.n AS n_b,
+       (inter / (na.n + nb.n - inter)) AS jaccard
+FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+WHERE (inter / (na.n + nb.n - inter)) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for query vectors (vec_id % 50 == 0)."""
+    from assemblagedb_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long")
+    )
+
+
+O_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+s AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos
+  FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s
+) WHERE rank <= 10
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= 0.9 among vec_id % 5 == 0."""
+    from assemblagedb_spark.operators.similarity import with_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return with_cosine(pairs).filter(F.col("cosine") >= 0.9).select("id_a", "id_b")
+
+
+O_EMBEDDING_NEARDUP = """
+WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM sub a CROSS JOIN sub b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.9
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_TOKENS_DUCK = "list_filter(string_split_regex(trim(coalesce(text, '')), ' +'), t -> t <> '')"
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from assemblagedb_spark.operators.textstats import token_stats
+
+    return token_stats(load_table(spark, sf_dir, "documents"))
+
+
+O_TEXT_STATS = f"""
+SELECT doc_id, length(coalesce(text, ''))::BIGINT AS n_chars,
+       len({_TOKENS_DUCK})::BIGINT AS n_tokens,
+       len(list_distinct({_TOKENS_DUCK}))::BIGINT AS n_distinct_tokens
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from assemblagedb_spark.operators.textstats import quality_scores
+
+    return quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _o_text_quality() -> str:
+    from assemblagedb_spark.operators.textstats import LANG_STOPWORDS
+
+    stop = "[" + ", ".join(f"'{s}'" for s in LANG_STOPWORDS["en"]) + "]"
+    toks = _TOKENS_DUCK
+    n_tok = f"len({toks})::BIGINT"
+    n_stop = f"len(list_filter({toks}, t -> list_contains({stop}, lower(t))))::BIGINT"
+    length_score = f"LEAST({n_tok} / 100.0, 1.0)"
+    diversity = f"(CASE WHEN {n_tok} > 0 THEN len(list_distinct({toks})) / {n_tok} ELSE 0.0 END)"
+    stop_ratio = f"(CASE WHEN {n_tok} > 0 THEN {n_stop} / {n_tok} ELSE 0.0 END)"
+    return f"""
+SELECT doc_id, {n_tok} AS n_tokens, {n_stop} AS n_stopwords,
+       {length_score} AS length_score, {diversity} AS diversity, {stop_ratio} AS stopword_ratio,
+       (({length_score} + {diversity} + LEAST({stop_ratio} * 4, 1.0)) / 3) AS quality_score
+FROM documents
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from assemblagedb_spark.operators.textstats import language_id
+
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+def _o_text_lang_id() -> str:
+    from assemblagedb_spark.operators.textstats import LANG_STOPWORDS
+
+    hits = {
+        lang: f"len(list_filter({_TOKENS_DUCK}, t -> list_contains([{', '.join(chr(39) + w + chr(39) for w in words)}], lower(t))))::BIGINT"
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    langs = list(LANG_STOPWORDS)
+    best, best_hits = f"'{langs[0]}'", f"hits_{langs[0]}"
+    for lang in langs[1:]:
+        best = f"(CASE WHEN hits_{lang} > {best_hits} THEN '{lang}' ELSE {best} END)"
+        best_hits = f"GREATEST(hits_{lang}, {best_hits})"
+    cols = ", ".join(f"{h} AS hits_{lang}" for lang, h in hits.items())
+    return f"""
+SELECT doc_id, {", ".join(f"hits_{lang}" for lang in langs)},
+       (CASE WHEN {best_hits} > 0 THEN {best} ELSE 'und' END) AS lang_guess
+FROM (SELECT doc_id, {cols} FROM documents)
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from assemblagedb_spark.operators.textstats import fingerprints
+
+    return fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+O_TEXT_FINGERPRINT = f"SELECT doc_id, md5({_NORM_DUCK}) AS fingerprint FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# Streaming-shaped batch: tumbling-window aggregation over the event stream
+# ---------------------------------------------------------------------------
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows over the events stream (batch-equivalent of
+    the Structured Streaming job in streaming/; value sums as integer cents
+    for cross-engine determinism)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hour_bucket", F.expr("ts div 3600000000000"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+    )
+
+
+O_EVENTS_TUMBLING = """
+SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+       COUNT(*)::BIGINT AS n,
+       SUM(round(value * 100)::BIGINT)::BIGINT AS sum_value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage (free from Spark SQL; benched headline queries)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (money as integer cents)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_base_cents"),
+            F.sum(disc_cents).alias("sum_disc_cents"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+O_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity::BIGINT)::BIGINT AS sum_qty,
+       SUM(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_base_cents,
+       SUM(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS sum_disc_cents,
+       COUNT(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: join + agg + top-10."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+            ).alias("revenue_cents")
+        )
+    )
+    w = Window.orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("l_orderkey", "o_orderdate", "o_orderpriority", "revenue_cents", F.col("rk").cast("long"))
+    )
+
+
+O_TPCH_Q3 = """
+WITH rev AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         SUM(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS revenue_cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY 1, 2, 3)
+SELECT l_orderkey, o_orderdate, o_orderpriority, revenue_cents, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY revenue_cents DESC, l_orderkey) AS rk FROM rev
+) WHERE rk <= 10
+"""
+
+
 SPARK_QUERIES = {
     "gram_index": q_gram_index,
     "gram_counts": q_gram_counts,
@@ -381,6 +774,21 @@ SPARK_QUERIES = {
     "graph_descendants": q_graph_descendants,
     "graph_ancestor_path": q_graph_ancestor_path,
     "siblings": q_siblings,
+    "overlaps": q_overlaps,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_sig": q_dedup_minhash_sig,
+    "dedup_lsh_pairs": q_dedup_lsh_pairs,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_jaccard": q_dedup_jaccard,
+    "ann_topk": q_ann_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "text_stats": q_text_stats,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "text_fingerprint": q_text_fingerprint,
+    "events_tumbling": q_events_tumbling,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
 }
 
 ORACLES = {
@@ -398,4 +806,19 @@ ORACLES = {
     "graph_descendants": O_GRAPH_DESCENDANTS,
     "graph_ancestor_path": O_GRAPH_ANCESTOR_PATH,
     "siblings": O_SIBLINGS,
+    "overlaps": O_OVERLAPS,
+    "dedup_exact": O_DEDUP_EXACT,
+    "dedup_minhash_sig": O_DEDUP_MINHASH_SIG,
+    "dedup_lsh_pairs": O_DEDUP_LSH_PAIRS,
+    "dedup_simhash": O_DEDUP_SIMHASH,
+    "dedup_jaccard": O_DEDUP_JACCARD,
+    "ann_topk": O_ANN_TOPK,
+    "embedding_neardup": O_EMBEDDING_NEARDUP,
+    "text_stats": O_TEXT_STATS,
+    "text_quality": _o_text_quality(),
+    "text_lang_id": _o_text_lang_id(),
+    "text_fingerprint": O_TEXT_FINGERPRINT,
+    "events_tumbling": O_EVENTS_TUMBLING,
+    "tpch_q1": O_TPCH_Q1,
+    "tpch_q3": O_TPCH_Q3,
 }

@@ -1,0 +1,241 @@
+"""Deduplication operators for large-scale text pipelines.
+
+Beyond the reference's own overlap search (which IS a near-dup detector at
+block granularity), these are the standard web-scale dedup family, each
+designed so the expensive pairwise phase only ever runs on LSH-bucketed
+candidates:
+
+- exact:         normalize → md5 → groupBy (one shuffle, fully scalable)
+- minhash + LSH: shingles → k universal-hash mins → b bands → bucket join
+- simhash:       per-gram signed bit votes → 32/64-bit fingerprint → hamming
+- n-gram jaccard: exact set similarity, for candidate verification
+- embedding near-dup: cosine over an embedding column (see similarity.py)
+
+All hashing is explicit universal-hash arithmetic (functions/core.py), never
+an engine builtin, so results are identical across engines and stable across
+versions. Everything stays JVM-side (higher-order array functions, no Python
+UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from assemblagedb_spark.functions.core import MINHASH_PRIME, minhash_coeffs
+from assemblagedb_spark.operators.grams import grams_array
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def normalized_text(text_col: str) -> F.Column:
+    """Whitespace-collapsed, lower-cased canonical form."""
+    return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: (text_hash, keeper_id, n_copies), keeper = min id.
+
+    One hash + one groupBy — the canonical first pass at any scale.
+    """
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(normalized_text(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, sig ARRAY<BIGINT> of length k) — minhash over the distinct
+    byte-4-gram shingle set, h_j(g) = (a_j*g + b_j) mod P.
+
+    Computed entirely inside whole-stage codegen: the shingle set is a
+    per-row array, each permutation is an array_min over a transform —
+    no explode, no shuffle until the band grouping.
+    """
+    coeffs = minhash_coeffs(k, seed)
+    arr_a = "array(" + ", ".join(str(a) for a, _ in coeffs) + ")"
+    arr_b = "array(" + ", ".join(str(b) for _, b in coeffs) + ")"
+    # Single fold over the shingle set: the (expensive) gram array is
+    # evaluated exactly once per row; each shingle updates all k mins via an
+    # element-wise zip_with. O(len + len*k) arithmetic per row.
+    sig = F.expr(
+        f"aggregate(array_distinct({_grams_sql(text_col)}), "
+        f"transform(sequence(1, {k}), i -> CAST({MINHASH_PRIME} AS BIGINT)), "
+        f"(acc, g) -> zip_with(acc, sequence(0, {k - 1}), (m, i) -> "
+        f"least(m, (g * element_at({arr_a}, i + 1) + element_at({arr_b}, i + 1)) % {MINHASH_PRIME})))"
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+
+
+def _grams_sql(text_col: str) -> str:
+    from assemblagedb_spark.functions.core import spark_grams_array_expr
+
+    return spark_grams_array_expr(text_col)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    *,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banded LSH: docs agreeing on all rows of any band become a candidate
+    pair. Returns distinct (id_a, id_b), id_a < id_b.
+
+    The band bucket join is an equi-join on (band, band_sig) — shuffle on the
+    bucket key only; bucket sizes are bounded by construction (a pathological
+    bucket means the docs really are near-identical).
+    """
+    exploded = signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("sig", b * rows_per_band + 1, rows_per_band).cast("string")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_sig"),
+    )
+    a = exploded.select(F.col("doc_id").alias("id_a"), "band", "band_sig")
+    b = exploded.select(F.col("doc_id").alias("id_b"), "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(signatures: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Estimated jaccard = fraction of agreeing signature components."""
+    sa = signatures.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = signatures.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", (agree / F.size("sig_a")).alias("jaccard_est"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram jaccard (candidate verification)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact jaccard over distinct 4-gram shingle sets.
+
+    Without ``candidates`` this is an all-pairs postings join (harness scale
+    only); with candidates (from LSH) it verifies just those pairs — the
+    100 TB path.
+    """
+    shingles = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(grams_array(text_col))).alias("gram"),
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = shingles.select(F.col("doc_id").alias("id_a"), "gram")
+    b = shingles.select(F.col("doc_id").alias("id_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"])
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_fingerprints(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    a: int = 1103515245,
+    b: int = 12345,
+) -> DataFrame:
+    """(doc_id, simhash BIGINT): bit i is set iff the sum over distinct
+    shingles g of sign(bit_i(h(g))) is positive, h(g) = (a*g+b) mod P.
+
+    Bit votes are computed with a per-row nested transform + aggregate —
+    no explode, fully JVM-side.
+    """
+    h = f"(g * {a} + {b}) % {MINHASH_PRIME}"
+    # Single fold: votes[i] = sum over shingles of ±1 by bit i of h(g); the
+    # gram array is evaluated once per row, then the bit-vote vector folds
+    # into the fingerprint. simhash bit i = votes[i] > 0.
+    votes = (
+        f"aggregate(array_distinct({_grams_sql(text_col)}), "
+        f"transform(sequence(0, {bits - 1}), i -> CAST(0 AS BIGINT)), "
+        f"(acc, g) -> zip_with(acc, sequence(0, {bits - 1}), (v, i) -> "
+        f"v + CASE WHEN ({h}) div shiftleft(CAST(1 AS BIGINT), i) % 2 = 1 THEN 1 ELSE -1 END))"
+    )
+    expr = (
+        f"aggregate(zip_with({votes}, sequence(0, {bits - 1}), "
+        f"(v, i) -> CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), F.expr(expr).alias("simhash"))
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame, *, max_hamming: int = 3, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Pairs within hamming distance. All-pairs without ``candidates``
+    (verification scale); at 100 TB feed LSH buckets (e.g. split the
+    fingerprint into 4 bands of 8 bits and bucket-join on any equal band)."""
+    fa = fingerprints.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"))
+    fb = fingerprints.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"))
+    if candidates is not None:
+        joined = candidates.join(fa, "id_a").join(fb, "id_b")
+    else:
+        joined = fa.crossJoin(fb)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (ARRAY<FLOAT>).
+
+Two paths, per the standard ANN playbook:
+
+- ``cosine_topk``: exact brute force — a (queries × corpus) join with the
+  dot product evaluated as a JVM higher-order fold. Correctness baseline;
+  viable when the query side is small (it broadcasts) even on a huge corpus.
+- ``lsh_bucketed_topk``: random-hyperplane LSH — sign-bit sketches bucket
+  the corpus so each query only scores its bucket neighborhood. The 100 TB
+  path: corpus sketch is precomputed once, bucket join replaces the cross
+  join. Recall is tunable by bands/bits.
+
+All float math is double-precision, folded left-to-right in element order,
+so results are reproducible (and comparable against the DuckDB oracle, which
+evaluates the same sequential fold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> F.Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    )
+
+
+def with_cosine(pairs: DataFrame, vec_a: str = "vec_a", vec_b: str = "vec_b") -> DataFrame:
+    return pairs.withColumn(
+        "cosine", _dot(vec_a, vec_b) / (_norm(vec_a) * _norm(vec_b))
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (self excluded).
+
+    Returns (query_id, neighbor_id, rank) — rank 1 = nearest. The query side
+    is broadcast; the corpus streams through one stage; per-query top-k is a
+    rank window partitioned by query (bounded state: k rows per query).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("vec_a"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec_b"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _dot("vec_a", "vec_b") / (_norm("vec_a") * _norm("vec_b")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def hyperplane_sketch(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Random-hyperplane sign sketch: bit i = (v · h_i) > 0 with pseudo-random
+    ±1 hyperplanes derived from a deterministic LCG — no stored hyperplane
+    matrix, reproducible everywhere."""
+    # h_i[d] = +1 if lcg(i, d) even else -1
+    expr = (
+        f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), (acc, i) -> acc + "
+        f"CASE WHEN aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
+        f"(x, d) -> CAST(x AS DOUBLE) * (CASE WHEN ((i * 2654435761 + d * {seed * 2 + 1}) % 1103515245) % 2 = 0 "
+        f"THEN 1.0 ELSE -1.0 END)), CAST(0 AS DOUBLE), (s, v) -> s + v) > 0 "
+        f"THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)"
+    )
+    return df.select(F.col(id_col).alias("vec_id"), F.col(vec_col), F.expr(expr).alias("sketch"))
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing at least one
+    sketch band with the query. Bucket equi-join instead of cross join —
+    the shuffle is on (band, band_bits), cost proportional to bucket sizes.
+    """
+    rows = bits // bands
+    mask = (1 << rows) - 1
+
+    def banded(df: DataFrame, side: str) -> DataFrame:
+        s = hyperplane_sketch(df, id_col=id_col, vec_col=vec_col, bits=bits)
+        return s.select(
+            F.col("vec_id").alias(f"{side}_id"),
+            F.col(vec_col).alias(f"vec_{side}"),
+            F.posexplode(
+                F.array(
+                    *[
+                        (F.shiftright("sketch", b * rows).bitwiseAND(F.lit(mask)))
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "band_bits"),
+        )
+
+    q = banded(queries, "q")
+    c = banded(corpus, "c")
+    cand = (
+        q.join(c, ["band", "band_bits"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "vec_q", "c_id", "vec_c")
+        .distinct()
+        .withColumn("cosine", _dot("vec_q", "vec_c") / (_norm("vec_q") * _norm("vec_c")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"), "rank")
+    )

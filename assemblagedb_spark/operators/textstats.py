@@ -1,0 +1,105 @@
+"""Text analysis operators: token stats, quality scoring, language ID,
+document fingerprinting.
+
+All pure Catalyst expressions (split/filter/aggregate higher-order
+functions) — single-pass, no shuffle, no Python. Formulas are arithmetic on
+integers wherever outputs feed the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deterministic, lower-case, no engine-specific tokenization.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "y", "es", "en", "que", "por"],
+    "zh": ["de", "shi", "bu", "le", "zai", "you", "wo", "ta"],
+}
+
+
+def tokens(text_col: str) -> F.Column:
+    """Whitespace tokens of the trimmed text (empty text → empty array)."""
+    return F.expr(
+        f"filter(split(trim(coalesce({text_col}, '')), ' +'), t -> t <> '')"
+    )
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_tokens, n_distinct_tokens)."""
+    t = tokens(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias("n_chars"),
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+def quality_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Heuristic quality features + a combined score in [0, 1]:
+
+    - length_score: min(n_tokens / 100, 1)
+    - diversity: distinct/total tokens
+    - stopword_ratio: stopword tokens / total (natural text has some)
+    - score = (length_score + diversity + least(stopword_ratio * 4, 1)) / 3
+    """
+    stop = stopwords or LANG_STOPWORDS["en"]
+    stop_arr = "array(" + ", ".join(f"'{s}'" for s in stop) + ")"
+    t = tokens(text_col)
+    n_tok = F.size(t).cast("long")
+    n_stop = F.size(F.expr(
+        f"filter(filter(split(trim(coalesce({text_col}, '')), ' +'), t -> t <> ''), "
+        f"t -> array_contains({stop_arr}, lower(t)))"
+    )).cast("long")
+    length_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    diversity = F.when(n_tok > 0, F.size(F.array_distinct(t)) / n_tok).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        length_score.alias("length_score"),
+        diversity.alias("diversity"),
+        stop_ratio.alias("stopword_ratio"),
+        ((length_score + diversity + F.least(stop_ratio * 4, F.lit(1.0))) / 3).alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: count per-language stopword hits, argmax
+    with fixed tiebreak order (the LANG_STOPWORDS key order)."""
+    hit_cols = {}
+    for lang, words in LANG_STOPWORDS.items():
+        arr = "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+        hit_cols[lang] = F.size(F.expr(
+            f"filter(filter(split(trim(coalesce({text_col}, '')), ' +'), t -> t <> ''), "
+            f"t -> array_contains({arr}, lower(t)))"
+        )).cast("long")
+    out = docs.select(F.col(id_col).alias("doc_id"), *[c.alias(f"hits_{lang}") for lang, c in hit_cols.items()])
+    langs = list(LANG_STOPWORDS)
+    best = F.lit(langs[0])
+    best_hits = F.col(f"hits_{langs[0]}")
+    for lang in langs[1:]:
+        cond = F.col(f"hits_{lang}") > best_hits
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_hits = F.when(cond, F.col(f"hits_{lang}")).otherwise(best_hits)
+    return out.withColumn("lang_guess", F.when(best_hits > 0, best).otherwise(F.lit("und"))).select(
+        "doc_id", *[f"hits_{lang}" for lang in langs], "lang_guess"
+    )
+
+
+def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Canonical-text fingerprint: md5 of the whitespace-normalized,
+    lower-cased text (stable across engines). For shift-tolerant
+    fingerprinting use the minhash/simhash operators (dedup.py)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "))
+    return docs.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("fingerprint"))
