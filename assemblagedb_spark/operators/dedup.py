@@ -103,6 +103,9 @@ def lsh_candidate_pairs(
     bucket key only; bucket sizes are bounded by construction (a pathological
     bucket means the docs really are near-identical).
     """
+    # both join sides derive from the signatures; materialize them once so
+    # the (expensive) minhash fold isn't evaluated twice
+    signatures = signatures.localCheckpoint(eager=True)
     exploded = signatures.select(
         "doc_id",
         F.posexplode(

@@ -59,9 +59,19 @@ def overlap_pairs(
         "gram",
         F.col("occurrences").alias("occ_b"),
     )
+    # When both sides are the whole index the result is symmetric: compute
+    # only ordered pairs (half the join/aggregation volume) and mirror at
+    # the end. With a ``changed`` subset the sides differ, so keep both
+    # orientations (reverse-edge maintenance adds the mirrors).
+    symmetric_halving = changed is None
+    pair_filter = (
+        (F.col("src_id") < F.col("dst_id"))
+        if symmetric_halving
+        else (F.col("src_id") != F.col("dst_id"))
+    )
     inter = (
         l.join(r, "gram")
-        .filter(F.col("src_id") != F.col("dst_id"))
+        .filter(pair_filter)
         .groupBy("src_id", "dst_id")
         .agg(F.sum(F.least("occ_a", "occ_b")).cast("long").alias("intersection_raw"))
     )
@@ -82,9 +92,10 @@ def overlap_pairs(
     if excluded_pairs is not None:
         scored = scored.join(excluded_pairs, ["src_id", "dst_id"], "left_anti")
     out = scored.select("src_id", "dst_id", "a", "b", "intersection", "score")
-    if changed is not None and both_directions:
-        # reverse-edge maintenance (index.rs:302-347): partners of a changed
-        # block get the mirrored overlap row.
+    if (symmetric_halving or changed is not None) and both_directions:
+        # mirror: symmetric halving restores the (dst, src) rows; with a
+        # changed subset this is the reverse-edge maintenance of
+        # index.rs:302-347 (partners get the mirrored overlap row).
         rev = out.select(
             F.col("dst_id").alias("src_id"),
             F.col("src_id").alias("dst_id"),
@@ -93,7 +104,9 @@ def overlap_pairs(
             "intersection",
             "score",
         )
-        out = out.unionByName(rev).distinct()
+        out = out.unionByName(rev)
+        if changed is not None:
+            out = out.distinct()
     return out
 
 

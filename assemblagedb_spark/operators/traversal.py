@@ -42,6 +42,7 @@ def descendants(
     visited = roots.select("node_id").distinct().withColumn("depth", F.lit(0))
     frontier = visited
     depth = 0
+    persisted = []
     while True:
         if max_depth is not None and depth >= max_depth:
             break
@@ -52,14 +53,22 @@ def descendants(
             .join(visited.select("node_id"), "node_id", "left_anti")
             .withColumn("depth", F.lit(depth + 1))
         )
-        nxt = nxt.localCheckpoint(eager=True) if (depth + 1) % checkpoint_every == 0 else nxt.persist()
+        if (depth + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)  # truncate lineage
+        else:
+            nxt = nxt.persist()
+            persisted.append(nxt)
         if nxt.isEmpty():
             break
         visited = visited.unionByName(nxt)
         frontier = nxt
         depth += 1
+    # materialize the closure before releasing the per-level caches
+    out = visited.localCheckpoint(eager=True)
     e.unpersist()
-    return visited
+    for df in persisted:
+        df.unpersist()
+    return out
 
 
 def ancestors(
@@ -91,6 +100,7 @@ def ancestors(
         F.array(F.col("node_id")).alias("path"),
     )
     out = None
+    persisted = []
     for depth in range(1, max_depth + 1):
         step = (
             frontier.join(
@@ -104,7 +114,11 @@ def ancestors(
                 F.concat("path", F.array("parent_id")).alias("path"),
             )
         )
-        step = step.persist() if depth % 8 else step.localCheckpoint(eager=True)
+        if depth % 8 == 0:
+            step = step.localCheckpoint(eager=True)
+        else:
+            step = step.persist()
+            persisted.append(step)
         if step.isEmpty():
             break
         found = step.select("start_id", "ancestor_id").withColumn("depth", F.lit(depth))
@@ -112,10 +126,14 @@ def ancestors(
         frontier = step.select(
             "start_id", F.col("ancestor_id").alias("current_id"), "path"
         )
-    parent_of.unpersist()
     if out is None:
+        parent_of.unpersist()
         schema = "start_id string, ancestor_id string, depth int"
         return starts.sparkSession.createDataFrame([], schema)
+    out = out.localCheckpoint(eager=True)
+    parent_of.unpersist()
+    for df in persisted:
+        df.unpersist()
     return out
 
 

@@ -1,0 +1,82 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (count() over the final frame); the
+first run of the session includes JVM/codegen warmup, so a tiny warmup query
+runs first and is not counted.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "search",
+    "find_symmetric",
+    "overlaps",
+    "dedup_exact",
+    "dedup_lsh_pairs",
+    "dedup_simhash",
+    "ann_topk",
+    "text_quality",
+    "text_lang_id",
+    "mvcc_latest",
+    "mvcc_asof",
+    "events_tumbling",
+    "graph_descendants",
+    "graph_ancestor_path",
+    "siblings",
+    "tpch_q1",
+    "tpch_q3",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from assemblagedb_spark.harness import SPARK_QUERIES
+    from assemblagedb_spark.session import get_spark
+
+    spark = get_spark("assemblagedb-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + parquet footer reads, not counted
+    SPARK_QUERIES["mvcc_last_updated"](spark, sf_dir).collect()
+
+    # min of two runs per query: the first pays one-off codegen/JIT, the
+    # second reflects steady-state throughput (materialized indexes persist
+    # across queries, as they would in a deployed engine).
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            SPARK_QUERIES[name](spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-query wall time (engine operator suite)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
