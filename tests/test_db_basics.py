@@ -1,0 +1,223 @@
+"""CRUD + graph parity with reference tests (assemblage_db/tests/basics.rs,
+swap.rs) and KV semantics (assemblage_kv/tests/timestamps.rs, transactions.rs).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from assemblagedb_spark.db import ROOT_ID, AssemblageDb
+from assemblagedb_spark.kvstore import KvStore, TransactionConflict
+from assemblagedb_spark.model import CHAIN, PAGE, Child, Node
+
+
+def test_add_and_get_text_nodes():
+    # basics.rs:12-23
+    db = AssemblageDb()
+    id1 = db.add(Node.text_node("foo"))
+    assert db.get(id1).text == "foo"
+    id2 = db.add(Node.text_node("foobar"))
+    assert db.get(id2).text == "foobar"
+
+
+def test_text_with_newlines_splits_into_page():
+    # basics.rs:26-45 (fixture F1)
+    db = AssemblageDb()
+    id = db.add(Node.text_node("Text\nwith\n\nnewlines!\n"))
+    node = db.get(id)
+    assert node.is_list(PAGE)
+    texts = [db.get(c.id).text for c in node.children]
+    assert texts == ["Text", "with", "", "newlines!", ""]
+
+
+def test_parent_back_edges_multi_parent():
+    # basics.rs:91-138 (fixture F2)
+    db = AssemblageDb()
+    parent1_id = db.add(Node.list(CHAIN, [Node.text_node("foo")]))
+    text1_id = db.get(parent1_id).children[0].id
+    assert db.parents(text1_id) == {(parent1_id, 0)}
+    parent2_id = db.add(Node.list(CHAIN, [Child.lazy(parent1_id), Child.lazy(text1_id)]))
+    assert db.parents(text1_id) == {(parent1_id, 0), (parent2_id, 1)}
+    assert db.parents(parent1_id) == {(parent2_id, 0)}
+
+
+def test_duplicate_child_two_indexes():
+    # basics.rs:139-177: same child at idx 0 and 2
+    db = AssemblageDb()
+    text_id = db.add(Node.text_node("foo"))
+    chain_id = db.add(
+        Node.list(CHAIN, [Child.lazy(text_id), Node.text_node("-"), Child.lazy(text_id)])
+    )
+    assert db.parents(text_id) == {(chain_id, 0), (chain_id, 2)}
+
+
+def test_swap_orphan_gc_and_trash():
+    # swap.rs:231-409 (fixture F6): replaced child becomes unreachable but
+    # stays readable in trash
+    db = AssemblageDb()
+    page_id = db.add(Node.list(PAGE, [Node.text_node("old"), Node.text_node("keep")]))
+    old_id = db.get(page_id).children[0].id
+    keep_id = db.get(page_id).children[1].id
+    db.replace_child(page_id, 0, Node.text_node("new"))
+    assert db.get(old_id) is None  # orphaned -> trash
+    assert db.get_in_trash(old_id).text == "old"
+    assert db.get(keep_id).text == "keep"
+    new_id = db.get(page_id).children[0].id
+    assert db.get(new_id).text == "new"
+    assert db.parents(new_id) == {(page_id, 0)}
+
+
+def test_swap_keeps_shared_child():
+    # swap.rs diamond deps (:556-621): removing one of two branches keeps the
+    # shared child, removing both orphans it
+    db = AssemblageDb()
+    shared_id = db.add(Node.text_node("shared"))
+    left_id = db.add(Node.list(CHAIN, [Child.lazy(shared_id)]))
+    right_id = db.add(Node.list(CHAIN, [Child.lazy(shared_id)]))
+    top_id = db.add(Node.list(PAGE, [Child.lazy(left_id), Child.lazy(right_id)]))
+
+    db.remove_child(top_id, 0)  # drop left branch
+    assert db.get(left_id) is None
+    assert db.get(shared_id) is not None  # still referenced via right
+    assert db.parents(shared_id) == {(right_id, 0)}
+
+    db.remove_child(top_id, 0)  # drop right branch too
+    assert db.get(right_id) is None
+    assert db.get(shared_id) is None
+    assert db.get_in_trash(shared_id).text == "shared"
+
+
+def test_restore_subtree():
+    # swap.rs:410-555: restore brings back subtree + parent links
+    db = AssemblageDb()
+    page_id = db.add(Node.list(PAGE, [Node.list(CHAIN, [Node.text_node("a"), Node.text_node("b")])]))
+    chain_id = db.get(page_id).children[0].id
+    a_id = db.get(chain_id).children[0].id
+    db.remove_child(page_id, 0)
+    assert db.get(chain_id) is None
+    assert db.get(a_id) is None
+    db.restore(chain_id)
+    assert db.get(chain_id) is not None
+    assert db.get(a_id).text == "a"
+    assert db.parents(a_id) == {(chain_id, 0)}
+
+
+def test_root_exists_and_push():
+    # core.rs:23-42 root seeding + lib.rs push sugar
+    db = AssemblageDb()
+    assert db.get(ROOT_ID).is_list(PAGE)
+    tid = db.add(Node.text_node("hello"))
+    db.push(ROOT_ID, Child.lazy(tid))
+    assert [c.id for c in db.get(ROOT_ID).children] == [tid]
+    assert db.parents(tid) == {(ROOT_ID, 0)}
+
+
+def test_insert_remove_replace_children():
+    db = AssemblageDb()
+    page_id = db.add(Node.list(PAGE, [Node.text_node("one"), Node.text_node("three")]))
+    db.insert_child(page_id, 1, Node.text_node("two"))
+    texts = [db.get(c.id).text for c in db.get(page_id).children]
+    assert texts == ["one", "two", "three"]
+    db.remove_child(page_id, 0)
+    texts = [db.get(c.id).text for c in db.get(page_id).children]
+    assert texts == ["two", "three"]
+
+
+# ---------------------------------------------------------------------------
+# KV MVCC semantics (fixture F10)
+# ---------------------------------------------------------------------------
+
+
+def test_kv_versions_and_trash():
+    # timestamps.rs:12-303 shape: insert, remove, insert -> 3 versions
+    kv = KvStore()
+    t = kv.current()
+    t.insert(0, "k", 1)
+    t.commit()
+    t = kv.current()
+    t.remove(0, "k")
+    t.commit()
+    t = kv.current()
+    t.insert(0, "k", 3)
+    t.commit()
+    versions = kv.current().versions(0, "k")
+    assert [v.is_removed for v in versions] == [False, True, False]
+    assert kv.current().get(0, "k") == 3
+    # point read per version
+    assert kv.current().get_version(0, "k", versions[0].ts) == 1
+    # snapshot isolation: a snapshot taken at v1 must not see later commits
+    snap_ts = versions[0].ts
+    from assemblagedb_spark.kvstore import Snapshot
+
+    old = Snapshot(kv, snap_ts)
+    assert old.get(0, "k") == 1
+    # merge keeps only the last version
+    kv.merge()
+    assert len(kv.current().versions(0, "k")) == 1
+    assert kv.current().get(0, "k") == 3
+
+
+def test_kv_tombstone_then_merge_drops_key():
+    kv = KvStore()
+    t = kv.current()
+    t.insert(0, "gone", "x")
+    t.commit()
+    t = kv.current()
+    t.remove(0, "gone")
+    t.commit()
+    assert kv.current().get(0, "gone") is None
+    assert kv.current().get_unremoved(0, "gone") == "x"  # trash read
+    kv.merge()
+    assert kv.current().get_unremoved(0, "gone") is None  # trash emptied
+
+
+def test_kv_conflict_detection():
+    # transactions.rs:439+ concurrent_transactions_with_conflict
+    kv = KvStore()
+    t = kv.current()
+    t.insert(0, "k", 1)
+    t.commit()
+    t1 = kv.transaction()
+    t2 = kv.transaction()
+    assert t1.get(0, "k") == 1
+    assert t2.get(0, "k") == 1
+    t2.insert(0, "k", 2)
+    t2.commit()
+    t1.insert(0, "k", 99)
+    with pytest.raises(TransactionConflict):
+        t1.commit()
+
+
+def test_kv_abort_rolls_back():
+    kv = KvStore()
+    t = kv.current()
+    t.insert(0, "k", 1)
+    t.abort()
+    assert kv.current().get(0, "k") is None
+
+
+def test_kv_monotonic_timestamps():
+    kv = KvStore()
+    ts = []
+    for i in range(5):
+        t = kv.current()
+        t.insert(0, f"k{i}", i)
+        ts.append(t.commit())
+    assert ts == sorted(ts) and len(set(ts)) == 5
+
+
+def test_kv_save_load_roundtrip(tmp_path):
+    kv = KvStore()
+    t = kv.current()
+    t.insert(0, "a", {"x": 1})
+    t.insert(1, "b", [1, 2])
+    t.commit()
+    t = kv.current()
+    t.remove(0, "a")
+    t.commit()
+    path = str(tmp_path / "store.json")
+    kv.save(path)
+    kv2 = KvStore.load(path)
+    assert kv2.current().get(0, "a") is None
+    assert kv2.current().get_unremoved(0, "a") == {"x": 1}
+    assert kv2.current().get(1, "b") == [1, 2]
