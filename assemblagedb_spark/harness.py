@@ -784,6 +784,34 @@ SELECT l_orderkey, o_orderdate, o_orderpriority, revenue_cents, rk FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Multimodal: binary payload column + typed metadata
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media-column plumbing: payload byte length + content hash over
+    the synthesized media table (operators/multimodal.py). The decode path
+    is Arrow-batched and stubbed (no codecs in the container); the byte
+    handling here is gate-checked."""
+    from assemblagedb_spark.operators.multimodal import media_table
+
+    m = media_table(load_table(spark, sf_dir, "documents"))
+    return m.select(
+        "media_id",
+        "kind",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+O_MULTIMODAL_META = """
+SELECT doc_id AS media_id, 'image' AS kind,
+       length(text)::BIGINT AS n_bytes, md5(text) AS payload_md5
+FROM documents
+"""
+
+
 SPARK_QUERIES = {
     "gram_index": q_gram_index,
     "gram_counts": q_gram_counts,
@@ -814,6 +842,7 @@ SPARK_QUERIES = {
     "events_tumbling": q_events_tumbling,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
+    "multimodal_meta": q_multimodal_meta,
 }
 
 ORACLES = {
@@ -846,4 +875,5 @@ ORACLES = {
     "events_tumbling": O_EVENTS_TUMBLING,
     "tpch_q1": O_TPCH_Q1,
     "tpch_q3": O_TPCH_Q3,
+    "multimodal_meta": O_MULTIMODAL_META,
 }

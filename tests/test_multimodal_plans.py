@@ -1,0 +1,109 @@
+"""Multimodal column plumbing + physical-plan property checks."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from assemblagedb_spark.operators.multimodal import (
+    decode_image,
+    image_features,
+    media_table,
+    resize_images,
+    sample_frames,
+)
+from assemblagedb_spark.plans.explain import (
+    count_exchanges,
+    has_pushed_filters,
+    python_stages,
+    read_schema_columns,
+    uses_broadcast_join,
+)
+from assemblagedb_spark.sources.tpch import load_table
+
+
+def _media(spark, sf_dir):
+    return media_table(load_table(spark, sf_dir, "documents").limit(20))
+
+
+def test_decode_stub_contract():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"bytes")
+    w, h, c = decode_image(b"bytes", fake=True)
+    assert decode_image(b"bytes", fake=True) == (w, h, c)  # deterministic
+    assert 16 <= w < 256 and 16 <= h < 256 and 1 <= c <= 3
+
+
+def test_media_table_schema(spark, sf_dir):
+    m = _media(spark, sf_dir)
+    assert dict(m.dtypes)["payload"] == "binary"
+    row = m.first()
+    assert row["meta"]["n_bytes"] == len(bytes(row["payload"]))
+    assert row["kind"] == "image"
+
+
+def test_image_features_batches(spark, sf_dir):
+    m = _media(spark, sf_dir)
+    feats = image_features(m, batch_hint=8)
+    rows = feats.collect()
+    assert len(rows) == 20
+    # features match a driver-side recomputation (Arrow batch fidelity)
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in m.collect()}
+    for r in rows:
+        w, h, c = decode_image(payloads[r["media_id"]], fake=True)
+        assert (r["width"], r["height"], r["n_channels"]) == (w, h, c)
+        assert r["sha256"] == hashlib.sha256(payloads[r["media_id"]]).hexdigest()
+    # the decode stage must be Arrow-batched Python, not row-at-a-time
+    assert set(python_stages(feats)) == {"MapInPandas"}
+
+
+def test_resize_and_frame_sampling_shapes(spark, sf_dir):
+    m = _media(spark, sf_dir)
+    resized = resize_images(m, 224, 224)
+    r = resized.first()
+    assert (r["width"], r["height"]) == (224, 224)
+
+    frames = sample_frames(m, every_n_bytes=64, max_frames=4)
+    pdf = frames.toPandas()
+    assert set(pdf.columns) == {"media_id", "frame_idx", "frame_sha256"}
+    assert pdf.groupby("media_id").frame_idx.max().max() <= 3
+    assert (pdf.groupby("media_id").frame_idx.min() == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# plan properties: pushdown / pruning / broadcast / no hot-path Python
+# ---------------------------------------------------------------------------
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") == 42).select("l_quantity")
+    assert has_pushed_filters(df)
+    # column pruning: only the needed columns are read
+    cols = read_schema_columns(df)
+    assert set(cols) <= {"l_orderkey", "l_quantity"}
+
+
+def test_search_pipeline_is_jvm_only_and_broadcasts(spark, sf_dir):
+    from assemblagedb_spark.harness import q_search
+
+    df = q_search(spark, sf_dir)
+    assert python_stages(df) == []  # gram kernel fully JVM-side
+    assert uses_broadcast_join(df)  # query grams broadcast against postings
+
+
+def test_siblings_single_shuffle(spark, sf_dir):
+    from assemblagedb_spark.harness import q_siblings
+
+    df = q_siblings(spark, sf_dir)
+    # one exchange for the groupBy, one for the window partition
+    assert count_exchanges(df) <= 2
+    assert python_stages(df) == []
+
+
+def test_minhash_stays_jvm_side(spark, sf_dir):
+    from assemblagedb_spark.operators.dedup import minhash_signatures
+
+    sig = minhash_signatures(load_table(spark, sf_dir, "documents"))
+    assert python_stages(sig) == []
