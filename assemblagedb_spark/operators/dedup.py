@@ -104,8 +104,11 @@ def lsh_candidate_pairs(
     bucket means the docs really are near-identical).
     """
     # both join sides derive from the signatures; materialize them once so
-    # the (expensive) minhash fold isn't evaluated twice
-    signatures = signatures.localCheckpoint(eager=True)
+    # the (expensive) minhash fold isn't evaluated twice (skip if the caller
+    # already persisted them)
+    lvl = signatures.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        signatures = signatures.localCheckpoint(eager=True)
     exploded = signatures.select(
         "doc_id",
         F.posexplode(

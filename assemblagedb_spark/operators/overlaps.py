@@ -34,6 +34,7 @@ def overlap_pairs(
     changed: DataFrame | None = None,
     excluded_pairs: DataFrame | None = None,
     both_directions: bool = True,
+    broadcast_grams: bool = False,
 ) -> DataFrame:
     """All block pairs with overlap score > ``min_score``.
 
@@ -59,6 +60,13 @@ def overlap_pairs(
         "gram",
         F.col("occurrences").alias("occ_b"),
     )
+    if broadcast_grams:
+        # small-index regime: broadcasting the postings keeps the probe side
+        # in its scan partitions, so the pair partial-aggregation combines
+        # locally per partition instead of per gram-shuffle slice. At large
+        # scale leave this off — the gram-key shuffle join is the plan that
+        # survives a corpus that doesn't fit one executor.
+        r = F.broadcast(r)
     # When both sides are the whole index the result is symmetric: compute
     # only ordered pairs (half the join/aggregation volume) and mirror at
     # the end. With a ``changed`` subset the sides differ, so keep both

@@ -58,7 +58,9 @@ def descendants(
         else:
             nxt = nxt.persist()
             persisted.append(nxt)
-        if nxt.isEmpty():
+        # with a known depth bound the loop is exact — skip the per-level
+        # empty-frontier probe (each probe is a full Spark job)
+        if max_depth is None and nxt.isEmpty():
             break
         visited = visited.unionByName(nxt)
         frontier = nxt
@@ -77,13 +79,16 @@ def ancestors(
     *,
     single_parent_only: bool = True,
     max_depth: int = 64,
+    exact_depth: int | None = None,
 ) -> DataFrame:
     """Upward walk from each start node (column ``node_id``).
 
     Returns (start_id, ancestor_id, depth), depth = 1 for the immediate
     parent. With ``single_parent_only`` (the reference's ``ancestor_path``,
     lib.rs:552-639) a walk stops when the current node has 0 or >1 parents
-    or revisits a node on its own path (cycle guard).
+    or revisits a node on its own path (cycle guard). ``exact_depth`` (a
+    schema-known walk length) skips the per-level empty-frontier probe —
+    one Spark job per level saved.
     """
     parent_of = edges.groupBy("child_id").agg(
         F.collect_set("parent_id").alias("parents")
@@ -101,7 +106,9 @@ def ancestors(
     )
     out = None
     persisted = []
-    for depth in range(1, max_depth + 1):
+    probe_empty = exact_depth is None
+    limit = exact_depth if exact_depth is not None else max_depth
+    for depth in range(1, limit + 1):
         step = (
             frontier.join(
                 parent_of.withColumnRenamed("child_id", "current_id"), "current_id"
@@ -119,7 +126,7 @@ def ancestors(
         else:
             step = step.persist()
             persisted.append(step)
-        if step.isEmpty():
+        if probe_empty and step.isEmpty():
             break
         found = step.select("start_id", "ancestor_id").withColumn("depth", F.lit(depth))
         out = found if out is None else out.unionByName(found)
