@@ -799,6 +799,62 @@ SELECT l_orderkey, o_orderdate, o_orderpriority, revenue_cents, rk FROM (
 """
 
 
+def q_gram_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance (Diff::new, index.rs:768-813): the
+    postings delta between a before-state (docs with doc_id % 4 != 0) and
+    the full corpus — one row per changed (node_id, gram) with the new
+    count (0 = delete; here only inserts, the added docs)."""
+    from assemblagedb_spark.operators.grams import gram_diff
+
+    full = _doc_gram_index(spark, sf_dir)
+    before = full.filter(F.col("node_id") % 4 != 0)
+    return gram_diff(before, full).select(
+        F.col("node_id").cast("long"), "gram", F.col("occurrences").cast("long")
+    )
+
+
+O_GRAM_INDEX_DELTA = f"""
+WITH {_DOC_GRAMS_CTE}
+SELECT node_id, gram, occurrences FROM doc_grams WHERE node_id % 4 = 0
+"""
+
+
+def q_graph_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan reachability (the distributed form of the swap obsolete-subtree
+    fixpoint, core.rs:440-471): graph nodes NOT reachable from the region
+    roots — closure BFS then anti-join. Seeded by dropping region R0's edge,
+    so nation/customer/order nodes under R0 orphan."""
+    e = _graph_edges(spark, sf_dir, include_lineitem=False).filter(
+        F.col("parent_id") != "R0"
+    )
+    roots = spark.createDataFrame([(f"R{i}",) for i in range(5)], "node_id string")
+    reachable = descendants(e, roots, max_depth=3).select("node_id")
+    all_nodes = (
+        e.select(F.col("child_id").alias("node_id"))
+        .unionByName(e.select(F.col("parent_id").alias("node_id")))
+        .unionByName(roots)
+        .distinct()
+    )
+    return all_nodes.join(reachable, "node_id", "left_anti")
+
+
+O_GRAPH_ORPHANS = f"""
+WITH RECURSIVE edges AS (
+  SELECT * FROM ({duckdb_graph_edges_cte(False)}) WHERE parent_id <> 'R0'
+),
+roots(node_id) AS (VALUES ('R0'), ('R1'), ('R2'), ('R3'), ('R4')),
+reach(node_id) AS (
+  SELECT node_id FROM roots
+  UNION
+  SELECT e.child_id FROM reach r JOIN edges e ON e.parent_id = r.node_id
+),
+all_nodes(node_id) AS (
+  SELECT child_id FROM edges UNION SELECT parent_id FROM edges UNION SELECT node_id FROM roots
+)
+SELECT node_id FROM all_nodes WHERE node_id NOT IN (SELECT node_id FROM reach)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal: binary payload column + typed metadata
 # ---------------------------------------------------------------------------
@@ -858,6 +914,8 @@ SPARK_QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "multimodal_meta": q_multimodal_meta,
+    "gram_index_delta": q_gram_index_delta,
+    "graph_orphans": q_graph_orphans,
 }
 
 ORACLES = {
@@ -891,4 +949,6 @@ ORACLES = {
     "tpch_q1": O_TPCH_Q1,
     "tpch_q3": O_TPCH_Q3,
     "multimodal_meta": O_MULTIMODAL_META,
+    "gram_index_delta": O_GRAM_INDEX_DELTA,
+    "graph_orphans": O_GRAPH_ORPHANS,
 }

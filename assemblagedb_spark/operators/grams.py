@@ -64,6 +64,42 @@ def block_grams(blocks: DataFrame, id_col: str = "node_id", text_col: str = "tex
     )
 
 
+def gram_diff(before: DataFrame, after: DataFrame) -> DataFrame:
+    """Incremental index maintenance: the delta between two gram-index
+    states (reference ``Diff::new``, index.rs:768-813).
+
+    Both inputs are (node_id, gram, occurrences). Returns one row per
+    (node_id, gram) whose occurrence count changed, with the NEW count
+    (0 = delete) — exactly the shape a MERGE INTO the postings table needs
+    (``store_grams``, index.rs:286-300). A full-outer join with map-side
+    pruning of unchanged rows: the delta is proportional to the edit, not
+    to the index.
+    """
+    b = before.select("node_id", "gram", F.col("occurrences").alias("occ_before"))
+    a = after.select("node_id", "gram", F.col("occurrences").alias("occ_after"))
+    return (
+        b.join(a, ["node_id", "gram"], "full_outer")
+        .filter(
+            F.coalesce("occ_before", F.lit(0)) != F.coalesce("occ_after", F.lit(0))
+        )
+        .select(
+            "node_id",
+            "gram",
+            F.coalesce("occ_after", F.lit(0)).cast("int").alias("occurrences"),
+        )
+    )
+
+
+def apply_gram_diff(grams: DataFrame, diff: DataFrame) -> DataFrame:
+    """MERGE the delta into the postings (store_grams, index.rs:286-300):
+    delete 0-count rows, upsert the rest. Expressed as anti-join + union —
+    the DataFrame equivalent of Delta's MERGE INTO."""
+    keys = ["node_id", "gram"]
+    untouched = grams.join(diff.select(*keys), keys, "left_anti")
+    upserts = diff.filter(F.col("occurrences") > 0)
+    return untouched.unionByName(upserts)
+
+
 def gram_counts(grams: DataFrame) -> DataFrame:
     """Per-block total gram count (slot 3 ``Count``, ``index.rs:349-356``).
 
