@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis): invariants the example suites can't
+exhaust — markup round-trip idempotence, gram-expression equivalence, KV
+model conformance."""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from assemblagedb_spark.functions.core import index_text, trim_for_search
+from assemblagedb_spark.kvstore import KvStore
+from assemblagedb_spark.views.markup import block_to_markup, markup_to_block
+
+markup_text = st.text(
+    alphabet=string.ascii_letters + string.digits + " #>-,*_~`\\.!?",
+    max_size=60,
+).filter(lambda s: "\n" not in s)
+
+
+@given(markup_text)
+@settings(max_examples=300)
+def test_markup_parse_serialize_stabilizes(m):
+    """parse∘serialize is idempotent after the first parse: the serializer
+    produces *canonical* markup whose parse equals the original parse."""
+    b1 = markup_to_block(m)
+    canonical = block_to_markup(b1)
+    b2 = markup_to_block(canonical)
+    assert b2 == b1
+    # and canonical markup is a fixpoint
+    assert block_to_markup(b2) == canonical
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=300)
+def test_index_text_shape(s):
+    g = index_text(s)
+    assert len(g) == len(s.encode("utf-8")) + 3
+    assert all(0 <= x < 2**32 for x in g)
+    t = trim_for_search(g)
+    d = min((len(g) - 1) // 2, 3)
+    assert len(t) == len(g) - 2 * d
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["insert", "remove"]),
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(0, 100),
+        ),
+        max_size=30,
+    )
+)
+@settings(max_examples=200)
+def test_kvstore_matches_model(ops):
+    """One committed txn per op; get() must match a plain dict model and
+    get_unremoved() must return the last non-removed value ever written."""
+    kv = KvStore()
+    model: dict[str, int | None] = {}
+    last_value: dict[str, int] = {}
+    for op, key, value in ops:
+        t = kv.current()
+        if op == "insert":
+            t.insert(0, key, value)
+            model[key] = value
+            last_value[key] = value
+        else:
+            t.remove(0, key)
+            model[key] = None
+        t.commit()
+    for key in ["a", "b", "c"]:
+        assert kv.current().get(0, key) == model.get(key)
+        assert kv.current().get_unremoved(0, key) == last_value.get(key)
+    # merge preserves the current view and empties the trash
+    kv.merge()
+    for key in ["a", "b", "c"]:
+        assert kv.current().get(0, key) == model.get(key)
+        expected_trash = last_value.get(key) if model.get(key) is not None else None
+        assert kv.current().get_unremoved(0, key) == expected_trash
+
+
+@settings(max_examples=30, suppress_health_check=[HealthCheck.too_slow], deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=string.printable.replace("\x0b", "").replace("\x0c", ""), max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_spark_grams_equal_driver_grams(spark, texts):
+    """The JVM zip_with gram expression equals byte-exact index_text for
+    ASCII inputs (the SQL form grams by codepoint; printable ASCII keeps
+    codepoint == byte)."""
+    from pyspark.sql import functions as F
+
+    from assemblagedb_spark.operators.grams import grams_array
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, text string"
+    )
+    got = {r["i"]: r["g"] for r in df.select("i", grams_array("text").alias("g")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == index_text(t), repr(t)
