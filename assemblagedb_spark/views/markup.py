@@ -115,10 +115,20 @@ def block_to_markup(block: dict) -> str:
         out.append(" ")
 
     spans = block.get("spans", [])
-    # if the (reference: last) span's text could parse as a block prefix,
-    # guard with a backslash (bug-compatible with markup.rs:340-346)
-    if spans and spans[-1].get("type", "text") == "text":
-        _, prefix_styles = parse_block_styles_from_prefix(spans[-1]["text"])
+    # Guard with a backslash when the emitted line would otherwise re-parse
+    # with a spurious block prefix: only possible when nothing precedes the
+    # first span's text (no block-style prefix, no span-style toggle chars).
+    # The reference instead checks the *last* span and emits the guard even
+    # after block/span prefixes (markup.rs:340-346), which breaks
+    # parse∘serialize idempotence (e.g. bold "- " → "\*- *" parses as
+    # unstyled "*- "); we diverge to keep canonical markup stable.
+    if (
+        not out
+        and spans
+        and spans[0].get("type", "text") == "text"
+        and not spans[0].get("styles")
+    ):
+        _, prefix_styles = parse_block_styles_from_prefix(spans[0]["text"])
         if prefix_styles:
             out.append("\\")
 

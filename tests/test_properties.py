@@ -19,17 +19,31 @@ markup_text = st.text(
 ).filter(lambda s: "\n" not in s)
 
 
+def _merge_adjacent_spans(block):
+    """Canonical span list: adjacent text spans with identical styles merge
+    (the parser splits them only at style toggles, e.g. '0**0')."""
+    merged = []
+    for s in block["spans"]:
+        if merged and merged[-1]["styles"] == s["styles"]:
+            merged[-1] = {**merged[-1], "text": merged[-1]["text"] + s["text"]}
+        else:
+            merged.append(dict(s))
+    return {**block, "spans": merged}
+
+
 @given(markup_text)
 @settings(max_examples=300)
 def test_markup_parse_serialize_stabilizes(m):
-    """parse∘serialize is idempotent after the first parse: the serializer
-    produces *canonical* markup whose parse equals the original parse."""
+    """The serializer produces *canonical* markup: re-parsing it yields the
+    same block up to merging of adjacent same-styled spans, and canonical
+    markup is a fixpoint of parse∘serialize."""
     b1 = markup_to_block(m)
     canonical = block_to_markup(b1)
     b2 = markup_to_block(canonical)
-    assert b2 == b1
-    # and canonical markup is a fixpoint
+    assert b2 == _merge_adjacent_spans(b1)
+    # canonical markup is a fixpoint
     assert block_to_markup(b2) == canonical
+    assert markup_to_block(block_to_markup(b2)) == b2
 
 
 @given(st.text(max_size=80))
