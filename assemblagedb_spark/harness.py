@@ -883,6 +883,335 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Sessionization (streaming-shaped batch, gap-based session windows)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_NS = 1800 * 1_000_000_000  # 30 min
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user (session_window analogue; 30-min gap)."""
+    from assemblagedb_spark.operators.sessions import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, gap=_SESSION_GAP_NS).select(
+        "user_id", "session_idx", "n_events", "start_ts", "end_ts"
+    )
+
+
+O_EVENTS_SESSIONS = f"""
+WITH t AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS ts FROM events
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > {_SESSION_GAP_NS}
+              THEN 1 ELSE 0 END AS is_new,
+         event_id
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, COUNT(*)::BIGINT AS n_events,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts
+FROM numbered GROUP BY user_id, session_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup extensions: minhash jaccard estimate, simhash near-pairs
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated jaccard (fraction of agreeing minhash components) for the
+    LSH candidate pairs — the cheap verification stage between LSH and the
+    exact gram-join."""
+    from assemblagedb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_jaccard_estimate,
+    )
+
+    sig = _doc_minhash_sigs(spark, sf_dir)
+    pairs = lsh_candidate_pairs(sig, bands=_LSH_BANDS, rows_per_band=_LSH_ROWS)
+    return minhash_jaccard_estimate(sig, pairs).select("id_a", "id_b", "jaccard_est")
+
+
+O_DEDUP_MINHASH_EST = (
+    f"WITH {_DOC_SHINGLES_CTE}, {_MINHASH_CTE.format(coeffs=_coeff_values_sql())}, "
+    f"bands AS (SELECT doc_id, j // {_LSH_ROWS} AS band, "
+    "string_agg(minhash, ',' ORDER BY j) AS band_sig "
+    f"FROM mh GROUP BY doc_id, j // {_LSH_ROWS}), "
+    "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig "
+    "WHERE a.doc_id < b.doc_id) "
+    "SELECT p.id_a, p.id_b, "
+    f"(SUM(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) / {_MINHASH_K}) AS jaccard_est "
+    "FROM pairs p JOIN mh ma ON ma.doc_id = p.id_a "
+    "JOIN mh mb ON mb.doc_id = p.id_b AND mb.j = ma.j "
+    "GROUP BY p.id_a, p.id_b"
+)
+
+_SIMHASH_MAX_HAMMING = 8
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (hamming <= 8) on the doc_id % 5 == 0
+    subset — fingerprint comparison stage of the dedup pipeline."""
+    from assemblagedb_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_near_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    fp = simhash_fingerprints(docs, bits=32)
+    return simhash_near_pairs(fp, max_hamming=_SIMHASH_MAX_HAMMING).select(
+        "id_a", "id_b", F.col("hamming").cast("long")
+    )
+
+
+O_DEDUP_SIMHASH_PAIRS = f"""
+WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+shingles AS (SELECT DISTINCT doc_id, gram FROM
+  (SELECT doc_id, {gram_term_sql('text', 'i')} AS gram
+   FROM (SELECT doc_id, text, unnest(range(-2, length(text) + 1)) AS i FROM sub))),
+votes AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN ((gram * 1103515245 + 12345) % 2147483647) // (1::BIGINT << i) % 2 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM shingles CROSS JOIN (SELECT unnest(range(0, 32)) AS i) GROUP BY doc_id, i),
+fp AS (
+  SELECT doc_id, SUM(CASE WHEN vote > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
+  FROM votes GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Import XOR-namespacing (SURVEY §2.6, index.rs:551-629,653-655)
+# ---------------------------------------------------------------------------
+
+_XOR_NAMESPACE = 0x0123456789ABCDEF
+
+
+def q_import_xor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export-set id namespacing on import: every exported id is XORed with
+    the subscription namespace (collision-proofing, index.rs:653-655). The
+    export set here is the doc_id % 7 == 0 'subtree'; the mapping must be
+    involutive (xor twice = identity), checked via the roundtrip column."""
+    from assemblagedb_spark.functions.core import xor_id_expr
+
+    ns = _XOR_NAMESPACE
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    namespaced = F.expr(xor_id_expr("doc_id", ns))
+    return docs.select(
+        F.col("doc_id").alias("orig_id"),
+        namespaced.alias("namespaced_id"),
+        F.expr(xor_id_expr(xor_id_expr("doc_id", ns), ns)).alias("roundtrip_id"),
+    )
+
+
+O_IMPORT_XOR = f"""
+SELECT doc_id AS orig_id,
+       xor(doc_id, {_XOR_NAMESPACE}) AS namespaced_id,
+       xor(xor(doc_id, {_XOR_NAMESPACE}), {_XOR_NAMESPACE}) AS roundtrip_id
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shared-descendant detection + ordered-DFS preview (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+def _shared_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph for multi-parent semantics: the C→O→L hierarchy plus a second
+    parent P{partkey}→L for lineitems whose partkey % 3 == 0 — those line
+    nodes become shared (multi-parent), like the reference's multi-parent
+    children (data.rs:492-508)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.concat(F.lit("C"), F.col("o_custkey")).alias("parent_id"),
+        F.concat(F.lit("O"), F.col("o_orderkey")).alias("child_id"),
+        F.col("o_orderkey").cast("int").alias("idx"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    ol = li.select(
+        F.concat(F.lit("O"), F.col("l_orderkey")).alias("parent_id"),
+        F.concat(F.lit("L"), F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber")).alias("child_id"),
+        F.col("l_linenumber").cast("int").alias("idx"),
+    ).distinct()
+    pl = (
+        li.filter(F.col("l_partkey") % 3 == 0)
+        .select(
+            F.concat(F.lit("P"), F.col("l_partkey")).alias("parent_id"),
+            F.concat(F.lit("L"), F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber")).alias("child_id"),
+            F.col("l_linenumber").cast("int").alias("idx"),
+        )
+        .distinct()
+    )
+    return o.unionByName(ol).unionByName(pl)
+
+
+_SHARED_EDGES_DUCK = """
+  SELECT 'C' || o_custkey AS parent_id, 'O' || o_orderkey AS child_id, o_orderkey::INT AS idx FROM orders
+  UNION ALL
+  SELECT DISTINCT 'O' || l_orderkey, 'L' || l_orderkey || '-' || l_linenumber, l_linenumber::INT FROM lineitem
+  UNION ALL
+  SELECT DISTINCT 'P' || l_partkey, 'L' || l_orderkey || '-' || l_linenumber, l_linenumber::INT
+  FROM lineitem WHERE l_partkey % 3 = 0
+"""
+
+
+def q_graph_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """has_shared_descendants for sampled customers: does the customer's
+    subtree contain a multi-parent node (lib.rs:805-831)?"""
+    from assemblagedb_spark.operators.traversal import has_shared_descendants
+
+    e = _shared_graph_edges(spark, sf_dir)
+    roots = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select(F.concat(F.lit("C"), F.col("c_custkey")).alias("node_id"))
+    )
+    return has_shared_descendants(e, roots, max_depth=2)
+
+
+O_GRAPH_SHARED = f"""
+WITH edges AS ({_SHARED_EDGES_DUCK}),
+roots AS (SELECT 'C' || c_custkey AS root_id FROM customer WHERE c_custkey % 10 = 0),
+np AS (SELECT child_id, COUNT(DISTINCT parent_id) AS n_parents FROM edges GROUP BY child_id),
+sub AS (
+  SELECT r.root_id, e1.child_id AS node_id FROM roots r JOIN edges e1 ON e1.parent_id = r.root_id
+  UNION
+  SELECT r.root_id, e2.child_id FROM roots r
+  JOIN edges e1 ON e1.parent_id = r.root_id
+  JOIN edges e2 ON e2.parent_id = e1.child_id
+)
+SELECT r.root_id,
+       COALESCE(MAX(np.n_parents > 1), FALSE) AS has_shared
+FROM roots r
+LEFT JOIN sub s ON s.root_id = r.root_id
+LEFT JOIN np ON np.child_id = s.node_id
+GROUP BY r.root_id
+"""
+
+
+def q_graph_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """preview(customer): first non-blank leaf in ordered-DFS order
+    (lib.rs:462-509) — descent ordered by (order idx, line idx), lines with
+    max quantity < 5 are blank, customers with no eligible leaf → 'empty'."""
+    from assemblagedb_spark.operators.traversal import preview_leaf
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.concat(F.lit("C"), F.col("o_custkey")).alias("parent_id"),
+        F.concat(F.lit("O"), F.col("o_orderkey")).alias("child_id"),
+        F.col("o_orderkey").cast("int").alias("idx"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    ol = li.select(
+        F.concat(F.lit("O"), F.col("l_orderkey")).alias("parent_id"),
+        F.concat(F.lit("L"), F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber")).alias("child_id"),
+        F.col("l_linenumber").cast("int").alias("idx"),
+    ).distinct()
+    blanks = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg((F.max("l_quantity") < 5).alias("is_blank"))
+        .select(
+            F.concat(F.lit("L"), F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber")).alias("node_id"),
+            "is_blank",
+        )
+    )
+    roots = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select(F.concat(F.lit("C"), F.col("c_custkey")).alias("node_id"))
+    )
+    return preview_leaf(o.unionByName(ol), roots, blanks, max_depth=2)
+
+
+O_GRAPH_PREVIEW = """
+WITH roots AS (SELECT 'C' || c_custkey AS root_id, c_custkey FROM customer WHERE c_custkey % 10 = 0),
+lines AS (
+  SELECT l_orderkey, l_linenumber, (MAX(l_quantity) < 5) AS is_blank
+  FROM lineitem GROUP BY l_orderkey, l_linenumber
+),
+leaves AS (
+  SELECT o.o_custkey,
+         lpad(o.o_orderkey::VARCHAR, 10, '0') || '/' || lpad(l.l_linenumber::VARCHAR, 10, '0') AS path,
+         'L' || l.l_orderkey || '-' || l.l_linenumber AS node_id
+  FROM orders o JOIN lines l ON l.l_orderkey = o.o_orderkey
+  WHERE NOT l.is_blank
+)
+SELECT r.root_id,
+       COALESCE((MIN(CASE WHEN lv.node_id IS NOT NULL THEN {'p': lv.path, 'id': lv.node_id} END)).id,
+                'empty') AS preview_id
+FROM roots r LEFT JOIN leaves lv ON lv.o_custkey = r.c_custkey
+GROUP BY r.root_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN scale path: LSH-bucketed top-k (random-hyperplane sketch)
+# ---------------------------------------------------------------------------
+
+_LSH_ANN_BITS = 16
+_LSH_ANN_BANDS = 4
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-10 via hyperplane-sketch band buckets — the
+    100 TB path where the bucket equi-join replaces the cross join."""
+    from assemblagedb_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return lsh_bucketed_topk(
+        emb, queries, k=10, bits=_LSH_ANN_BITS, bands=_LSH_ANN_BANDS
+    ).select("query_id", "neighbor_id", F.col("rank").cast("long"))
+
+
+_LSH_ANN_ROWS = _LSH_ANN_BITS // _LSH_ANN_BANDS
+
+O_ANN_LSH_TOPK = f"""
+WITH el AS (SELECT vec_id, embedding, unnest(range(0, len(embedding))) AS d FROM embeddings),
+comp AS (SELECT vec_id, d, embedding[d + 1]::DOUBLE AS x FROM el),
+ci AS (SELECT vec_id, d, x, unnest(range(0, {_LSH_ANN_BITS})) AS i FROM comp),
+dp AS (
+  SELECT vec_id, i,
+         SUM(x * (CASE WHEN ((i * 2654435761 + d * 15) % 1103515245) % 2 = 0
+                       THEN 1.0 ELSE -1.0 END)) AS dp
+  FROM ci GROUP BY vec_id, i),
+sk AS (
+  SELECT vec_id, SUM(CASE WHEN dp > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS sketch
+  FROM dp GROUP BY vec_id),
+bands AS (
+  SELECT vec_id, b.b AS band, (sketch >> (b.b * {_LSH_ANN_ROWS})) & {(1 << _LSH_ANN_ROWS) - 1} AS band_bits
+  FROM sk CROSS JOIN (SELECT unnest(range(0, {_LSH_ANN_BANDS})) AS b) b),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bands q JOIN bands c ON q.band = c.band AND q.band_bits = c.band_bits
+  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+s AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(qe.embedding::DOUBLE[], qe.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(ce.embedding::DOUBLE[], ce.embedding::DOUBLE[]))) AS cos
+  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s
+) WHERE rank <= 10
+"""
+
+
 SPARK_QUERIES = {
     "gram_index": q_gram_index,
     "gram_counts": q_gram_counts,
@@ -916,6 +1245,13 @@ SPARK_QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "gram_index_delta": q_gram_index_delta,
     "graph_orphans": q_graph_orphans,
+    "events_sessions": q_events_sessions,
+    "dedup_minhash_est": q_dedup_minhash_est,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "import_xor": q_import_xor,
+    "graph_shared": q_graph_shared,
+    "graph_preview": q_graph_preview,
+    "ann_lsh_topk": q_ann_lsh_topk,
 }
 
 ORACLES = {
@@ -951,4 +1287,11 @@ ORACLES = {
     "multimodal_meta": O_MULTIMODAL_META,
     "gram_index_delta": O_GRAM_INDEX_DELTA,
     "graph_orphans": O_GRAPH_ORPHANS,
+    "events_sessions": O_EVENTS_SESSIONS,
+    "dedup_minhash_est": O_DEDUP_MINHASH_EST,
+    "dedup_simhash_pairs": O_DEDUP_SIMHASH_PAIRS,
+    "import_xor": O_IMPORT_XOR,
+    "graph_shared": O_GRAPH_SHARED,
+    "graph_preview": O_GRAPH_PREVIEW,
+    "ann_lsh_topk": O_ANN_LSH_TOPK,
 }

@@ -144,6 +144,129 @@ def ancestors(
     return out
 
 
+def subtree_closure(
+    edges: DataFrame,
+    roots: DataFrame,
+    *,
+    max_depth: int,
+    with_path: bool = False,
+    pad: int = 10,
+) -> DataFrame:
+    """Per-root downward closure: (root_id, node_id, depth[, path]).
+
+    Unlike :func:`descendants` (which collapses all roots into one visited
+    set), this keeps subtree membership per root — the relation behind
+    ``has_shared_descendants`` / ``export`` subtree collection and the
+    ordered-descent ``preview`` (``assemblage_db/src/lib.rs:805-831,462-509``).
+
+    With ``with_path`` each row carries a ``/``-joined zero-padded child-idx
+    string, lexicographically ordered exactly like the reference's ordered
+    DFS — the distributed substitute for recursive descent. A node reachable
+    along several routes keeps the lexicographically smallest path of its
+    first (shallowest) level. Cycle-safe via the per-root visited anti-join.
+    """
+    e = edges.select("parent_id", "child_id", *(["idx"] if with_path else [])).persist()
+    frontier = roots.select(F.col("node_id").alias("root_id"), F.col("node_id"))
+    if with_path:
+        frontier = frontier.withColumn("path", F.lit(""))
+    visited = frontier.select("root_id", "node_id")
+    out = None
+    for depth in range(1, max_depth + 1):
+        nxt = frontier.withColumnRenamed("node_id", "parent_id").join(e, "parent_id")
+        if with_path:
+            nxt = nxt.select(
+                "root_id",
+                F.col("child_id").alias("node_id"),
+                F.concat(
+                    "path", F.lit("/"), F.lpad(F.col("idx").cast("string"), pad, "0")
+                ).alias("path"),
+            ).groupBy("root_id", "node_id").agg(F.min("path").alias("path"))
+        else:
+            nxt = nxt.select("root_id", F.col("child_id").alias("node_id")).distinct()
+        # checkpoint every level: the per-root plan references ALL prior
+        # levels through `visited`, so lineage doubles per iteration without
+        # truncation (driver OOMs building the plan string by depth ~10).
+        # The checkpointed frontier also makes the empty probe a cached scan.
+        nxt = nxt.join(visited, ["root_id", "node_id"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        if nxt.isEmpty():
+            break
+        level = nxt.withColumn("depth", F.lit(depth))
+        out = level if out is None else out.unionByName(level)
+        visited = visited.unionByName(nxt.select("root_id", "node_id"))
+        frontier = nxt
+    if out is None:
+        schema = "root_id string, node_id string, depth int" + (
+            ", path string" if with_path else ""
+        )
+        e.unpersist()
+        return roots.sparkSession.createDataFrame([], schema)
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    return out
+
+
+def has_shared_descendants(edges: DataFrame, roots: DataFrame, *, max_depth: int) -> DataFrame:
+    """For each root: does the subtree contain a node with more than one
+    parent (reference ``has_shared_descendants_until_links``,
+    ``assemblage_db/src/lib.rs:805-831``)?
+
+    One bounded BFS for ALL roots at once, then a join against per-node
+    parent counts — set-at-a-time instead of the reference's per-root
+    recursion, so 10^9 roots cost one extra shuffle, not 10^9 traversals.
+    """
+    sub = subtree_closure(edges, roots, max_depth=max_depth)
+    n_parents = edges.groupBy("child_id").agg(
+        F.countDistinct("parent_id").alias("n_parents")
+    )
+    flags = (
+        sub.join(n_parents, sub.node_id == n_parents.child_id, "left")
+        .groupBy("root_id")
+        .agg(F.max(F.coalesce(F.col("n_parents"), F.lit(1)) > 1).alias("has_shared"))
+    )
+    return (
+        roots.select(F.col("node_id").alias("root_id"))
+        .distinct()
+        .join(flags, "root_id", "left")
+        .select("root_id", F.coalesce("has_shared", F.lit(False)).alias("has_shared"))
+    )
+
+
+def preview_leaf(
+    edges: DataFrame,
+    roots: DataFrame,
+    blanks: DataFrame,
+    *,
+    max_depth: int,
+) -> DataFrame:
+    """First non-blank leaf in ordered-DFS order per root — the distributed
+    form of the reference's ``preview`` (``assemblage_db/src/lib.rs:462-509``:
+    ordered descent, blank skipping, Empty when nothing qualifies).
+
+    ``blanks`` is (node_id, is_blank) over the *renderable* (text) nodes —
+    only nodes present there are preview candidates; structural nodes
+    (lists) and childless inner nodes are skipped, matching the reference's
+    blank-block skipping (an empty list renders as blank). Returns
+    (root_id, preview_id), ``'empty'`` when the subtree has no non-blank
+    candidate.
+    """
+    sub = subtree_closure(edges, roots, max_depth=max_depth, with_path=True)
+    first = (
+        sub.join(blanks, "node_id")
+        .filter(~F.col("is_blank"))
+        .groupBy("root_id")
+        .agg(F.min(F.struct("path", "node_id")).alias("m"))
+        .select("root_id", F.col("m.node_id").alias("preview_id"))
+    )
+    return (
+        roots.select(F.col("node_id").alias("root_id"))
+        .distinct()
+        .join(first, "root_id", "left")
+        .select("root_id", F.coalesce("preview_id", F.lit("empty")).alias("preview_id"))
+    )
+
+
 def siblings_before_after(
     edges: DataFrame,
     blank: F.Column | None = None,

@@ -25,6 +25,9 @@ BENCH_QUERIES = [
     "dedup_lsh_pairs",
     "dedup_simhash",
     "ann_topk",
+    "ann_lsh_topk",
+    "events_sessions",
+    "graph_preview",
     "text_quality",
     "text_lang_id",
     "mvcc_latest",
