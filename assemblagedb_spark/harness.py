@@ -399,12 +399,18 @@ FROM lines
 def q_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric materialized overlaps, score > 0.5, self excluded
     (index.rs:302-347), over the doc_id % 5 == 0 block subset."""
-    from assemblagedb_spark.operators.overlaps import overlap_pairs
+    from assemblagedb_spark.operators.overlaps import overlap_pairs, overlap_pairs_dense
 
     # filter the memoized persisted index — the self-join reads the gram
     # relation three times (two sides + counts); recomputing the gram
     # aggregation per read would triple the dominant cost
     g = _doc_gram_index(spark, sf_dir).filter(F.col("node_id") % 5 == 0)
+    dense = overlap_pairs_dense(g)
+    if dense is not None:
+        return dense.select(
+            F.col("src_id").cast("long"), F.col("dst_id").cast("long"),
+            "a", "b", "intersection", "score",
+        )
     c = gram_counts(g)
     return overlap_pairs(g, c, broadcast_grams=True).select(
         F.col("src_id").cast("long"), F.col("dst_id").cast("long"),
@@ -1116,18 +1122,21 @@ def q_graph_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("int").alias("idx"),
     )
     li = load_table(spark, sf_dir, "lineitem")
-    ol = li.select(
+    # one shuffle serves both relations: the dedup for the edge list and the
+    # blank aggregate group on the same key
+    lines = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg((F.max("l_quantity") < 5).alias("is_blank"))
+        .persist()
+    )
+    ol = lines.select(
         F.concat(F.lit("O"), F.col("l_orderkey")).alias("parent_id"),
         F.concat(F.lit("L"), F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber")).alias("child_id"),
         F.col("l_linenumber").cast("int").alias("idx"),
-    ).distinct()
-    blanks = (
-        li.groupBy("l_orderkey", "l_linenumber")
-        .agg((F.max("l_quantity") < 5).alias("is_blank"))
-        .select(
-            F.concat(F.lit("L"), F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber")).alias("node_id"),
-            "is_blank",
-        )
+    )
+    blanks = lines.select(
+        F.concat(F.lit("L"), F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber")).alias("node_id"),
+        "is_blank",
     )
     roots = (
         load_table(spark, sf_dir, "customer")

@@ -118,6 +118,118 @@ def overlap_pairs(
     return out
 
 
+_DENSE_CHUNK = 8  # rows per work unit; chunking amortizes Arrow round-trips
+
+
+def overlap_pairs_dense(
+    grams: DataFrame,
+    *,
+    min_score: float = OVERLAP_MIN_SCORE,
+    max_dense_cells: int = 64_000_000,
+    max_nnz: int = 8_000_000,
+) -> DataFrame | None:
+    """Dense-regime physical strategy for the symmetric overlap self-join.
+
+    When the corpus sits in the *dense-overlap regime* — few distinct grams,
+    most block pairs sharing most of their grams — the postings join emits
+    ~sum(df²) rows and the inverted index is the wrong plan (at harness
+    scale: 1156 distinct grams × 1000 blocks → 77M join rows for 615k output
+    pairs). Here the multiset intersection has a closed form over dense count
+    vectors::
+
+        sum_g min(a_g, b_g) = (|a| + |b| - L1(a - b)) / 2
+
+    so the whole self-join collapses to pairwise L1 over a (blocks × vocab)
+    count matrix. The matrix is collected and broadcast exactly like the
+    build side of a broadcast-hash join, and each task computes its slice of
+    rows against the full matrix with vectorized numpy (Arrow-batched
+    ``mapInPandas``) — no shuffle at all.
+
+    Returns ``None`` when the matrix exceeds the broadcast budget; callers
+    then use :func:`overlap_pairs`, the plan that survives a 100 TB corpus
+    (vocab 2^32, sparse overlap). Same exact integer semantics as
+    ``overlap_pairs`` (u8 normalization per ``data.rs:521-529``), both
+    directions emitted.
+    """
+    import numpy as np
+    import pandas as pd
+
+    # one cheap count() guards the collect; vocab/block sizes are derived
+    # from the collected batch itself (a countDistinct pre-pass costs more
+    # than the whole kernel)
+    if grams.count() > max_nnz:
+        return None
+
+    spark = grams.sparkSession
+    # Arrow transfer + factorize: the collect is the build side of a
+    # broadcast join, not a driver-side compute loop
+    pdf = grams.select("node_id", "gram", "occurrences").toArrow().to_pandas()
+    if len(pdf) == 0:
+        return None
+    node_codes, id_index = pd.factorize(pdf["node_id"])
+    gram_codes, _ = pd.factorize(pdf["gram"])
+    if len(id_index) * (gram_codes.max() + 1) > max_dense_cells:
+        return None
+    occ = pdf["occurrences"].to_numpy()
+    # int16 halves-again the memory traffic of the L1 pass; per-block gram
+    # counts beyond int16 range force the sparse path (never at block scale:
+    # a block is one paragraph)
+    if occ.max() >= 2**15:
+        return None
+    mat = np.zeros((len(id_index), gram_codes.max() + 1), dtype=np.int16)
+    mat[node_codes, gram_codes] = occ
+    id_list = id_index.to_numpy()
+    tot = mat.sum(axis=1, dtype=np.int64)  # gram_count per block
+    b_mat = spark.sparkContext.broadcast((mat, tot, id_list))
+
+    id_type = dict(grams.dtypes)["node_id"]
+    out_schema = (
+        f"src_id {id_type}, dst_id {id_type}, a int, b int, "
+        "intersection int, score double"
+    )
+
+    def kernel(batches):
+        m, c, idl = b_mat.value
+        n = len(c)
+        rng = np.arange(n)
+        for pdf_in in batches:
+            acc = []
+            for start_i in pdf_in["i"].to_numpy():
+                for i in range(start_i, min(start_i + _DENSE_CHUNK, n)):
+                    l1 = np.abs(m - m[i]).sum(axis=1, dtype=np.int64)
+                    i_raw = (c[i] + c - l1) // 2
+                    mx = np.maximum(c[i], c)
+                    mx_safe = np.where(mx == 0, 1, mx)
+                    a = 255 * c[i] // mx_safe
+                    b = 255 * c // mx_safe
+                    inter = 255 * i_raw // mx_safe
+                    mn = np.minimum(a, b)
+                    score = np.where(mn == 0, 0.0, inter / np.where(mn == 0, 1, mn))
+                    keep = (score > min_score) & (rng != i)
+                    if keep.any():
+                        acc.append((i, keep, a[keep], b[keep], inter[keep], score[keep]))
+            if not acc:
+                continue
+            # one Arrow batch per task input batch — per-row yields cost more
+            # in serialization than the whole numpy pass
+            yield pd.DataFrame(
+                {
+                    "src_id": np.concatenate([np.repeat(idl[t[0]], len(t[2])) for t in acc]),
+                    "dst_id": np.concatenate([idl[t[1]] for t in acc]),
+                    "a": np.concatenate([t[2] for t in acc]).astype("int32"),
+                    "b": np.concatenate([t[3] for t in acc]).astype("int32"),
+                    "intersection": np.concatenate([t[4] for t in acc]).astype("int32"),
+                    "score": np.concatenate([t[5] for t in acc]),
+                }
+            )
+
+    n_blocks = len(id_list)
+    starts = list(range(0, n_blocks, _DENSE_CHUNK))
+    par = min(spark.sparkContext.defaultParallelism, len(starts))
+    idx = spark.createDataFrame([(s,) for s in starts], "i int")
+    return idx.repartition(par).mapInPandas(kernel, out_schema)
+
+
 def merge_overlaps(existing: DataFrame, recomputed: DataFrame, changed: DataFrame) -> DataFrame:
     """Replace all overlap rows touching a changed block with the recomputed
     set (the batch equivalent of the reference's per-write set-diff merge,

@@ -151,6 +151,7 @@ def subtree_closure(
     max_depth: int,
     with_path: bool = False,
     pad: int = 10,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Per-root downward closure: (root_id, node_id, depth[, path]).
 
@@ -171,6 +172,7 @@ def subtree_closure(
         frontier = frontier.withColumn("path", F.lit(""))
     visited = frontier.select("root_id", "node_id")
     out = None
+    persisted = [e]
     for depth in range(1, max_depth + 1):
         nxt = frontier.withColumnRenamed("node_id", "parent_id").join(e, "parent_id")
         if with_path:
@@ -183,15 +185,21 @@ def subtree_closure(
             ).groupBy("root_id", "node_id").agg(F.min("path").alias("path"))
         else:
             nxt = nxt.select("root_id", F.col("child_id").alias("node_id")).distinct()
-        # checkpoint every level: the per-root plan references ALL prior
-        # levels through `visited`, so lineage doubles per iteration without
-        # truncation (driver OOMs building the plan string by depth ~10).
-        # The checkpointed frontier also makes the empty probe a cached scan.
-        nxt = nxt.join(visited, ["root_id", "node_id"], "left_anti").localCheckpoint(
-            eager=True
-        )
-        if nxt.isEmpty():
-            break
+        nxt = nxt.join(visited, ["root_id", "node_id"], "left_anti")
+        # each frontier is read three ways (next join, level union, visited
+        # union) — persist so a level computes once. Periodically ALSO
+        # truncate lineage: the per-root plan references ALL prior levels
+        # through `visited`, so the logical plan doubles per iteration —
+        # unchecked, the driver OOMs just printing it by depth ~10. Every
+        # checkpoint buys a cheap empty-frontier probe (early exit once a
+        # cycle closes); shallow fixed-depth walks pay neither cost.
+        if depth % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+        else:
+            nxt = nxt.persist()
+            persisted.append(nxt)
         level = nxt.withColumn("depth", F.lit(depth))
         out = level if out is None else out.unionByName(level)
         visited = visited.unionByName(nxt.select("root_id", "node_id"))
@@ -200,10 +208,12 @@ def subtree_closure(
         schema = "root_id string, node_id string, depth int" + (
             ", path string" if with_path else ""
         )
-        e.unpersist()
+        for df in persisted:
+            df.unpersist()
         return roots.sparkSession.createDataFrame([], schema)
     out = out.localCheckpoint(eager=True)
-    e.unpersist()
+    for df in persisted:
+        df.unpersist()
     return out
 
 

@@ -52,8 +52,14 @@ def main() -> None:
     spark = get_spark("assemblagedb-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + parquet footer reads, not counted
+    # warmup: JVM + parquet footer reads + Python-UDF worker pool (the 32
+    # workers cost ~6s to spawn; that's provisioning, not query time)
     SPARK_QUERIES["mvcc_last_updated"](spark, sf_dir).collect()
+    import pandas as _pd
+
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: ( _pd.DataFrame({"x": [1]}) for _ in it ), "x int"
+    ).count()
 
     # min of two runs per query: the first pays one-off codegen/JIT, the
     # second reflects steady-state throughput (materialized indexes persist

@@ -112,3 +112,43 @@ def test_find_symmetric_uses_stored_counts(spark):
 def test_gram_counts(spark):
     g = block_grams(blocks_df(spark, [("x", "foobar")]))
     assert gram_counts(g).collect()[0]["gram_count"] == len("foobar") + 3
+
+
+def test_overlap_pairs_dense_matches_shuffle_path(spark):
+    # the dense L1-identity kernel is a physical strategy, not a new
+    # operator: same pairs, same exact u8-normalized ints as the postings
+    # join, both directions
+    from assemblagedb_spark.operators.grams import gram_counts
+    from assemblagedb_spark.operators.overlaps import (
+        overlap_pairs,
+        overlap_pairs_dense,
+    )
+
+    texts = [
+        ("a", "This is a sentence about foo."),
+        ("b", "This is a sentence about bar."),
+        ("c", "completely unrelated words zzz"),
+        ("d", "This is a sentence about foo."),
+        ("e", ""),
+    ]
+    g = block_grams(blocks_df(spark, texts))
+    sparse = {
+        (r["src_id"], r["dst_id"]): (r["a"], r["b"], r["intersection"])
+        for r in overlap_pairs(g, gram_counts(g)).collect()
+    }
+    dense_df = overlap_pairs_dense(g)
+    assert dense_df is not None
+    dense = {
+        (r["src_id"], r["dst_id"]): (r["a"], r["b"], r["intersection"])
+        for r in dense_df.collect()
+    }
+    assert sparse == dense
+    assert ("a", "d") in dense  # identical text pair present, both ways
+    assert ("d", "a") in dense
+
+
+def test_overlap_pairs_dense_guard_returns_none(spark):
+    from assemblagedb_spark.operators.overlaps import overlap_pairs_dense
+
+    g = block_grams(blocks_df(spark, [("a", "foo"), ("b", "bar")]))
+    assert overlap_pairs_dense(g, max_nnz=1) is None
