@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections import Counter
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from assemblagedb_spark.functions.core import (
     gram_term_sql,
@@ -1221,6 +1221,305 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Compaction accounting, cyclicity, blankness, incremental export,
+# section linearization, BPE-ish tokens, hopping windows
+# ---------------------------------------------------------------------------
+
+
+def q_mvcc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge() compaction accounting (kv lib.rs:233-277): per key, how many
+    version rows exist and how many the latest-only rewrite reclaims (all
+    but one for live keys, all for tombstoned keys)."""
+    ev = _events_versioned(spark, sf_dir)
+    live = mvcc.current(ev, ["user_id"], ts="ts", tiebreak=["event_id"]).select(
+        "user_id", F.lit(1).alias("kept")
+    )
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_versions"))
+    return (
+        per_key.join(live, "user_id", "left")
+        .select(
+            "user_id",
+            "n_versions",
+            F.coalesce("kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_versions") - F.coalesce("kept", F.lit(0))).cast("long").alias("n_reclaimed"),
+        )
+    )
+
+
+O_MVCC_COMPACTION = """
+WITH latest AS (
+  SELECT user_id, event_type FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT e.user_id, COUNT(*)::BIGINT AS n_versions,
+       (CASE WHEN MAX(l.event_type) <> 'error' THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       (COUNT(*) - CASE WHEN MAX(l.event_type) <> 'error' THEN 1 ELSE 0 END)::BIGINT AS n_reclaimed
+FROM events e JOIN latest l ON l.user_id = e.user_id
+GROUP BY e.user_id
+"""
+
+
+def _cyclic_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier→nation→region plus a region→nation back-edge for regions
+    0-2 — suppliers in those regions sit on a true cycle, the rest do not."""
+    sn = load_table(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("S"), F.col("s_suppkey")).alias("parent_id"),
+        F.concat(F.lit("N"), F.col("s_nationkey")).alias("child_id"),
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    nr = nat.select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("parent_id"),
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("child_id"),
+    )
+    rn = nat.filter(F.col("n_regionkey") < 3).select(
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("parent_id"),
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("child_id"),
+    )
+    return sn.unionByName(nr).unionByName(rn)
+
+
+def q_graph_cyclic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """is_cyclic per sampled supplier root (lib.rs:424-442): revisit iff
+    in-closure edge instances >= closure size."""
+    from assemblagedb_spark.operators.traversal import is_cyclic
+
+    roots = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 20 == 0)
+        .select(F.concat(F.lit("S"), F.col("s_suppkey")).alias("node_id"))
+    )
+    return is_cyclic(_cyclic_graph_edges(spark, sf_dir), roots, max_depth=4)
+
+
+O_GRAPH_CYCLIC = """
+SELECT 'S' || s.s_suppkey AS root_id, (n.n_regionkey < 3) AS is_cyclic
+FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey % 20 = 0
+"""
+
+
+def q_graph_blank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """is_blank per sampled order root (lib.rs:389-416): true iff every
+    renderable leaf under it is blank (here: line with max quantity < 5);
+    vacuously true with no renderable leaf."""
+    from assemblagedb_spark.operators.traversal import is_blank_roots
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.groupBy("l_orderkey", "l_linenumber").agg(
+        (F.max("l_quantity") < 5).alias("is_blank")
+    )
+    edges = lines.select(
+        F.concat(F.lit("O"), F.col("l_orderkey")).alias("parent_id"),
+        F.concat(F.lit("L"), F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber")).alias("child_id"),
+    )
+    blanks = lines.select(
+        F.concat(F.lit("L"), F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber")).alias("node_id"),
+        "is_blank",
+    )
+    roots = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 25 == 0)
+        .select(F.concat(F.lit("O"), F.col("o_orderkey")).alias("node_id"))
+    )
+    return is_blank_roots(edges, roots, blanks, max_depth=1)
+
+
+O_GRAPH_BLANK = """
+WITH lines AS (
+  SELECT l_orderkey, (MAX(l_quantity) < 5) AS is_blank
+  FROM lineitem GROUP BY l_orderkey, l_linenumber
+)
+SELECT 'O' || o.o_orderkey AS root_id,
+       COALESCE(bool_and(l.is_blank), TRUE) AS is_blank
+FROM orders o LEFT JOIN lines l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey % 25 = 0
+GROUP BY o.o_orderkey
+"""
+
+_EXPORT_CUTOFF = "1996-06-01"
+
+
+def q_export_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """export_since (index.rs:456-531): per sampled customer root, the
+    subtree members modified after the cutoff — the incremental episode's
+    content set (orders by o_orderdate, lines by l_shipdate)."""
+    from assemblagedb_spark.operators.traversal import subtree_closure
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = o.select(
+        F.concat(F.lit("C"), F.col("o_custkey")).alias("parent_id"),
+        F.concat(F.lit("O"), F.col("o_orderkey")).alias("child_id"),
+    ).unionByName(
+        li.select(
+            F.concat(F.lit("O"), F.col("l_orderkey")).alias("parent_id"),
+            F.concat(F.lit("L"), F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber")).alias("child_id"),
+        ).distinct()
+    )
+    mod_ts = (
+        o.select(
+            F.concat(F.lit("O"), F.col("o_orderkey")).alias("node_id"),
+            F.col("o_orderdate").alias("mod_ts"),
+        ).unionByName(
+            li.groupBy("l_orderkey", "l_linenumber")
+            .agg(F.max("l_shipdate").alias("mod_ts"))
+            .select(
+                F.concat(F.lit("L"), F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber")).alias("node_id"),
+                "mod_ts",
+            )
+        )
+    )
+    roots = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 100 == 0)
+        .select(F.concat(F.lit("C"), F.col("c_custkey")).alias("node_id"))
+    )
+    sub = subtree_closure(edges, roots, max_depth=2)
+    return (
+        sub.join(mod_ts, "node_id")
+        .filter(F.col("mod_ts") > F.lit(_EXPORT_CUTOFF).cast("timestamp"))
+        .select("root_id", "node_id")
+    )
+
+
+O_EXPORT_INCREMENTAL = f"""
+WITH roots AS (SELECT c_custkey, 'C' || c_custkey AS root_id FROM customer WHERE c_custkey % 100 = 0),
+lines AS (
+  SELECT l_orderkey, l_linenumber, MAX(l_shipdate) AS mod_ts
+  FROM lineitem GROUP BY l_orderkey, l_linenumber
+)
+SELECT r.root_id, 'O' || o.o_orderkey AS node_id
+FROM roots r JOIN orders o ON o.o_custkey = r.c_custkey
+WHERE o.o_orderdate > TIMESTAMP '{_EXPORT_CUTOFF}'
+UNION ALL
+SELECT r.root_id, 'L' || l.l_orderkey || '-' || l.l_linenumber
+FROM roots r JOIN orders o ON o.o_custkey = r.c_custkey
+JOIN lines l ON l.l_orderkey = o.o_orderkey
+WHERE l.mod_ts > TIMESTAMP '{_EXPORT_CUTOFF}'
+"""
+
+
+def q_view_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Section linearization (view lib.rs:381-458): an order's lines in idx
+    order group into sections; a shared (multi-parent) child becomes its own
+    section. Shared = lines duplicated under a P{partkey} parent
+    (l_partkey % 3 == 0). Returns per-section size and sharedness."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.max((F.col("l_partkey") % 3 == 0).cast("int")).alias("shared_i"))
+        .filter(F.col("l_orderkey") % 10 == 0)
+    )
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("shared_i").over(w)
+    new_sec = (
+        prev.isNull() | (F.col("shared_i") == 1) | (prev == 1)
+    ).cast("long")
+    return (
+        lines.withColumn("new_sec", new_sec)
+        .withColumn("section_idx", F.sum("new_sec").over(run))
+        .groupBy(
+            F.concat(F.lit("O"), F.col("l_orderkey")).alias("root_id"),
+            "section_idx",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_subsections"),
+            (F.max("shared_i") == 1).alias("has_multiple_parents"),
+        )
+    )
+
+
+O_VIEW_SECTIONS = """
+WITH lines AS (
+  SELECT l_orderkey, l_linenumber,
+         MAX(CASE WHEN l_partkey % 3 = 0 THEN 1 ELSE 0 END) AS shared_i
+  FROM lineitem GROUP BY l_orderkey, l_linenumber
+  HAVING l_orderkey % 10 = 0
+),
+flagged AS (
+  SELECT l_orderkey, l_linenumber, shared_i,
+         CASE WHEN lag(shared_i) OVER w IS NULL OR shared_i = 1
+                   OR lag(shared_i) OVER w = 1
+              THEN 1 ELSE 0 END AS new_sec
+  FROM lines WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+),
+numbered AS (
+  SELECT l_orderkey, shared_i,
+         SUM(new_sec) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS section_idx
+  FROM flagged
+)
+SELECT 'O' || l_orderkey AS root_id, section_idx,
+       COUNT(*)::BIGINT AS n_subsections,
+       (MAX(shared_i) = 1) AS has_multiple_parents
+FROM numbered GROUP BY l_orderkey, section_idx
+"""
+
+_BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def q_text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting per document (letter runs, digit runs,
+    single punctuation) — the pre-tokenizer pass of a training pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(f"regexp_extract_all(text, '{_BPE_TOKEN_RE}', 0)")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_bpe_tokens"),
+    )
+
+
+O_TEXT_TOKEN_BPE = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_TOKEN_RE}'))::BIGINT AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(text, '{_BPE_TOKEN_RE}')))::BIGINT AS n_distinct_bpe_tokens
+FROM documents
+"""
+
+_HOP_SIZE_NS = 3600 * 1_000_000_000  # 1h windows ...
+_HOP_SLIDE_NS = 1800 * 1_000_000_000  # ... sliding every 30 min
+
+
+def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows, 1h size / 30min slide: each event lands in
+    size/slide = 2 windows (the batch-shaped F.window(slide) analogue; ns
+    integer arithmetic keeps the oracle exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = _HOP_SIZE_NS // _HOP_SLIDE_NS
+    return (
+        ev.select(
+            "event_type",
+            "value",
+            F.explode(F.sequence(F.lit(0), F.lit(int(k - 1)))).alias("k"),
+            F.col("ts"),
+        )
+        .withColumn(
+            "window_start",
+            (F.expr(f"ts div {_HOP_SLIDE_NS}") - F.col("k")) * _HOP_SLIDE_NS,
+        )
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+    )
+
+
+O_EVENTS_HOPPING = f"""
+SELECT (epoch_ns(ts) // {_HOP_SLIDE_NS} - k) * {_HOP_SLIDE_NS} AS window_start,
+       event_type, COUNT(*)::BIGINT AS n,
+       SUM(round(value * 100)::BIGINT)::BIGINT AS sum_value_cents
+FROM events CROSS JOIN (SELECT unnest(range(0, {_HOP_SIZE_NS // _HOP_SLIDE_NS})) AS k)
+GROUP BY window_start, event_type
+"""
+
+
 SPARK_QUERIES = {
     "gram_index": q_gram_index,
     "gram_counts": q_gram_counts,
@@ -1261,6 +1560,13 @@ SPARK_QUERIES = {
     "graph_shared": q_graph_shared,
     "graph_preview": q_graph_preview,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "mvcc_compaction": q_mvcc_compaction,
+    "graph_cyclic": q_graph_cyclic,
+    "graph_blank": q_graph_blank,
+    "export_incremental": q_export_incremental,
+    "view_sections": q_view_sections,
+    "text_token_bpe": q_text_token_bpe,
+    "events_hopping": q_events_hopping,
 }
 
 ORACLES = {
@@ -1303,4 +1609,11 @@ ORACLES = {
     "graph_shared": O_GRAPH_SHARED,
     "graph_preview": O_GRAPH_PREVIEW,
     "ann_lsh_topk": O_ANN_LSH_TOPK,
+    "mvcc_compaction": O_MVCC_COMPACTION,
+    "graph_cyclic": O_GRAPH_CYCLIC,
+    "graph_blank": O_GRAPH_BLANK,
+    "export_incremental": O_EXPORT_INCREMENTAL,
+    "view_sections": O_VIEW_SECTIONS,
+    "text_token_bpe": O_TEXT_TOKEN_BPE,
+    "events_hopping": O_EVENTS_HOPPING,
 }

@@ -277,6 +277,78 @@ def preview_leaf(
     )
 
 
+def is_cyclic(edges: DataFrame, roots: DataFrame, *, max_depth: int) -> DataFrame:
+    """Per root: would a downward traversal revisit a node (reference
+    ``is_cyclic``, ``assemblage_db/src/lib.rs:424-442``)?
+
+    The reference pushes every child edge-instance and reports true on the
+    first pop of an already-visited id — so true cycles, diamonds, AND a
+    child listed twice under one parent all count. Set formulation: each
+    first visit consumes exactly one push, so a revisit exists iff
+
+        #edge-instances with parent in closure(root)  >=  |closure(root)|
+
+    (closure includes the root; the root's initial push is the +1). One
+    bounded BFS for all roots plus one aggregated join — no per-root
+    recursion. ``max_depth`` must cover the closure diameter.
+    """
+    sub = subtree_closure(edges, roots, max_depth=max_depth)
+    r = roots.select(F.col("node_id").alias("root_id")).distinct()
+    closure = sub.select("root_id", "node_id").unionByName(
+        r.select("root_id", F.col("root_id").alias("node_id"))
+    )
+    closure = closure.persist()
+    sizes = closure.groupBy("root_id").agg(F.count(F.lit(1)).alias("n_nodes"))
+    # both endpoints must be inside the closure: with a truncated (bounded-
+    # depth) closure, an edge leading past the depth bound is not a revisit
+    n_edges = (
+        closure.withColumnRenamed("node_id", "parent_id")
+        .join(edges.select("parent_id", "child_id"), "parent_id")
+        .join(
+            closure.withColumnRenamed("node_id", "child_id"),
+            ["root_id", "child_id"],
+        )
+        .groupBy("root_id")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    return (
+        sizes.join(n_edges, "root_id", "left")
+        .select(
+            "root_id",
+            (F.coalesce("n_edges", F.lit(0)) >= F.col("n_nodes")).alias("is_cyclic"),
+        )
+    )
+
+
+def is_blank_roots(
+    edges: DataFrame,
+    roots: DataFrame,
+    blanks: DataFrame,
+    *,
+    max_depth: int,
+) -> DataFrame:
+    """Per root: does the subtree contain only blank renderable nodes
+    (reference ``is_blank``, ``assemblage_db/src/lib.rs:389-416``)?
+
+    ``blanks`` is (node_id, is_blank) over renderable (text) nodes;
+    structural nodes contribute nothing, and a subtree with no renderable
+    node at all is blank (an empty list renders as blank) — the vacuous
+    ``True`` of the coalesce.
+    """
+    sub = subtree_closure(edges, roots, max_depth=max_depth)
+    flags = (
+        sub.join(blanks, "node_id")
+        .groupBy("root_id")
+        .agg(F.expr("bool_and(is_blank)").alias("all_blank"))
+    )
+    return (
+        roots.select(F.col("node_id").alias("root_id"))
+        .distinct()
+        .join(flags, "root_id", "left")
+        .select("root_id", F.coalesce("all_blank", F.lit(True)).alias("is_blank"))
+    )
+
+
 def siblings_before_after(
     edges: DataFrame,
     blank: F.Column | None = None,

@@ -107,3 +107,50 @@ def test_sessionize_gaps_and_duplicate_ts(spark):
         (1, 2): (1, 200, 200),
         (2, 1): (1, 0, 0),
     }
+
+
+def test_is_cyclic_cycle_diamond_duplicate(spark):
+    from assemblagedb_spark.operators.traversal import is_cyclic
+
+    e = _edges(
+        spark,
+        [
+            # r1: true cycle a -> b -> a
+            ("r1", "a", 0), ("a", "b", 0), ("b", "a", 0),
+            # r2: diamond (revisit via second path -> cyclic per lib.rs:424-442)
+            ("r2", "x", 0), ("r2", "y", 1), ("x", "s", 0), ("y", "s", 0),
+            # r3: plain chain, not cyclic
+            ("r3", "c", 0), ("c", "d", 0),
+            # r4: same child at two indexes (basics.rs duplicate-child case)
+            ("r4", "t", 0), ("r4", "t", 1),
+        ],
+    )
+    out = {
+        r.root_id: r.is_cyclic
+        for r in is_cyclic(e, _roots(spark, "r1", "r2", "r3", "r4"), max_depth=6).collect()
+    }
+    assert out == {"r1": True, "r2": True, "r3": False, "r4": True}
+
+
+def test_is_cyclic_depth_truncation_no_false_positive(spark):
+    # chain deeper than max_depth: the edge past the bound must not count
+    from assemblagedb_spark.operators.traversal import is_cyclic
+
+    e = _edges(spark, [("r", "a", 0), ("a", "b", 0), ("b", "c", 0), ("c", "d", 0)])
+    out = is_cyclic(e, _roots(spark, "r"), max_depth=2).collect()
+    assert out[0].is_cyclic is False
+
+
+def test_is_blank_roots(spark):
+    from assemblagedb_spark.operators.traversal import is_blank_roots
+
+    e = _edges(spark, [("r1", "a", 0), ("r1", "b", 1), ("r2", "c", 0), ("r3", "s", 0)])
+    blanks = spark.createDataFrame(
+        [("a", True), ("b", True), ("c", False)], "node_id string, is_blank boolean"
+    )
+    # r3's child s is structural (not renderable) -> vacuously blank
+    out = {
+        r.root_id: r.is_blank
+        for r in is_blank_roots(e, _roots(spark, "r1", "r2", "r3"), blanks, max_depth=2).collect()
+    }
+    assert out == {"r1": True, "r2": False, "r3": True}
