@@ -307,7 +307,11 @@ def q_graph_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders), so the loop is bounded instead of probing an empty frontier."""
     e = _graph_edges(spark, sf_dir, include_lineitem=False)
     roots = spark.createDataFrame([("R0",)], "node_id string")
-    return descendants(e, roots, max_depth=3).select("node_id", F.col("depth").cast("long"))
+    # the FK hierarchy is a leveled forest (every node one parent, one path)
+    # — the visited anti-join and per-level distinct would be dead weight
+    return descendants(e, roots, max_depth=3, assume_forest=True).select(
+        "node_id", F.col("depth").cast("long")
+    )
 
 
 O_GRAPH_DESCENDANTS = f"""

@@ -56,13 +56,24 @@ def cosine_topk(
     is broadcast; the corpus streams through one stage; per-query top-k is a
     rank window partitioned by query (bounded state: k rows per query).
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("vec_a"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec_b"))
+    # norms are per-ROW, so compute them before the join: evaluating them
+    # per pair would redo 2/3 of the higher-order-function work |Q|×|C| times
+    # (bit-identical arithmetic either way — same dot/(na*nb) expression)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("vec_a"),
+        _norm(vec_col).alias("norm_a"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec_b"),
+        _norm(vec_col).alias("norm_b"),
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _dot("vec_a", "vec_b") / (_norm("vec_a") * _norm("vec_b")))
+        .withColumn("cosine", _dot("vec_a", "vec_b") / (F.col("norm_a") * F.col("norm_b")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -112,10 +123,12 @@ def lsh_bucketed_topk(
     mask = (1 << rows) - 1
 
     def banded(df: DataFrame, side: str) -> DataFrame:
+        # ids only through the band join — embedding arrays are the fat
+        # column, and shuffling them ×bands (then through the distinct)
+        # multiplies exchange volume for nothing
         s = hyperplane_sketch(df, id_col=id_col, vec_col=vec_col, bits=bits)
         return s.select(
             F.col("vec_id").alias(f"{side}_id"),
-            F.col(vec_col).alias(f"vec_{side}"),
             F.posexplode(
                 F.array(
                     *[
@@ -126,14 +139,25 @@ def lsh_bucketed_topk(
             ).alias("band", "band_bits"),
         )
 
+    def sides(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col(vec_col).alias(f"vec_{side}"),
+            _norm(vec_col).alias(f"norm_{side}"),
+        )
+
     q = banded(queries, "q")
     c = banded(corpus, "c")
     cand = (
         q.join(c, ["band", "band_bits"])
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "vec_q", "c_id", "vec_c")
+        .select("q_id", "c_id")
         .distinct()
-        .withColumn("cosine", _dot("vec_q", "vec_c") / (_norm("vec_q") * _norm("vec_c")))
+        .join(F.broadcast(sides(queries, "q")), "q_id")
+        .join(sides(corpus, "c"), "c_id")
+        .withColumn(
+            "cosine", _dot("vec_q", "vec_c") / (F.col("norm_q") * F.col("norm_c"))
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (

@@ -31,12 +31,20 @@ def descendants(
     *,
     max_depth: int | None = None,
     checkpoint_every: int = 8,
+    assume_forest: bool = False,
 ) -> DataFrame:
     """Transitive closure downward from ``roots`` (one column ``node_id``).
 
     Returns (node_id, depth) with depth = shortest hop distance from any
     root (roots themselves at depth 0). Cycle-safe: a node already visited
     at a smaller depth is never re-expanded.
+
+    ``assume_forest``: caller guarantees every node is reachable along
+    exactly one path (leveled FK hierarchies, trees) — the per-level
+    distinct and the visited anti-join are then provably no-ops and are
+    skipped, leaving one join per level as the whole plan. This is the
+    shape that matters at scale: for a leveled 100 TB graph the anti-join
+    against an ever-growing visited set would be the dominant shuffle.
     """
     e = edges.select("parent_id", "child_id").persist()
     visited = roots.select("node_id").distinct().withColumn("depth", F.lit(0))
@@ -49,10 +57,10 @@ def descendants(
         nxt = (
             e.join(frontier.withColumnRenamed("node_id", "parent_id").select("parent_id"), "parent_id")
             .select(F.col("child_id").alias("node_id"))
-            .distinct()
-            .join(visited.select("node_id"), "node_id", "left_anti")
-            .withColumn("depth", F.lit(depth + 1))
         )
+        if not assume_forest:
+            nxt = nxt.distinct().join(visited.select("node_id"), "node_id", "left_anti")
+        nxt = nxt.withColumn("depth", F.lit(depth + 1))
         if (depth + 1) % checkpoint_every == 0:
             nxt = nxt.localCheckpoint(eager=True)  # truncate lineage
         else:
@@ -90,14 +98,21 @@ def ancestors(
     schema-known walk length) skips the per-level empty-frontier probe —
     one Spark job per level saved.
     """
-    parent_of = edges.groupBy("child_id").agg(
-        F.collect_set("parent_id").alias("parents")
-    )
     if single_parent_only:
-        parent_of = parent_of.filter(F.size("parents") == 1)
-    parent_of = parent_of.select(
-        "child_id", F.explode("parents").alias("parent_id")
-    ).persist()
+        # scalar aggregate instead of collect_set+explode: no array building
+        # over the full edge relation, same (child, unique parent) rows
+        parent_of = (
+            edges.groupBy("child_id")
+            .agg(
+                F.max("parent_id").alias("parent_id"),
+                F.countDistinct("parent_id").alias("np"),
+            )
+            .filter(F.col("np") == 1)
+            .select("child_id", "parent_id")
+            .persist()
+        )
+    else:
+        parent_of = edges.select("child_id", "parent_id").distinct().persist()
 
     frontier = starts.select(
         F.col("node_id").alias("start_id"),
