@@ -1524,6 +1524,61 @@ GROUP BY window_start, event_type
 """
 
 
+_IVF_NLIST = 16
+_IVF_NPROBE = 4
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10: 16-cell coarse quantizer, 4 probed cells per query —
+    the inverted-file ANN scale path next to the LSH one."""
+    from assemblagedb_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(emb, queries, k=10, nlist=_IVF_NLIST, nprobe=_IVF_NPROBE).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long")
+    )
+
+
+O_ANN_IVF_TOPK = f"""
+WITH cents AS (
+  SELECT vec_id AS cell, embedding AS vec_cent FROM embeddings
+  ORDER BY vec_id LIMIT {_IVF_NLIST}
+),
+cellscore AS (
+  SELECT e.vec_id, ct.cell,
+         list_dot_product(e.embedding::DOUBLE[], ct.vec_cent::DOUBLE[]) /
+         (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(ct.vec_cent::DOUBLE[], ct.vec_cent::DOUBLE[]))) AS cos_c
+  FROM embeddings e CROSS JOIN cents ct
+),
+ranked AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cell) AS r
+  FROM cellscore
+),
+assign AS (SELECT vec_id AS c_id, cell FROM ranked WHERE r = 1),
+probes AS (SELECT vec_id AS q_id, cell FROM ranked
+           WHERE r <= {_IVF_NPROBE} AND vec_id % 50 = 0),
+cand AS (
+  SELECT DISTINCT p.q_id, a.c_id
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE p.q_id <> a.c_id
+),
+s AS (
+  SELECT cand.q_id, cand.c_id,
+         list_dot_product(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(qe.embedding::DOUBLE[], qe.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(ce.embedding::DOUBLE[], ce.embedding::DOUBLE[]))) AS cos
+  FROM cand JOIN embeddings qe ON qe.vec_id = cand.q_id
+  JOIN embeddings ce ON ce.vec_id = cand.c_id
+)
+SELECT q_id AS query_id, c_id AS neighbor_id, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM s
+) WHERE rank <= 10
+"""
+
+
 SPARK_QUERIES = {
     "gram_index": q_gram_index,
     "gram_counts": q_gram_counts,
@@ -1571,6 +1626,7 @@ SPARK_QUERIES = {
     "view_sections": q_view_sections,
     "text_token_bpe": q_text_token_bpe,
     "events_hopping": q_events_hopping,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 ORACLES = {
@@ -1620,4 +1676,5 @@ ORACLES = {
     "view_sections": O_VIEW_SECTIONS,
     "text_token_bpe": O_TEXT_TOKEN_BPE,
     "events_hopping": O_EVENTS_HOPPING,
+    "ann_ivf_topk": O_ANN_IVF_TOPK,
 }

@@ -105,6 +105,89 @@ def hyperplane_sketch(
     return df.select(F.col(id_col).alias("vec_id"), F.col(vec_col), F.expr(expr).alias("sketch"))
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer partitions the corpus
+    into ``nlist`` cells; each query exactly re-ranks only the vectors in its
+    ``nprobe`` nearest cells.
+
+    The quantizer here is deterministic — centroids are the ``nlist``
+    lowest-id corpus vectors — so the oracle can replay it exactly. At
+    cluster scale the drop-in upgrade is Spark ML KMeans with a fixed seed
+    (same two joins; only the centroid table changes), and the assignment
+    table is precomputed once and bucketed by cell so queries shuffle
+    nothing but their probe list.
+    """
+    # centroids are nlist rows of metadata: take them once and reuse as a
+    # local relation (otherwise every downstream reference re-runs the
+    # TakeOrdered job and re-broadcasts its own copy)
+    cent_rows = corpus.orderBy(id_col).limit(nlist).select(id_col, vec_col).collect()
+    cents = corpus.sparkSession.createDataFrame(
+        cent_rows, corpus.select(id_col, vec_col).schema
+    ).select(
+        F.col(id_col).alias("cell"),
+        F.col(vec_col).alias("vec_cent"),
+        _norm(vec_col).alias("norm_cent"),
+    )
+
+    def nearest_cells(df: DataFrame, side: str, n: int) -> DataFrame:
+        scored = (
+            df.select(
+                F.col(id_col).alias(f"{side}_id"),
+                F.col(vec_col).alias("v"),
+                _norm(vec_col).alias("nv"),
+            )
+            .join(F.broadcast(cents), how="cross")
+            .withColumn(
+                "cos_c", _dot("v", "vec_cent") / (F.col("nv") * F.col("norm_cent"))
+            )
+        )
+        w = Window.partitionBy(f"{side}_id").orderBy(F.desc("cos_c"), F.asc("cell"))
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= n)
+            .select(f"{side}_id", "cell")
+        )
+
+    assign = nearest_cells(corpus, "c", 1)
+    probes = nearest_cells(queries, "q", nprobe)
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("vec_q"),
+        _norm(vec_col).alias("norm_q"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("vec_c"),
+        _norm(vec_col).alias("norm_c"),
+    )
+    cand = (
+        probes.join(assign, "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+        .join(F.broadcast(q), "q_id")
+        .join(c, "c_id")
+        .withColumn(
+            "cosine", _dot("vec_q", "vec_c") / (F.col("norm_q") * F.col("norm_c"))
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"), "rank")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

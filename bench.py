@@ -26,6 +26,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "ann_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "events_sessions",
     "graph_preview",
     "text_quality",

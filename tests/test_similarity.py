@@ -1,0 +1,70 @@
+"""ANN operator invariants the SQL oracle can't express directly:
+exhaustive-probe IVF degrades to exact brute force, and the approximate
+paths return well-formed per-query rankings."""
+
+from __future__ import annotations
+
+from assemblagedb_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
+
+# deterministic "embeddings": 20 vectors of dim 8, values from a tiny LCG
+DIM = 8
+N = 20
+
+
+def _vecs():
+    out = []
+    x = 7
+    for i in range(N):
+        v = []
+        for _ in range(DIM):
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            v.append((x % 1000) / 500.0 - 1.0)
+        out.append((i, v))
+    return out
+
+
+def _emb(spark):
+    return spark.createDataFrame(_vecs(), "vec_id long, embedding array<float>")
+
+
+def test_ivf_full_probe_equals_exact(spark):
+    emb = _emb(spark)
+    queries = emb.filter("vec_id % 4 = 0")
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk(emb, queries, k=5, nlist=4, nprobe=4).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_subset_of_corpus(spark):
+    emb = _emb(spark)
+    queries = emb.filter("vec_id % 4 = 0")
+    rows = ivf_topk(emb, queries, k=5, nlist=4, nprobe=1).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+        assert r.neighbor_id != r.query_id
+    for q, rs in by_q.items():
+        ranks = sorted(rank for rank, _ in rs)
+        assert ranks == list(range(1, len(rs) + 1))  # dense ranks from 1
+
+
+def test_lsh_ranks_dense_and_self_excluded(spark):
+    emb = _emb(spark)
+    queries = emb.filter("vec_id % 4 = 0")
+    rows = lsh_bucketed_topk(emb, queries, k=5, bits=8, bands=4).collect()
+    by_q: dict = {}
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
