@@ -1,0 +1,78 @@
+"""Physical-plan property checks for the headline queries.
+
+A correct operator with a wrong plan (missing pushdown, surplus shuffle,
+row-at-a-time Python in a relational hot path) still passes the value
+oracle — these tests pin the plan shape that survives a 100 TB scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from assemblagedb_spark import harness as h
+from assemblagedb_spark.plans.explain import (
+    count_exchanges,
+    formatted_plan,
+    has_pushed_filters,
+    python_stages,
+    read_schema_columns,
+    uses_broadcast_join,
+)
+
+
+def test_text_queries_prune_and_push(spark, sf_dir):
+    # a 2-column projection must not read the whole documents schema, and
+    # the doc_id sample filter must reach the parquet scan
+    df = h.q_text_token_bpe(spark, sf_dir)
+    cols = read_schema_columns(df)
+    assert "text" in cols and "doc_id" in cols
+    assert "source" not in cols and "lang" not in cols
+
+    sampled = h.q_import_xor(spark, sf_dir)
+    assert has_pushed_filters(sampled)
+
+
+def test_tpch_q3_broadcasts_small_side(spark, sf_dir):
+    assert uses_broadcast_join(h.q_tpch_q3(spark, sf_dir))
+
+
+def test_relational_hot_paths_stay_jvm_side(spark, sf_dir):
+    for q in (
+        h.q_tpch_q1,
+        h.q_events_sessions,
+        h.q_events_hopping,
+        h.q_mvcc_latest,
+        h.q_view_sections,
+        h.q_text_quality,
+        h.q_dedup_exact,
+    ):
+        assert python_stages(q(spark, sf_dir)) == [], q.__name__
+
+
+def test_sessionize_single_exchange(spark):
+    # lag + running sum + aggregate all share the user_id partitioning: the
+    # whole operator must cost exactly one shuffle
+    from assemblagedb_spark.operators.sessions import sessionize
+
+    ev = spark.createDataFrame(
+        [(1, 1, 0), (1, 2, 50), (2, 3, 0)], "user_id int, event_id int, ts long"
+    )
+    assert count_exchanges(sessionize(ev, gap=10)) == 1
+
+
+def test_mvcc_latest_single_exchange(spark, sf_dir):
+    # rank-1-per-key = one shuffle on the key, nothing else
+    df = h.q_mvcc_latest(spark, sf_dir)
+    assert count_exchanges(df) == 1
+
+
+def test_search_broadcasts_query_grams(spark, sf_dir):
+    # the query gram multiset is tiny — the postings lookup must be a
+    # broadcast join, not a shuffle of the whole index
+    plan = formatted_plan(h.q_search(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ann_topk_broadcasts_queries(spark, sf_dir):
+    plan = formatted_plan(h.q_ann_topk(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
