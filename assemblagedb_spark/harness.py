@@ -1579,6 +1579,42 @@ SELECT q_id AS query_id, c_id AS neighbor_id, rank FROM (
 """
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent click at
+    or before it (union + one window pass — a single shuffle on user_id)."""
+    from assemblagedb_spark.operators.asof import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.round(F.col("value") * 100).cast("long").alias("click_value_cents"),
+    )
+    return asof_join_backward(
+        purchases,
+        clicks,
+        key="user_id",
+        ts="ts",
+        payload=["click_id", "click_value_cents"],
+        right_tiebreak=["click_id"],
+    ).select("user_id", "purchase_id", "click_id", "click_value_cents")
+
+
+O_EVENTS_ASOF = """
+WITH p AS (SELECT user_id, epoch_ns(ts) AS ts, event_id AS purchase_id
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, epoch_ns(ts) AS ts, event_id AS click_id,
+             round(value * 100)::BIGINT AS click_value_cents
+      FROM events WHERE event_type = 'click')
+SELECT p.user_id, p.purchase_id, c.click_id, c.click_value_cents
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 SPARK_QUERIES = {
     "gram_index": q_gram_index,
     "gram_counts": q_gram_counts,
@@ -1627,6 +1663,7 @@ SPARK_QUERIES = {
     "text_token_bpe": q_text_token_bpe,
     "events_hopping": q_events_hopping,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "events_asof": q_events_asof,
 }
 
 ORACLES = {
@@ -1677,4 +1714,5 @@ ORACLES = {
     "text_token_bpe": O_TEXT_TOKEN_BPE,
     "events_hopping": O_EVENTS_HOPPING,
     "ann_ivf_topk": O_ANN_IVF_TOPK,
+    "events_asof": O_EVENTS_ASOF,
 }

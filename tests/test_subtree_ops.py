@@ -154,3 +154,30 @@ def test_is_blank_roots(spark):
         for r in is_blank_roots(e, _roots(spark, "r1", "r2", "r3"), blanks, max_depth=2).collect()
     }
     assert out == {"r1": True, "r2": False, "r3": True}
+
+
+def test_asof_join_backward_semantics(spark):
+    from assemblagedb_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 50, "p2"), (2, 10, "p3")],
+        "user_id int, ts long, name string",
+    )
+    right = spark.createDataFrame(
+        # user 1: quotes at 50 (exact-ts match for p2) and 90; user 2: none
+        # two quotes at ts=90 -> tiebreak picks greater quote_id
+        [(1, 50, 500, 5), (1, 90, 900, 9), (1, 90, 901, 10)],
+        "user_id int, ts long, quote_id int, qv int",
+    )
+    out = {
+        r.name: (r.quote_id, r.qv)
+        for r in asof_join_backward(
+            left, right, key="user_id", ts="ts",
+            payload=["quote_id", "qv"], right_tiebreak=["quote_id"],
+        ).collect()
+    }
+    assert out == {
+        "p1": (901, 10),   # latest <= 100, tie at 90 resolved by quote_id
+        "p2": (500, 5),    # inclusive: exact ts matches
+        "p3": (None, None),  # no prior right row
+    }
