@@ -237,12 +237,17 @@ def q_mvcc_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full version history of one key (kv lib.rs:411-431)."""
     ev = _events_versioned(spark, sf_dir).filter(F.col("user_id") == 7)
     return mvcc.versions(ev, ["user_id"], ts="ts", tiebreak=["event_id"]).select(
-        "user_id", "event_id", "ts", "event_type", "value", "is_removed"
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("ts"),  # µs: the oracle's ts precision
+        "event_type",
+        "value",
+        "is_removed",
     )
 
 
 O_MVCC_VERSIONS = """
-SELECT user_id, event_id, epoch_ns(ts) AS ts, event_type, value,
+SELECT user_id, event_id, epoch_us(ts)::BIGINT AS ts, event_type, value,
        (event_type = 'error') AS is_removed
 FROM events WHERE user_id = 7
 """
@@ -263,11 +268,14 @@ SELECT user_id FROM (
 
 
 def q_mvcc_last_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Max commit timestamp (kv lib.rs:435-443)."""
-    return mvcc.last_updated(load_table(spark, sf_dir, "events"), ts="ts")
+    """Max commit timestamp (kv lib.rs:435-443). Emitted at µs granularity:
+    the oracle engine truncates the parquet ns timestamps to µs, so raw-ns
+    output would hash-mismatch on sub-µs digits."""
+    out = mvcc.last_updated(load_table(spark, sf_dir, "events"), ts="ts")
+    return out.select(F.expr("last_updated div 1000").alias("last_updated"))
 
 
-O_MVCC_LAST_UPDATED = "SELECT MAX(epoch_ns(ts)) AS last_updated FROM events"
+O_MVCC_LAST_UPDATED = "SELECT MAX(epoch_us(ts))::BIGINT AS last_updated FROM events"
 
 
 # ---------------------------------------------------------------------------
@@ -905,8 +913,14 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from assemblagedb_spark.operators.sessions import sessionize
 
     ev = load_table(spark, sf_dir, "events")
+    # boundaries computed at full ns precision; emitted at µs (the oracle
+    # engine's timestamp precision) — min/max commute with the floor-div
     return sessionize(ev, gap=_SESSION_GAP_NS).select(
-        "user_id", "session_idx", "n_events", "start_ts", "end_ts"
+        "user_id",
+        "session_idx",
+        "n_events",
+        F.expr("start_ts div 1000").alias("start_ts"),
+        F.expr("end_ts div 1000").alias("end_ts"),
     )
 
 
@@ -928,7 +942,7 @@ numbered AS (
   FROM flagged
 )
 SELECT user_id, session_idx, COUNT(*)::BIGINT AS n_events,
-       MIN(ts) AS start_ts, MAX(ts) AS end_ts
+       (MIN(ts) // 1000)::BIGINT AS start_ts, (MAX(ts) // 1000)::BIGINT AS end_ts
 FROM numbered GROUP BY user_id, session_idx
 """
 
@@ -1091,7 +1105,7 @@ def q_graph_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_custkey") % 10 == 0)
         .select(F.concat(F.lit("C"), F.col("c_custkey")).alias("node_id"))
     )
-    return has_shared_descendants(e, roots, max_depth=2)
+    return has_shared_descendants(e, roots, max_depth=2, assume_forest=True)
 
 
 O_GRAPH_SHARED = f"""
@@ -1147,7 +1161,7 @@ def q_graph_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_custkey") % 10 == 0)
         .select(F.concat(F.lit("C"), F.col("c_custkey")).alias("node_id"))
     )
-    return preview_leaf(o.unionByName(ol), roots, blanks, max_depth=2)
+    return preview_leaf(o.unionByName(ol), roots, blanks, max_depth=2, assume_forest=True)
 
 
 O_GRAPH_PREVIEW = """
@@ -1329,7 +1343,7 @@ def q_graph_blank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") % 25 == 0)
         .select(F.concat(F.lit("O"), F.col("o_orderkey")).alias("node_id"))
     )
-    return is_blank_roots(edges, roots, blanks, max_depth=1)
+    return is_blank_roots(edges, roots, blanks, max_depth=1, assume_forest=True)
 
 
 O_GRAPH_BLANK = """
@@ -1382,7 +1396,7 @@ def q_export_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_custkey") % 100 == 0)
         .select(F.concat(F.lit("C"), F.col("c_custkey")).alias("node_id"))
     )
-    sub = subtree_closure(edges, roots, max_depth=2)
+    sub = subtree_closure(edges, roots, max_depth=2, assume_forest=True)
     return (
         sub.join(mod_ts, "node_id")
         .filter(F.col("mod_ts") > F.lit(_EXPORT_CUTOFF).cast("timestamp"))
@@ -1615,6 +1629,36 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
+_RANGE_GAP_US = 6 * 3600 * 1_000_000  # 6h, in µs (the oracle's ts precision)
+
+
+def q_events_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: ordered pairs of purchase events of one user within 6h —
+    banded bucket equi-join instead of the per-key theta join. Timestamps
+    truncated to µs up front so gap values are engine-portable."""
+    from assemblagedb_spark.operators.rangejoin import range_pairs
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", F.expr("ts div 1000").alias("ts_us"))
+    )
+    return range_pairs(
+        ev, key="user_id", ts="ts_us", max_gap=_RANGE_GAP_US, id_col="event_id"
+    ).select("user_id", "id_a", "id_b", F.col("gap").cast("long"))
+
+
+O_EVENTS_RANGE_PAIRS = f"""
+WITH p AS (SELECT user_id, event_id, epoch_us(ts)::BIGINT AS ts FROM events
+           WHERE event_type = 'purchase')
+SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+       (b.ts - a.ts)::BIGINT AS gap
+FROM p a JOIN p b ON a.user_id = b.user_id
+WHERE b.ts - a.ts <= {_RANGE_GAP_US}
+  AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+"""
+
+
 SPARK_QUERIES = {
     "gram_index": q_gram_index,
     "gram_counts": q_gram_counts,
@@ -1664,6 +1708,7 @@ SPARK_QUERIES = {
     "events_hopping": q_events_hopping,
     "ann_ivf_topk": q_ann_ivf_topk,
     "events_asof": q_events_asof,
+    "events_range_pairs": q_events_range_pairs,
 }
 
 ORACLES = {
@@ -1715,4 +1760,5 @@ ORACLES = {
     "events_hopping": O_EVENTS_HOPPING,
     "ann_ivf_topk": O_ANN_IVF_TOPK,
     "events_asof": O_EVENTS_ASOF,
+    "events_range_pairs": O_EVENTS_RANGE_PAIRS,
 }

@@ -167,6 +167,7 @@ def subtree_closure(
     with_path: bool = False,
     pad: int = 10,
     checkpoint_every: int = 4,
+    assume_forest: bool = False,
 ) -> DataFrame:
     """Per-root downward closure: (root_id, node_id, depth[, path]).
 
@@ -179,7 +180,9 @@ def subtree_closure(
     string, lexicographically ordered exactly like the reference's ordered
     DFS — the distributed substitute for recursive descent. A node reachable
     along several routes keeps the lexicographically smallest path of its
-    first (shallowest) level. Cycle-safe via the per-root visited anti-join.
+    first (shallowest) level. Cycle-safe via the per-root visited anti-join;
+    ``assume_forest`` (caller guarantees single-path reachability) drops the
+    dedup + anti-join shuffles and reduces each level to one join.
     """
     e = edges.select("parent_id", "child_id", *(["idx"] if with_path else [])).persist()
     frontier = roots.select(F.col("node_id").alias("root_id"), F.col("node_id"))
@@ -197,10 +200,18 @@ def subtree_closure(
                 F.concat(
                     "path", F.lit("/"), F.lpad(F.col("idx").cast("string"), pad, "0")
                 ).alias("path"),
-            ).groupBy("root_id", "node_id").agg(F.min("path").alias("path"))
+            )
+            if not assume_forest:
+                nxt = nxt.groupBy("root_id", "node_id").agg(F.min("path").alias("path"))
         else:
-            nxt = nxt.select("root_id", F.col("child_id").alias("node_id")).distinct()
-        nxt = nxt.join(visited, ["root_id", "node_id"], "left_anti")
+            nxt = nxt.select("root_id", F.col("child_id").alias("node_id"))
+            if not assume_forest:
+                nxt = nxt.distinct()
+        # assume_forest: caller guarantees one path per (root, node) — the
+        # per-level dedup and the visited anti-join (two shuffles per level)
+        # are then provably no-ops and the BFS is just the level joins
+        if not assume_forest:
+            nxt = nxt.join(visited, ["root_id", "node_id"], "left_anti")
         # each frontier is read three ways (next join, level union, visited
         # union) — persist so a level computes once. Periodically ALSO
         # truncate lineage: the per-root plan references ALL prior levels
@@ -217,7 +228,8 @@ def subtree_closure(
             persisted.append(nxt)
         level = nxt.withColumn("depth", F.lit(depth))
         out = level if out is None else out.unionByName(level)
-        visited = visited.unionByName(nxt.select("root_id", "node_id"))
+        if not assume_forest:
+            visited = visited.unionByName(nxt.select("root_id", "node_id"))
         frontier = nxt
     if out is None:
         schema = "root_id string, node_id string, depth int" + (
@@ -232,7 +244,13 @@ def subtree_closure(
     return out
 
 
-def has_shared_descendants(edges: DataFrame, roots: DataFrame, *, max_depth: int) -> DataFrame:
+def has_shared_descendants(
+    edges: DataFrame,
+    roots: DataFrame,
+    *,
+    max_depth: int,
+    assume_forest: bool = False,
+) -> DataFrame:
     """For each root: does the subtree contain a node with more than one
     parent (reference ``has_shared_descendants_until_links``,
     ``assemblage_db/src/lib.rs:805-831``)?
@@ -241,7 +259,7 @@ def has_shared_descendants(edges: DataFrame, roots: DataFrame, *, max_depth: int
     parent counts — set-at-a-time instead of the reference's per-root
     recursion, so 10^9 roots cost one extra shuffle, not 10^9 traversals.
     """
-    sub = subtree_closure(edges, roots, max_depth=max_depth)
+    sub = subtree_closure(edges, roots, max_depth=max_depth, assume_forest=assume_forest)
     n_parents = edges.groupBy("child_id").agg(
         F.countDistinct("parent_id").alias("n_parents")
     )
@@ -264,6 +282,7 @@ def preview_leaf(
     blanks: DataFrame,
     *,
     max_depth: int,
+    assume_forest: bool = False,
 ) -> DataFrame:
     """First non-blank leaf in ordered-DFS order per root — the distributed
     form of the reference's ``preview`` (``assemblage_db/src/lib.rs:462-509``:
@@ -276,7 +295,9 @@ def preview_leaf(
     (root_id, preview_id), ``'empty'`` when the subtree has no non-blank
     candidate.
     """
-    sub = subtree_closure(edges, roots, max_depth=max_depth, with_path=True)
+    sub = subtree_closure(
+        edges, roots, max_depth=max_depth, with_path=True, assume_forest=assume_forest
+    )
     first = (
         sub.join(blanks, "node_id")
         .filter(~F.col("is_blank"))
@@ -341,6 +362,7 @@ def is_blank_roots(
     blanks: DataFrame,
     *,
     max_depth: int,
+    assume_forest: bool = False,
 ) -> DataFrame:
     """Per root: does the subtree contain only blank renderable nodes
     (reference ``is_blank``, ``assemblage_db/src/lib.rs:389-416``)?

@@ -181,3 +181,28 @@ def test_asof_join_backward_semantics(spark):
         "p2": (500, 5),    # inclusive: exact ts matches
         "p3": (None, None),  # no prior right row
     }
+
+
+def test_range_pairs_banding_exactly_once(spark):
+    from assemblagedb_spark.operators.rangejoin import range_pairs
+
+    rows = [
+        # same bin (gap 3), adjacent bins (gap 9 <= 10 across 10-boundary),
+        # exactly max_gap (inclusive), beyond max_gap (excluded),
+        # duplicate ts (id tiebreak, ordered once)
+        (1, 1, 0), (1, 2, 3), (1, 3, 12), (1, 4, 22), (1, 5, 40),
+        (2, 6, 5), (2, 7, 5),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, ts long")
+    out = {
+        (r.user_id, r.id_a, r.id_b): r.gap
+        for r in range_pairs(
+            df, key="user_id", ts="ts", max_gap=10, id_col="event_id"
+        ).collect()
+    }
+    assert out == {
+        (1, 1, 2): 3,    # same bin
+        (1, 2, 3): 9,    # adjacent bins
+        (1, 3, 4): 10,   # inclusive boundary, adjacent bins
+        (2, 6, 7): 0,    # duplicate ts ordered by id, exactly once
+    }
