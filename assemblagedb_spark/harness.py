@@ -345,7 +345,7 @@ def q_graph_ancestor_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return ancestors(e, starts, exact_depth=4).select(
+    return ancestors(e, starts, exact_depth=4, assume_forest=True).select(
         "start_id", "ancestor_id", F.col("depth").cast("long")
     )
 

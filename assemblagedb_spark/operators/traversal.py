@@ -88,6 +88,7 @@ def ancestors(
     single_parent_only: bool = True,
     max_depth: int = 64,
     exact_depth: int | None = None,
+    assume_forest: bool = False,
 ) -> DataFrame:
     """Upward walk from each start node (column ``node_id``).
 
@@ -96,9 +97,14 @@ def ancestors(
     lib.rs:552-639) a walk stops when the current node has 0 or >1 parents
     or revisits a node on its own path (cycle guard). ``exact_depth`` (a
     schema-known walk length) skips the per-level empty-frontier probe —
-    one Spark job per level saved.
+    one Spark job per level saved. ``assume_forest`` (caller guarantees the
+    edge relation is deduped with one parent per child and acyclic) skips
+    both the parent-uniqueness aggregation over the full edge relation and
+    the per-row path arrays of the cycle guard.
     """
-    if single_parent_only:
+    if assume_forest:
+        parent_of = edges.select("child_id", "parent_id").persist()
+    elif single_parent_only:
         # scalar aggregate instead of collect_set+explode: no array building
         # over the full edge relation, same (child, unique parent) rows
         parent_of = (
@@ -117,25 +123,27 @@ def ancestors(
     frontier = starts.select(
         F.col("node_id").alias("start_id"),
         F.col("node_id").alias("current_id"),
-        F.array(F.col("node_id")).alias("path"),
+        *([] if assume_forest else [F.array(F.col("node_id")).alias("path")]),
     )
     out = None
     persisted = []
     probe_empty = exact_depth is None
     limit = exact_depth if exact_depth is not None else max_depth
     for depth in range(1, limit + 1):
-        step = (
-            frontier.join(
-                parent_of.withColumnRenamed("child_id", "current_id"), "current_id"
-            )
-            # cycle guard: stop a walk that revisits its own path
-            .filter(~F.array_contains("path", F.col("parent_id")))
-            .select(
-                "start_id",
-                F.col("parent_id").alias("ancestor_id"),
-                F.concat("path", F.array("parent_id")).alias("path"),
-            )
+        step = frontier.join(
+            parent_of.withColumnRenamed("child_id", "current_id"), "current_id"
         )
+        if assume_forest:
+            step = step.select("start_id", F.col("parent_id").alias("ancestor_id"))
+        else:
+            step = (
+                # cycle guard: stop a walk that revisits its own path
+                step.filter(~F.array_contains("path", F.col("parent_id"))).select(
+                    "start_id",
+                    F.col("parent_id").alias("ancestor_id"),
+                    F.concat("path", F.array("parent_id")).alias("path"),
+                )
+            )
         if depth % 8 == 0:
             step = step.localCheckpoint(eager=True)
         else:
@@ -146,7 +154,9 @@ def ancestors(
         found = step.select("start_id", "ancestor_id").withColumn("depth", F.lit(depth))
         out = found if out is None else out.unionByName(found)
         frontier = step.select(
-            "start_id", F.col("ancestor_id").alias("current_id"), "path"
+            "start_id",
+            F.col("ancestor_id").alias("current_id"),
+            *([] if assume_forest else ["path"]),
         )
     if out is None:
         parent_of.unpersist()
