@@ -317,7 +317,9 @@ def q_graph_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
     roots = spark.createDataFrame([("R0",)], "node_id string")
     # the FK hierarchy is a leveled forest (every node one parent, one path)
     # — the visited anti-join and per-level distinct would be dead weight
-    return descendants(e, roots, max_depth=3, assume_forest=True).select(
+    return descendants(
+        e, roots, max_depth=3, assume_forest=True, broadcast_frontier=True
+    ).select(
         "node_id", F.col("depth").cast("long")
     )
 
@@ -345,7 +347,9 @@ def q_graph_ancestor_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return ancestors(e, starts, exact_depth=4, assume_forest=True).select(
+    return ancestors(
+        e, starts, exact_depth=4, assume_forest=True, broadcast_frontier=True
+    ).select(
         "start_id", "ancestor_id", F.col("depth").cast("long")
     )
 
@@ -593,11 +597,11 @@ WHERE (inter / (na.n + nb.n - inter)) >= 0.5
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-10 for query vectors (vec_id % 50 == 0)."""
-    from assemblagedb_spark.operators.similarity import cosine_topk
+    from assemblagedb_spark.operators.similarity import cosine_topk_arrow
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return cosine_topk(emb, queries, k=10).select(
+    return cosine_topk_arrow(emb, queries, k=10).select(
         "query_id", "neighbor_id", F.col("rank").cast("long")
     )
 
@@ -1161,7 +1165,10 @@ def q_graph_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_custkey") % 10 == 0)
         .select(F.concat(F.lit("C"), F.col("c_custkey")).alias("node_id"))
     )
-    return preview_leaf(o.unionByName(ol), roots, blanks, max_depth=2, assume_forest=True)
+    return preview_leaf(
+        o.unionByName(ol), roots, blanks, max_depth=2, assume_forest=True,
+        broadcast_frontier=True,
+    )
 
 
 O_GRAPH_PREVIEW = """
@@ -1189,8 +1196,13 @@ GROUP BY r.root_id
 # ANN scale path: LSH-bucketed top-k (random-hyperplane sketch)
 # ---------------------------------------------------------------------------
 
-_LSH_ANN_BITS = 16
-_LSH_ANN_BANDS = 4
+# 6 bands × 6 bits: for random-direction pairs a band collides with
+# p = 2^-6, so candidates ≈ |Q|·|C|·(1-(1-1/64)^6) ≈ 9% of the cross join;
+# for true near-dups (cos ≥ 0.9, p_bit ≈ 0.86) band recall is
+# 1-(1-0.86^6)^6 ≈ 95%. The old 4×4-bit setting collected ~50% of the
+# cross join as candidates — no better than brute force.
+_LSH_ANN_BITS = 36
+_LSH_ANN_BANDS = 6
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

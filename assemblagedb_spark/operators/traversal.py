@@ -32,6 +32,7 @@ def descendants(
     max_depth: int | None = None,
     checkpoint_every: int = 8,
     assume_forest: bool = False,
+    broadcast_frontier: bool = False,
 ) -> DataFrame:
     """Transitive closure downward from ``roots`` (one column ``node_id``).
 
@@ -45,7 +46,29 @@ def descendants(
     skipped, leaving one join per level as the whole plan. This is the
     shape that matters at scale: for a leveled 100 TB graph the anti-join
     against an ever-growing visited set would be the dominant shuffle.
+
+    ``broadcast_frontier``: caller guarantees every frontier stays small
+    (point lookups from a handful of roots) — hint each level's join to
+    broadcast the frontier so the edge relation is never shuffled, only
+    scanned. Without the hint Catalyst sort-merge-joins both sides because
+    the frontier's size estimate is unknown mid-iteration.
     """
+    if assume_forest and max_depth is not None:
+        # bounded forest walk: lineage is max_depth joins deep — no probes,
+        # no per-level materialization, the whole closure is ONE lazy plan
+        # (one job at action time; broadcast exchanges are reused across the
+        # union branches)
+        e = edges.select("parent_id", "child_id")
+        frontier = roots.select("node_id").distinct()
+        out = frontier.withColumn("depth", F.lit(0))
+        for depth in range(1, max_depth + 1):
+            f = frontier.withColumnRenamed("node_id", "parent_id")
+            if broadcast_frontier:
+                f = F.broadcast(f)
+            frontier = e.join(f, "parent_id").select(F.col("child_id").alias("node_id"))
+            out = out.unionByName(frontier.withColumn("depth", F.lit(depth)))
+        return out
+
     e = edges.select("parent_id", "child_id").persist()
     visited = roots.select("node_id").distinct().withColumn("depth", F.lit(0))
     frontier = visited
@@ -54,10 +77,10 @@ def descendants(
     while True:
         if max_depth is not None and depth >= max_depth:
             break
-        nxt = (
-            e.join(frontier.withColumnRenamed("node_id", "parent_id").select("parent_id"), "parent_id")
-            .select(F.col("child_id").alias("node_id"))
-        )
+        f = frontier.withColumnRenamed("node_id", "parent_id").select("parent_id")
+        if broadcast_frontier:
+            f = F.broadcast(f)
+        nxt = e.join(f, "parent_id").select(F.col("child_id").alias("node_id"))
         if not assume_forest:
             nxt = nxt.distinct().join(visited.select("node_id"), "node_id", "left_anti")
         nxt = nxt.withColumn("depth", F.lit(depth + 1))
@@ -89,6 +112,7 @@ def ancestors(
     max_depth: int = 64,
     exact_depth: int | None = None,
     assume_forest: bool = False,
+    broadcast_frontier: bool = False,
 ) -> DataFrame:
     """Upward walk from each start node (column ``node_id``).
 
@@ -100,8 +124,27 @@ def ancestors(
     one Spark job per level saved. ``assume_forest`` (caller guarantees the
     edge relation is deduped with one parent per child and acyclic) skips
     both the parent-uniqueness aggregation over the full edge relation and
-    the per-row path arrays of the cycle guard.
+    the per-row path arrays of the cycle guard. ``broadcast_frontier``:
+    walk frontiers are small (|starts| rows, one per live walk) — hint the
+    per-level join to broadcast them so the parent relation is only ever
+    scanned in place, never shuffled.
     """
+    if assume_forest and exact_depth is not None:
+        # bounded forest walk — single lazy plan, no probes or caching
+        parent_of = edges.select("child_id", "parent_id")
+        frontier = starts.select(
+            F.col("node_id").alias("start_id"), F.col("node_id").alias("current_id")
+        )
+        out = None
+        for depth in range(1, exact_depth + 1):
+            step = (F.broadcast(frontier) if broadcast_frontier else frontier).join(
+                parent_of.withColumnRenamed("child_id", "current_id"), "current_id"
+            ).select("start_id", F.col("parent_id").alias("ancestor_id"))
+            found = step.withColumn("depth", F.lit(depth))
+            out = found if out is None else out.unionByName(found)
+            frontier = step.select("start_id", F.col("ancestor_id").alias("current_id"))
+        return out
+
     if assume_forest:
         parent_of = edges.select("child_id", "parent_id").persist()
     elif single_parent_only:
@@ -130,7 +173,7 @@ def ancestors(
     probe_empty = exact_depth is None
     limit = exact_depth if exact_depth is not None else max_depth
     for depth in range(1, limit + 1):
-        step = frontier.join(
+        step = (F.broadcast(frontier) if broadcast_frontier else frontier).join(
             parent_of.withColumnRenamed("child_id", "current_id"), "current_id"
         )
         if assume_forest:
@@ -178,6 +221,7 @@ def subtree_closure(
     pad: int = 10,
     checkpoint_every: int = 4,
     assume_forest: bool = False,
+    broadcast_frontier: bool = False,
 ) -> DataFrame:
     """Per-root downward closure: (root_id, node_id, depth[, path]).
 
@@ -194,6 +238,32 @@ def subtree_closure(
     ``assume_forest`` (caller guarantees single-path reachability) drops the
     dedup + anti-join shuffles and reduces each level to one join.
     """
+    if assume_forest and max_depth <= checkpoint_every:
+        # bounded forest walk — lineage stays shallow, no probes fire: one
+        # lazy plan, no per-level caching or checkpoint copies
+        e = edges.select("parent_id", "child_id", *(["idx"] if with_path else []))
+        frontier = roots.select(F.col("node_id").alias("root_id"), F.col("node_id"))
+        if with_path:
+            frontier = frontier.withColumn("path", F.lit(""))
+        out = None
+        for depth in range(1, max_depth + 1):
+            f = frontier.withColumnRenamed("node_id", "parent_id")
+            nxt = e.join(F.broadcast(f) if broadcast_frontier else f, "parent_id")
+            if with_path:
+                nxt = nxt.select(
+                    "root_id",
+                    F.col("child_id").alias("node_id"),
+                    F.concat(
+                        "path", F.lit("/"), F.lpad(F.col("idx").cast("string"), pad, "0")
+                    ).alias("path"),
+                )
+            else:
+                nxt = nxt.select("root_id", F.col("child_id").alias("node_id"))
+            level = nxt.withColumn("depth", F.lit(depth))
+            out = level if out is None else out.unionByName(level)
+            frontier = nxt
+        return out
+
     e = edges.select("parent_id", "child_id", *(["idx"] if with_path else [])).persist()
     frontier = roots.select(F.col("node_id").alias("root_id"), F.col("node_id"))
     if with_path:
@@ -202,7 +272,8 @@ def subtree_closure(
     out = None
     persisted = [e]
     for depth in range(1, max_depth + 1):
-        nxt = frontier.withColumnRenamed("node_id", "parent_id").join(e, "parent_id")
+        f = frontier.withColumnRenamed("node_id", "parent_id")
+        nxt = e.join(F.broadcast(f) if broadcast_frontier else f, "parent_id")
         if with_path:
             nxt = nxt.select(
                 "root_id",
@@ -293,6 +364,7 @@ def preview_leaf(
     *,
     max_depth: int,
     assume_forest: bool = False,
+    broadcast_frontier: bool = False,
 ) -> DataFrame:
     """First non-blank leaf in ordered-DFS order per root — the distributed
     form of the reference's ``preview`` (``assemblage_db/src/lib.rs:462-509``:
@@ -306,7 +378,12 @@ def preview_leaf(
     candidate.
     """
     sub = subtree_closure(
-        edges, roots, max_depth=max_depth, with_path=True, assume_forest=assume_forest
+        edges,
+        roots,
+        max_depth=max_depth,
+        with_path=True,
+        assume_forest=assume_forest,
+        broadcast_frontier=broadcast_frontier,
     )
     first = (
         sub.join(blanks, "node_id")
