@@ -73,6 +73,19 @@ def _doc_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _GRAM_INDEX_CACHE[key]
 
 
+# slot 3 ``Count`` is likewise a stored structure in the reference
+# (maintained on write, index.rs:349-356) — rebuilding the aggregate per
+# query would misrepresent the engine.
+_GRAM_COUNTS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _doc_gram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _GRAM_COUNTS_CACHE:
+        _GRAM_COUNTS_CACHE[key] = gram_counts(_doc_gram_index(spark, sf_dir)).persist()
+    return _GRAM_COUNTS_CACHE[key]
+
+
 # ---------------------------------------------------------------------------
 # Gram index + search (SURVEY §2.4)
 # ---------------------------------------------------------------------------
@@ -138,7 +151,7 @@ O_SEARCH = _search_oracle(SEARCH_TERM, trim=True, min_score=0.3)
 def q_find_symmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """find() in SymmetricOverlap mode with stored counts (index.rs:194-240)."""
     g = _doc_gram_index(spark, sf_dir)
-    c = gram_counts(g)
+    c = _doc_gram_counts(spark, sf_dir)
     out = find(spark, g, index_text(SEARCH_TERM), counts=c, symmetric=True)
     return out.filter(F.col("score") >= 0.5).select(
         F.col("node_id").cast("long"), "a", "b", "intersection", "score"
@@ -1493,6 +1506,62 @@ FROM numbered GROUP BY l_orderkey, section_idx
 _BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
+def q_markup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup parse + serialize round-trip (markup.rs:175-207,326-394) over
+    generated-canonical lines: block prefix from doc_id % 6, a bold span and
+    a plain span from sanitized document text. The UDFs run the full
+    overlap-tolerant parser/serializer; the oracle replays the restricted
+    construction (inputs are canonical, so canonical == markup)."""
+    from assemblagedb_spark.views.markup import block_markup_udf, markup_parse_udf
+
+    sanitize = r"[*_~`\\#>,\n\r-]"
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("b"), F.regexp_replace(F.substring("text", 1, 24), sanitize, "")).alias("w1"),
+        F.concat(F.lit("p"), F.regexp_replace(F.substring("text", 25, 24), sanitize, "")).alias("w2"),
+        F.element_at(
+            F.array(F.lit(""), F.lit("# "), F.lit("> "), F.lit("- "), F.lit(", "), F.lit("># ")),
+            (F.col("doc_id") % 6 + 1).cast("int"),
+        ).alias("pfx"),
+    )
+    parse, render = markup_parse_udf(), block_markup_udf()
+    out = d.withColumn(
+        "markup", F.concat("pfx", F.lit("*"), "w1", F.lit("*"), "w2")
+    ).withColumn("parsed", parse("markup"))
+    return out.select(
+        F.col("doc_id").cast("long"),
+        "markup",
+        render("parsed").alias("canonical"),
+        F.array_join("parsed.styles", ",").alias("block_styles"),
+        F.array_join(F.col("parsed.spans")[0]["styles"], ",").alias("span1_styles"),
+        F.col("parsed.spans")[0]["text"].alias("span1_text"),
+        F.array_join(F.col("parsed.spans")[1]["styles"], ",").alias("span2_styles"),
+        F.col("parsed.spans")[1]["text"].alias("span2_text"),
+        F.size("parsed.spans").cast("long").alias("n_spans"),
+    )
+
+
+O_MARKUP_ROUNDTRIP = r"""
+WITH base AS (
+  SELECT doc_id,
+         'b' || regexp_replace(substr(text, 1, 24), '[*_~`\\#>,\n\r-]', '', 'g') AS w1,
+         'p' || regexp_replace(substr(text, 25, 24), '[*_~`\\#>,\n\r-]', '', 'g') AS w2,
+         CASE doc_id % 6 WHEN 0 THEN '' WHEN 1 THEN '# ' WHEN 2 THEN '> '
+              WHEN 3 THEN '- ' WHEN 4 THEN ', ' ELSE '># ' END AS pfx,
+         CASE doc_id % 6 WHEN 0 THEN '' WHEN 1 THEN 'heading' WHEN 2 THEN 'quote'
+              WHEN 3 THEN 'list' WHEN 4 THEN 'aside' ELSE 'heading,quote' END AS styles
+  FROM documents)
+SELECT doc_id,
+       pfx || '*' || w1 || '*' || w2 AS markup,
+       pfx || '*' || w1 || '*' || w2 AS canonical,
+       styles AS block_styles,
+       'bold' AS span1_styles, w1 AS span1_text,
+       '' AS span2_styles, w2 AS span2_text,
+       2::BIGINT AS n_spans
+FROM base
+"""
+
+
 def q_text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex token counting per document (letter runs, digit runs,
     single punctuation) — the pre-tokenizer pass of a training pipeline."""
@@ -1716,6 +1785,7 @@ SPARK_QUERIES = {
     "graph_blank": q_graph_blank,
     "export_incremental": q_export_incremental,
     "view_sections": q_view_sections,
+    "markup_roundtrip": q_markup_roundtrip,
     "text_token_bpe": q_text_token_bpe,
     "events_hopping": q_events_hopping,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1768,6 +1838,7 @@ ORACLES = {
     "graph_blank": O_GRAPH_BLANK,
     "export_incremental": O_EXPORT_INCREMENTAL,
     "view_sections": O_VIEW_SECTIONS,
+    "markup_roundtrip": O_MARKUP_ROUNDTRIP,
     "text_token_bpe": O_TEXT_TOKEN_BPE,
     "events_hopping": O_EVENTS_HOPPING,
     "ann_ivf_topk": O_ANN_IVF_TOPK,
