@@ -15,6 +15,8 @@ touched buckets and never shuffles the index.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from assemblagedb_spark.functions.core import spark_grams_array_expr
@@ -30,8 +32,6 @@ def grams_array_arrow(text_col: str) -> Column:
     than the JVM expression on gram-dominated jobs, at the cost of Python
     workers in the stage. Byte-exact (operates on UTF-8 bytes, so it is also
     correct for non-ASCII text, unlike the codepoint-based SQL form)."""
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
@@ -49,15 +49,25 @@ def grams_array_arrow(text_col: str) -> Column:
     return _grams(text_col)
 
 
-def block_grams(blocks: DataFrame, id_col: str = "node_id", text_col: str = "text") -> DataFrame:
+def block_grams(
+    blocks: DataFrame,
+    id_col: str = "node_id",
+    text_col: str = "text",
+    *,
+    impl: str = "arrow",
+) -> DataFrame:
     """(block_id, text) → inverted index rows (node_id, gram, occurrences).
 
     One row per distinct gram per block; ``occurrences`` is the multiset
     count, which the search kernel needs for min(q_occ, m_occ) accumulation
-    (reference ``index.rs:219-226``).
+    (reference ``index.rs:219-226``). ``impl='arrow'`` (default) grams with
+    the numpy sliding-window kernel — ~2× faster than the interpreted JVM
+    higher-order expression and byte-exact on non-ASCII; ``impl='jvm'``
+    keeps the build pure-SQL (no Python workers in the stage).
     """
+    gram_col = grams_array_arrow if impl == "arrow" else grams_array
     return (
-        blocks.select(F.col(id_col).alias("node_id"), grams_array(text_col).alias("grams"))
+        blocks.select(F.col(id_col).alias("node_id"), gram_col(text_col).alias("grams"))
         .select("node_id", F.explode("grams").alias("gram"))
         .groupBy("node_id", "gram")
         .agg(F.count(F.lit(1)).cast("int").alias("occurrences"))

@@ -85,11 +85,18 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     assert set(cols) <= {"l_orderkey", "l_quantity"}
 
 
-def test_search_pipeline_is_jvm_only_and_broadcasts(spark, sf_dir):
-    from assemblagedb_spark.harness import q_search
+def test_search_probe_is_jvm_only_and_broadcasts(spark, sf_dir, tmp_path):
+    # the inverted index is a STORED table (slot 2 in the reference); its
+    # build may use the arrow gram kernel, but a probe against the stored
+    # postings must stay JVM-side with the query grams broadcast
+    from assemblagedb_spark.harness import SEARCH_TERM, _doc_blocks
+    from assemblagedb_spark.operators.grams import block_grams
+    from assemblagedb_spark.operators.search import search
 
-    df = q_search(spark, sf_dir)
-    assert python_stages(df) == []  # gram kernel fully JVM-side
+    path = str(tmp_path / "postings")
+    block_grams(_doc_blocks(spark, sf_dir)).write.mode("overwrite").parquet(path)
+    df = search(spark, spark.read.parquet(path), SEARCH_TERM)
+    assert python_stages(df) == []  # probe fully JVM-side
     assert uses_broadcast_join(df)  # query grams broadcast against postings
 
 

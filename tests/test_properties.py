@@ -117,3 +117,30 @@ def test_spark_grams_equal_driver_grams(spark, texts):
     got = {r["i"]: r["g"] for r in df.select("i", grams_array("text").alias("g")).collect()}
     for i, t in enumerate(texts):
         assert got[i] == index_text(t), repr(t)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.text(max_size=40),  # full unicode — the arrow kernel is byte-exact
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_arrow_grams_equal_driver_grams(spark, texts):
+    """The numpy sliding-window gram kernel equals byte-exact index_text on
+    arbitrary unicode (it grams the UTF-8 bytes, like the reference)."""
+    from pyspark.sql import functions as F
+
+    from assemblagedb_spark.operators.grams import grams_array_arrow
+
+    texts = [t.replace("\x00", " ") for t in texts]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, text string"
+    )
+    got = {
+        r["i"]: r["g"]
+        for r in df.select("i", grams_array_arrow("text").alias("g")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == index_text(t), repr(t)
