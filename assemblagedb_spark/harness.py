@@ -420,6 +420,76 @@ FROM lines
 """
 
 
+def q_siblings_escalated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """before/after with grandparent escalation (core.rs:152-299 full shape):
+    a line with no non-blank sibling inside its order escalates to the
+    customer level — nearest order with any non-blank line, descending to
+    its last (before) / first (after) non-blank line."""
+    from assemblagedb_spark.operators.traversal import siblings_escalated
+
+    li = load_table(spark, sf_dir, "lineitem")
+    leaf = li.groupBy("l_orderkey", "l_linenumber").agg(
+        (F.max("l_quantity") < 5).alias("is_blank")
+    ).select(
+        F.concat(F.lit("O"), F.col("l_orderkey")).alias("parent_id"),
+        F.concat(F.lit("L"), F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber")).alias("child_id"),
+        F.col("l_linenumber").cast("int").alias("idx"),
+        "is_blank",
+    )
+    pe = load_table(spark, sf_dir, "orders").select(
+        F.concat(F.lit("C"), F.col("o_custkey")).alias("parent_id"),
+        F.concat(F.lit("O"), F.col("o_orderkey")).alias("child_id"),
+        F.col("o_orderkey").cast("long").alias("idx"),
+    )
+    return siblings_escalated(leaf, pe, F.col("is_blank")).select(
+        "parent_id", "child_id", "idx", "before_id", "after_id"
+    )
+
+
+O_SIBLINGS_ESCALATED = """
+WITH lines AS (
+  SELECT l_orderkey, l_linenumber, (MAX(l_quantity) < 5) AS is_blank
+  FROM lineitem GROUP BY 1, 2
+),
+l1 AS (
+  SELECT l_orderkey, l_linenumber, is_blank,
+         (MAX(CASE WHEN NOT is_blank THEN {'i': l_linenumber, 'c': 'L' || l_orderkey || '-' || l_linenumber} END)
+            OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)).c AS before_id,
+         (MIN(CASE WHEN NOT is_blank THEN {'i': l_linenumber, 'c': 'L' || l_orderkey || '-' || l_linenumber} END)
+            OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)).c AS after_id
+  FROM lines
+),
+digest AS (
+  SELECT l_orderkey,
+         BOOL_OR(NOT is_blank) AS any_nb,
+         (MIN(CASE WHEN NOT is_blank THEN {'i': l_linenumber, 'c': 'L' || l_orderkey || '-' || l_linenumber} END)).c AS first_nb,
+         (MAX(CASE WHEN NOT is_blank THEN {'i': l_linenumber, 'c': 'L' || l_orderkey || '-' || l_linenumber} END)).c AS last_nb
+  FROM lines GROUP BY 1
+),
+p1 AS (
+  SELECT o.o_orderkey,
+         (MAX(CASE WHEN COALESCE(d.any_nb, FALSE) THEN {'i': o.o_orderkey, 'c': o.o_orderkey} END)
+            OVER (PARTITION BY o.o_custkey ORDER BY o.o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)).c AS prev_o,
+         (MIN(CASE WHEN COALESCE(d.any_nb, FALSE) THEN {'i': o.o_orderkey, 'c': o.o_orderkey} END)
+            OVER (PARTITION BY o.o_custkey ORDER BY o.o_orderkey
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)).c AS next_o
+  FROM orders o LEFT JOIN digest d ON d.l_orderkey = o.o_orderkey
+)
+SELECT 'O' || l1.l_orderkey AS parent_id,
+       'L' || l1.l_orderkey || '-' || l1.l_linenumber AS child_id,
+       l1.l_linenumber::INT AS idx,
+       COALESCE(l1.before_id, dprev.last_nb) AS before_id,
+       COALESCE(l1.after_id, dnext.first_nb) AS after_id
+FROM l1
+LEFT JOIN p1 ON p1.o_orderkey = l1.l_orderkey
+LEFT JOIN digest dprev ON dprev.l_orderkey = p1.prev_o
+LEFT JOIN digest dnext ON dnext.l_orderkey = p1.next_o
+"""
+
+
 # ---------------------------------------------------------------------------
 # Materialized overlaps (SURVEY §2.4 store_overlaps) on a doc subset
 # ---------------------------------------------------------------------------
@@ -1785,6 +1855,7 @@ SPARK_QUERIES = {
     "graph_blank": q_graph_blank,
     "export_incremental": q_export_incremental,
     "view_sections": q_view_sections,
+    "siblings_escalated": q_siblings_escalated,
     "markup_roundtrip": q_markup_roundtrip,
     "text_token_bpe": q_text_token_bpe,
     "events_hopping": q_events_hopping,
@@ -1838,6 +1909,7 @@ ORACLES = {
     "graph_blank": O_GRAPH_BLANK,
     "export_incremental": O_EXPORT_INCREMENTAL,
     "view_sections": O_VIEW_SECTIONS,
+    "siblings_escalated": O_SIBLINGS_ESCALATED,
     "markup_roundtrip": O_MARKUP_ROUNDTRIP,
     "text_token_bpe": O_TEXT_TOKEN_BPE,
     "events_hopping": O_EVENTS_HOPPING,

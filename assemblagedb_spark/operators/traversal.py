@@ -501,3 +501,81 @@ def siblings_before_after(
         .withColumn("after_id", F.min(eligible).over(after_w)["child_id"])
         .select("parent_id", "child_id", "idx", "before_id", "after_id")
     )
+
+
+def siblings_escalated(
+    leaf_edges: DataFrame,
+    parent_edges: DataFrame,
+    blank: F.Column,
+) -> DataFrame:
+    """``before``/``after`` with grandparent escalation — the full shape of
+    the reference's sibling search (``assemblage_db/src/core.rs:152-299``):
+    when a node has no eligible sibling inside its own parent, the search
+    escalates to the parent's siblings (within the grandparent) and descends
+    into the nearest non-blank one — to its LAST non-blank leaf for
+    ``before``, FIRST for ``after``. A parent whose leaves are all blank is
+    itself blank (``lib.rs:389-416``) and is skipped at the upper level.
+    (The reference suppresses escalation for link-displayed children; pass
+    only non-link leaves.)
+
+    ``leaf_edges``: (parent_id, child_id, idx) + whatever ``blank`` needs;
+    ``parent_edges``: (parent_id = grandparent, child_id = parent, idx).
+    Returns (parent_id, child_id, idx, before_id, after_id).
+
+    Scale shape: one shuffle on parent_id serves the in-parent windows AND
+    the per-parent first/last/blank aggregate; the parent level re-runs the
+    same running-extreme windows on a relation one fan-out smaller; the
+    escalation itself is two equi-joins on parent keys. No self-joins, no
+    iteration — cost is linear in |leaf_edges| at any scale.
+    """
+    e = leaf_edges.withColumn("__blank", blank)
+    w = Window.partitionBy("parent_id").orderBy("idx")
+    eligible = F.when(~F.col("__blank"), F.struct("idx", "child_id"))
+    l1 = e.withColumn(
+        "before_id", F.max(eligible).over(w.rowsBetween(Window.unboundedPreceding, -1))["child_id"]
+    ).withColumn(
+        "after_id", F.min(eligible).over(w.rowsBetween(1, Window.unboundedFollowing))["child_id"]
+    )
+    # per-parent digest: blankness + first/last non-blank leaf (one pass,
+    # same shuffle key as the windows above)
+    digest = e.groupBy("parent_id").agg(
+        F.max(~F.col("__blank")).alias("any_nb"),
+        F.min(eligible).alias("first_nb"),
+        F.max(eligible).alias("last_nb"),
+    )
+    # parent level: the same nearest-non-blank windows over parent siblings
+    pe = parent_edges.select(
+        F.col("parent_id").alias("gp_id"),
+        F.col("child_id").alias("parent_id"),
+        F.col("idx").alias("pidx"),
+    ).join(digest, "parent_id", "left")
+    pw = Window.partitionBy("gp_id").orderBy("pidx")
+    p_eligible = F.when(
+        F.coalesce("any_nb", F.lit(False)), F.struct(F.col("pidx"), F.col("parent_id"))
+    )
+    p1 = pe.withColumn(
+        "prev_parent",
+        F.max(p_eligible).over(pw.rowsBetween(Window.unboundedPreceding, -1))["parent_id"],
+    ).withColumn(
+        "next_parent",
+        F.min(p_eligible).over(pw.rowsBetween(1, Window.unboundedFollowing))["parent_id"],
+    ).select("parent_id", "prev_parent", "next_parent")
+    # descend: last non-blank leaf of the previous parent / first of the next
+    last_of = digest.select(
+        F.col("parent_id").alias("prev_parent"), F.col("last_nb")["child_id"].alias("esc_before")
+    )
+    first_of = digest.select(
+        F.col("parent_id").alias("next_parent"), F.col("first_nb")["child_id"].alias("esc_after")
+    )
+    return (
+        l1.join(p1, "parent_id", "left")
+        .join(last_of, "prev_parent", "left")
+        .join(first_of, "next_parent", "left")
+        .select(
+            "parent_id",
+            "child_id",
+            "idx",
+            F.coalesce("before_id", "esc_before").alias("before_id"),
+            F.coalesce("after_id", "esc_after").alias("after_id"),
+        )
+    )

@@ -206,3 +206,36 @@ def test_range_pairs_banding_exactly_once(spark):
         (1, 3, 4): 10,   # inclusive boundary, adjacent bins
         (2, 6, 7): 0,    # duplicate ts ordered by id, exactly once
     }
+
+
+def test_siblings_escalated_minigraph(spark):
+    """core.rs:152-299 escalation: no eligible sibling in-parent -> nearest
+    non-blank parent-sibling, descending to its last/first non-blank leaf;
+    all-blank parents are skipped at the upper level (lib.rs:389-416)."""
+    from pyspark.sql import functions as F
+
+    from assemblagedb_spark.operators.traversal import siblings_escalated
+
+    leaf = spark.createDataFrame(
+        [
+            ("P1", "a1", 0, False),
+            ("P1", "a2", 1, True),
+            ("P2", "b1", 0, True),
+            ("P3", "c1", 0, True),
+            ("P3", "c2", 1, False),
+        ],
+        "parent_id string, child_id string, idx int, is_blank boolean",
+    )
+    pe = spark.createDataFrame(
+        [("G", "P1", 0), ("G", "P2", 1), ("G", "P3", 2)],
+        "parent_id string, child_id string, idx int",
+    )
+    got = {
+        r["child_id"]: (r["before_id"], r["after_id"])
+        for r in siblings_escalated(leaf, pe, F.col("is_blank")).collect()
+    }
+    assert got["a1"] == (None, "c2")   # escalate forward past blank a2 and P2
+    assert got["a2"] == ("a1", "c2")   # in-parent before, escalated after
+    assert got["b1"] == ("a1", "c2")   # both escalated (P2 all blank)
+    assert got["c1"] == ("a1", "c2")   # escalated before skips blank P2
+    assert got["c2"] == ("a1", None)   # escalated before, no next parent
