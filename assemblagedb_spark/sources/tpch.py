@@ -15,6 +15,7 @@ from __future__ import annotations
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -37,12 +38,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table is written with nanosecond parquet timestamps, which
-    Spark's vectorized reader rejects; read ``ts`` as a raw nanos BIGINT
-    instead (the engine treats commit timestamps as integers anyway,
-    mirroring the reference's u64 ms timestamps, kv timestamp.rs:24-30)."""
+    """Load events with ``ts`` normalized to epoch-nanosecond BIGINT — the
+    engine treats commit timestamps as integers, mirroring the reference's
+    u64 ms timestamps (kv timestamp.rs:24-30). Handles both physical
+    encodings the driver has produced: parquet nanos (read raw via the
+    legacy conf) and plain µs TIMESTAMP (converted to nanos)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if not isinstance(df.schema["ts"].dataType, LongType):
+        # NTZ values are naive datetimes; pin the session timezone so the
+        # NTZ->TIMESTAMP cast reads them as UTC (matching DuckDB epoch_ns)
+        # even under a vanilla driver session that never saw session.py.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
