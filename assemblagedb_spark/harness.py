@@ -904,6 +904,257 @@ SELECT l_orderkey, o_orderdate, o_orderpriority, revenue_cents, rk FROM (
 """
 
 
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style local-supplier volume: the 6-way join with both dims
+    broadcast — region+nation collapse to one broadcast lookup, so the only
+    shuffles are the three fact-side hash joins and the final aggregate."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(dim), s.s_nationkey == dim.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+            ).alias("revenue_cents")
+        )
+    )
+
+
+O_TPCH_Q5 = """
+SELECT n_name,
+       SUM(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style forecasting revenue: pure scan + filter + agg. The
+    whole predicate reaches the parquet scan as PushedFilters; at 100 TB
+    this is the I/O-bound shape where pushdown IS the query plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast("long")
+            ).alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+O_TPCH_Q6 = """
+SELECT SUM(round(l_extendedprice * l_discount * 100)::BIGINT)::BIGINT AS revenue_cents,
+       COUNT(*)::BIGINT AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume customers: groupBy-having semi-join into
+    the fact, then global top-100. The having-set is tiny, so it broadcasts
+    back against orders — no second fact shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 100)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("totalprice_cents"),
+            F.col("sum_qty").cast("long").alias("sum_qty"),
+        )
+    )
+
+
+O_TPCH_Q18 = """
+WITH big AS (
+  SELECT l_orderkey, SUM(l_quantity) AS sum_qty FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+SELECT o_orderkey, o_custkey, o_orderdate,
+       round(o_totalprice * 100)::BIGINT AS totalprice_cents,
+       sum_qty::BIGINT AS sum_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+def q_gram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index statistics: postings, distinct grams/blocks, occurrence
+    mass, and the heaviest posting list. These are the planner inputs the
+    scale path needs (posting-skew detection, broadcast-threshold choice);
+    at 100 TB the distinct counts swap to approx_count_distinct and the
+    max-df to a sketch without changing the query shape."""
+    g = _doc_gram_index(spark, sf_dir)
+    totals = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_postings"),
+        F.countDistinct("node_id").cast("long").alias("n_blocks"),
+        F.sum("occurrences").cast("long").alias("total_occurrences"),
+    )
+    per_gram = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    gstats = per_gram.agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.max("df").cast("long").alias("max_df"),
+    )
+    return totals.crossJoin(gstats)
+
+
+O_GRAM_STATS = f"""
+WITH {_DOC_GRAMS_CTE},
+per_gram AS (SELECT gram, COUNT(*)::BIGINT AS df FROM doc_grams GROUP BY gram)
+SELECT (SELECT COUNT(*) FROM doc_grams)::BIGINT AS n_postings,
+       (SELECT COUNT(DISTINCT node_id) FROM doc_grams)::BIGINT AS n_blocks,
+       (SELECT SUM(occurrences) FROM doc_grams)::BIGINT AS total_occurrences,
+       COUNT(*)::BIGINT AS n_grams,
+       MAX(df)::BIGINT AS max_df
+FROM per_gram
+"""
+
+
+def q_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 of the ad-hoc search under the reference's Overlap ordering
+    (desc intersection, desc a, desc b; data.rs:588-596) with node_id as
+    the final tiebreak so the selected set is deterministic."""
+    out = search(spark, _doc_gram_index(spark, sf_dir), SEARCH_TERM)
+    w = Window.orderBy(
+        F.desc("intersection"), F.desc("a"), F.desc("b"), F.asc("node_id")
+    )
+    return (
+        out.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select(
+            F.col("node_id").cast("long"), "a", "b", "intersection", "score",
+            F.col("rk").cast("long"),
+        )
+    )
+
+
+O_SEARCH_TOPK = (
+    "WITH hits AS (" + _search_oracle(SEARCH_TERM, trim=True, min_score=0.3) + ") "
+    "SELECT node_id, a, b, intersection, score, rk FROM ("
+    "  SELECT *, ROW_NUMBER() OVER (ORDER BY intersection DESC, a DESC, b DESC, node_id) AS rk"
+    "  FROM hits) WHERE rk <= 20"
+)
+
+
+def q_display_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """is_span/is_block/is_link (lib.rs:347-386) over a synthetic node graph
+    derived from documents: kind from doc_id % 5, styled wrappers point at
+    child (doc_id*2+1) mod N — a functional graph with real wrapper chains
+    and styled cycles. links_to_block marks span wrappers whose child
+    resolves to a block (the reference's is_link)."""
+    from assemblagedb_spark.operators.traversal import display_class
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n_docs = docs.count()
+    kind = F.element_at(
+        F.array(
+            F.lit("text"), F.lit("chain"), F.lit("page"),
+            F.lit("span_styled"), F.lit("block_styled"),
+        ),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    nodes = docs.select(
+        F.col("doc_id").alias("node_id"),
+        kind.alias("kind"),
+        F.when(
+            F.col("doc_id") % 5 >= 3, (F.col("doc_id") * 2 + 1) % n_docs
+        ).alias("child_id"),
+    )
+    classes = display_class(nodes, max_iter=8)
+    child_class = classes.select(
+        F.col("node_id").alias("child_id"),
+        F.col("display_class").alias("child_class"),
+    )
+    return (
+        classes.join(child_class, "child_id", "left")
+        .select(
+            F.col("node_id").cast("long"),
+            "kind",
+            "display_class",
+            F.coalesce(
+                (F.col("kind") == "span_styled") & (F.col("child_class") == "block"),
+                F.lit(False),
+            ).alias("links_to_block"),
+        )
+    )
+
+
+O_DISPLAY_CLASS = """
+WITH RECURSIVE nodes AS (
+  SELECT doc_id AS node_id,
+         CASE doc_id % 5 WHEN 0 THEN 'text' WHEN 1 THEN 'chain' WHEN 2 THEN 'page'
+              WHEN 3 THEN 'span_styled' ELSE 'block_styled' END AS kind,
+         CASE WHEN doc_id % 5 >= 3
+              THEN (doc_id * 2 + 1) % (SELECT COUNT(*) FROM documents) END AS child_id
+  FROM documents),
+chase AS (
+  SELECT node_id, child_id AS cur, 1 AS depth FROM nodes WHERE kind = 'span_styled'
+  UNION ALL
+  SELECT c.node_id, n.child_id, c.depth + 1
+  FROM chase c JOIN nodes n ON n.node_id = c.cur
+  WHERE n.kind = 'span_styled' AND c.depth < 8
+),
+resolved AS (
+  SELECT c.node_id,
+         CASE WHEN n.kind IN ('text', 'chain') THEN 'span' ELSE 'block' END AS dc
+  FROM chase c JOIN nodes n ON n.node_id = c.cur
+  WHERE n.kind <> 'span_styled'
+),
+classes AS (
+  SELECT n.node_id, n.kind, n.child_id,
+         CASE WHEN n.kind IN ('text', 'chain') THEN 'span'
+              WHEN n.kind IN ('page', 'block_styled') THEN 'block'
+              ELSE COALESCE(r.dc, 'block') END AS display_class
+  FROM nodes n LEFT JOIN resolved r ON r.node_id = n.node_id
+)
+SELECT c.node_id, c.kind, c.display_class,
+       COALESCE(c.kind = 'span_styled' AND cc.display_class = 'block', FALSE)
+         AS links_to_block
+FROM classes c LEFT JOIN classes cc ON cc.node_id = c.child_id
+"""
+
+
 def q_gram_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance (Diff::new, index.rs:768-813): the
     postings delta between a before-state (docs with doc_id % 4 != 0) and
@@ -1840,6 +2091,12 @@ SPARK_QUERIES = {
     "events_tumbling": q_events_tumbling,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q18": q_tpch_q18,
+    "gram_stats": q_gram_stats,
+    "search_topk": q_search_topk,
+    "display_class": q_display_class,
     "multimodal_meta": q_multimodal_meta,
     "gram_index_delta": q_gram_index_delta,
     "graph_orphans": q_graph_orphans,
@@ -1894,6 +2151,12 @@ ORACLES = {
     "events_tumbling": O_EVENTS_TUMBLING,
     "tpch_q1": O_TPCH_Q1,
     "tpch_q3": O_TPCH_Q3,
+    "tpch_q5": O_TPCH_Q5,
+    "tpch_q6": O_TPCH_Q6,
+    "tpch_q18": O_TPCH_Q18,
+    "gram_stats": O_GRAM_STATS,
+    "search_topk": O_SEARCH_TOPK,
+    "display_class": O_DISPLAY_CLASS,
     "multimodal_meta": O_MULTIMODAL_META,
     "gram_index_delta": O_GRAM_INDEX_DELTA,
     "graph_orphans": O_GRAPH_ORPHANS,

@@ -579,3 +579,51 @@ def siblings_escalated(
             F.coalesce("after_id", "esc_after").alias("after_id"),
         )
     )
+
+
+def display_class(nodes: DataFrame, *, max_iter: int = 8) -> DataFrame:
+    """Resolve the reference's display-class recursion (``is_span`` /
+    ``is_block``, assemblage_db/src/lib.rs:347-380) over a node relation
+    ``(node_id, kind, child_id)``.
+
+    ``kind`` ∈ {text, chain, page, span_styled, block_styled}; ``child_id``
+    is a styled wrapper's single child (null otherwise). Text and chain
+    lists render as spans, page lists and block-styled wrappers as blocks;
+    a span-styled wrapper takes the class of its child — a recursion the
+    reference guards with a visited set. Here the recursion is a pointer
+    chase: each round joins the unresolved set against the node relation
+    once, resolving every wrapper whose chase reached a non-wrapper.
+    Wrappers still unresolved after ``max_iter`` hops closed a styled cycle
+    and fall back to block, matching the reference's cycle guard.
+
+    Scale design: the unresolved set only ever shrinks and the chase is one
+    equi-join per round on ``node_id`` — no growing visited state. For real
+    documents wrapper chains are O(1) deep, so ``max_iter`` rounds is a
+    fixed 8-join lazy plan, one job at action time.
+    """
+    base = (
+        F.when(F.col("kind").isin("text", "chain"), F.lit("span"))
+        .when(F.col("kind").isin("page", "block_styled"), F.lit("block"))
+    )
+    lut = nodes.select("node_id", base.alias("dc"), "child_id")
+    done = lut.filter(F.col("dc").isNotNull()).select("node_id", "dc")
+    todo = lut.filter(F.col("dc").isNull()).select(
+        "node_id", F.col("child_id").alias("cur")
+    )
+    step = lut.select(
+        F.col("node_id").alias("cur"), "dc", F.col("child_id").alias("nxt")
+    )
+    for _ in range(max_iter):
+        probed = todo.join(step, "cur")
+        done = done.unionByName(
+            probed.filter(F.col("dc").isNotNull()).select("node_id", "dc")
+        )
+        todo = probed.filter(F.col("dc").isNull()).select(
+            "node_id", F.col("nxt").alias("cur")
+        )
+    done = done.unionByName(todo.select("node_id", F.lit("block").alias("dc")))
+    # left join + coalesce: a dangling child pointer (chase row dropped by
+    # the inner probe join) classifies as block rather than vanishing
+    return nodes.join(done, "node_id", "left").select(
+        *nodes.columns, F.coalesce("dc", F.lit("block")).alias("display_class")
+    )

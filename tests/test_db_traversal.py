@@ -208,3 +208,44 @@ def test_has_shared_descendants():
     assert db.has_shared_descendants_until_links(p1)
     solo = db.add(Node.list(PAGE, [Node.text_node("only")]))
     assert not db.has_shared_descendants_until_links(solo)
+
+
+def test_display_class_resolution(spark):
+    """is_span/is_block recursion (lib.rs:347-380): text/chain are spans,
+    page/block-styled are blocks, span-styled wrappers take the child's
+    class through arbitrary wrapper chains; a styled cycle is a block."""
+    from assemblagedb_spark.operators.traversal import display_class
+
+    rows = [
+        ("t", "text", None),
+        ("c", "chain", None),
+        ("p", "page", None),
+        ("bs", "block_styled", "t"),
+        # wrapper chain: w1 -> w2 -> t  (span)
+        ("w1", "span_styled", "w2"),
+        ("w2", "span_styled", "t"),
+        # wrapper over a block: link shape
+        ("w3", "span_styled", "p"),
+        # styled 2-cycle
+        ("x", "span_styled", "y"),
+        ("y", "span_styled", "x"),
+        # dangling child pointer
+        ("d", "span_styled", "ghost"),
+    ]
+    nodes = spark.createDataFrame(rows, "node_id string, kind string, child_id string")
+    got = {
+        r["node_id"]: r["display_class"]
+        for r in display_class(nodes, max_iter=8).collect()
+    }
+    assert got == {
+        "t": "span",
+        "c": "span",
+        "p": "block",
+        "bs": "block",
+        "w1": "span",
+        "w2": "span",
+        "w3": "block",
+        "x": "block",
+        "y": "block",
+        "d": "block",
+    }
