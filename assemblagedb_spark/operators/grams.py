@@ -49,6 +49,43 @@ def grams_array_arrow(text_col: str) -> Column:
     return _grams(text_col)
 
 
+def gram_multiset_arrow(text_col: str) -> Column:
+    """STRUCT<grams ARRAY<BIGINT>, counts ARRAY<INT>> of per-text distinct
+    grams + multiset counts, computed inside one Arrow batch (numpy sliding
+    windows + ``np.unique``). Because the indexing unit is the input row,
+    this IS the final (node_id, gram)-level aggregate — no explode of the
+    raw gram stream and no shuffle are needed afterwards."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StructField, StructType,
+    )
+
+    out_type = StructType(
+        [
+            StructField("grams", ArrayType(LongType())),
+            StructField("counts", ArrayType(IntegerType())),
+        ]
+    )
+
+    @pandas_udf(out_type)
+    def _gram_multiset(s: pd.Series) -> pd.DataFrame:
+        w = np.array([1 << 24, 1 << 16, 1 << 8, 1], dtype=np.int64)
+        grams, counts = [], []
+        for t in s:
+            b = np.frombuffer(
+                bytes(3) + (t or "").encode("utf-8") + bytes(3), dtype=np.uint8
+            ).astype(np.int64)
+            u, c = np.unique(
+                np.lib.stride_tricks.sliding_window_view(b, 4) @ w,
+                return_counts=True,
+            )
+            grams.append(u.tolist())
+            counts.append(c.astype(np.int32).tolist())
+        return pd.DataFrame({"grams": grams, "counts": counts})
+
+    return _gram_multiset(text_col)
+
+
 def block_grams(
     blocks: DataFrame,
     id_col: str = "node_id",
@@ -60,14 +97,32 @@ def block_grams(
 
     One row per distinct gram per block; ``occurrences`` is the multiset
     count, which the search kernel needs for min(q_occ, m_occ) accumulation
-    (reference ``index.rs:219-226``). ``impl='arrow'`` (default) grams with
-    the numpy sliding-window kernel — ~2× faster than the interpreted JVM
-    higher-order expression and byte-exact on non-ASCII; ``impl='jvm'``
-    keeps the build pure-SQL (no Python workers in the stage).
+    (reference ``index.rs:219-226``).
+
+    ``impl='arrow'`` (default): the whole per-block aggregation happens
+    inside the Arrow kernel (``np.unique`` per row), so the plan is scan →
+    project → explode — zero shuffles; the raw gram stream (~1 row per text
+    byte) never materializes. Byte-exact on non-ASCII (operates on UTF-8
+    bytes). ``impl='jvm'`` keeps the build pure-SQL (no Python workers):
+    explode + map-side-combining groupBy, one shuffle.
     """
-    gram_col = grams_array_arrow if impl == "arrow" else grams_array
+    if impl == "arrow":
+        return (
+            blocks.select(
+                F.col(id_col).alias("node_id"),
+                gram_multiset_arrow(text_col).alias("m"),
+            )
+            .select(
+                "node_id", F.explode(F.arrays_zip("m.grams", "m.counts")).alias("z")
+            )
+            .select(
+                "node_id",
+                F.col("z.grams").alias("gram"),
+                F.col("z.counts").alias("occurrences"),
+            )
+        )
     return (
-        blocks.select(F.col(id_col).alias("node_id"), gram_col(text_col).alias("grams"))
+        blocks.select(F.col(id_col).alias("node_id"), grams_array(text_col).alias("grams"))
         .select("node_id", F.explode("grams").alias("gram"))
         .groupBy("node_id", "gram")
         .agg(F.count(F.lit(1)).cast("int").alias("occurrences"))
