@@ -291,6 +291,77 @@ def q_mvcc_last_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_MVCC_LAST_UPDATED = "SELECT MAX(epoch_us(ts))::BIGINT AS last_updated FROM events"
 
 
+def q_mvcc_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """restore (core.rs:552-594): for keys whose current version is a
+    tombstone, the latest non-removed payload — the row a restore txn
+    re-appends to resurrect the key."""
+    ev = _events_versioned(spark, sf_dir)
+    out = mvcc.restore_candidates(
+        ev, ["user_id"], ts="ts", tiebreak=["event_id"]
+    )
+    return out.select(*_EV_COLS)
+
+
+O_MVCC_RESTORE = """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+trashed AS (SELECT user_id FROM ranked WHERE rn = 1 AND event_type = 'error'),
+live AS (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_type <> 'error')
+SELECT l.user_id, l.event_id, l.event_type, l.value
+FROM live l JOIN trashed USING (user_id) WHERE l.rn = 1
+"""
+
+
+def q_broadcast_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """update_broadcasts (index.rs:88-171): which broadcasts must re-push
+    because their exported set intersects the changed set. Broadcasts =
+    nations exporting their customer ids; changed = customers with negative
+    balance. The reference checks HashSet disjointness per broadcast; at
+    scale that is a semi-join of the exported-ids relation against the
+    changed set, aggregated per broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    exported = c.select(
+        F.concat(F.lit("N"), F.col("c_nationkey")).alias("broadcast_id"),
+        "c_custkey",
+    )
+    changed = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    hits = (
+        exported.join(changed, "c_custkey")
+        .groupBy("broadcast_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_changed"))
+    )
+    return (
+        exported.groupBy("broadcast_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exported"))
+        .join(hits, "broadcast_id", "left")
+        .select(
+            "broadcast_id",
+            "n_exported",
+            F.coalesce("n_changed", F.lit(0)).cast("long").alias("n_changed"),
+            (F.coalesce("n_changed", F.lit(0)) > 0).alias("needs_push"),
+        )
+    )
+
+
+O_BROADCAST_UPDATE = """
+WITH exported AS (SELECT 'N' || c_nationkey AS broadcast_id, c_custkey FROM customer),
+changed AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0),
+hits AS (
+  SELECT broadcast_id, COUNT(*)::BIGINT AS n_changed
+  FROM exported JOIN changed USING (c_custkey) GROUP BY broadcast_id)
+SELECT e.broadcast_id, COUNT(*)::BIGINT AS n_exported,
+       COALESCE(MAX(h.n_changed), 0)::BIGINT AS n_changed,
+       COALESCE(MAX(h.n_changed), 0) > 0 AS needs_push
+FROM exported e LEFT JOIN hits h ON h.broadcast_id = e.broadcast_id
+GROUP BY e.broadcast_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Graph traversal (SURVEY §2.2/2.3) over the FK-hierarchy graph
 # ---------------------------------------------------------------------------
@@ -378,6 +449,52 @@ up(start_id, ancestor_id, depth) AS (
   SELECT u.start_id, e.parent_id, u.depth + 1 FROM up u JOIN edges e ON e.child_id = u.ancestor_id
 )
 SELECT start_id, ancestor_id, depth::BIGINT AS depth FROM up
+"""
+
+
+def q_view_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineage (view lib.rs:602-616): the ordered ancestor chain of sampled
+    leaves rendered as a path string (nearest parent first), plus depth —
+    the descent-path half of the view layer's branch links."""
+    e = _graph_edges(spark, sf_dir, include_lineitem=True)
+    starts = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .select(
+            F.concat(
+                F.lit("L"), F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber")
+            ).alias("node_id")
+        )
+        .distinct()
+    )
+    anc = ancestors(
+        e, starts, exact_depth=4, assume_forest=True, broadcast_frontier=True
+    )
+    path = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("depth", "ancestor_id"))),
+            lambda s: s["ancestor_id"],
+        ),
+        "/",
+    )
+    return anc.groupBy("start_id").agg(
+        path.alias("path"), F.max("depth").cast("long").alias("n_ancestors")
+    )
+
+
+O_VIEW_LINEAGE = f"""
+WITH RECURSIVE edges AS ({duckdb_graph_edges_cte(True)}),
+starts(node_id) AS (
+  SELECT DISTINCT 'L' || l_orderkey || '-' || l_linenumber FROM lineitem WHERE l_orderkey % 100 = 0
+),
+up(start_id, ancestor_id, depth) AS (
+  SELECT s.node_id, e.parent_id, 1 FROM starts s JOIN edges e ON e.child_id = s.node_id
+  UNION ALL
+  SELECT u.start_id, e.parent_id, u.depth + 1 FROM up u JOIN edges e ON e.child_id = u.ancestor_id
+)
+SELECT start_id, string_agg(ancestor_id, '/' ORDER BY depth) AS path,
+       MAX(depth)::BIGINT AS n_ancestors
+FROM up GROUP BY start_id
 """
 
 
@@ -2072,6 +2189,9 @@ SPARK_QUERIES = {
     "mvcc_versions": q_mvcc_versions,
     "mvcc_live_keys": q_mvcc_live_keys,
     "mvcc_last_updated": q_mvcc_last_updated,
+    "mvcc_restore": q_mvcc_restore,
+    "broadcast_update": q_broadcast_update,
+    "view_lineage": q_view_lineage,
     "graph_parents": q_graph_parents,
     "graph_descendants": q_graph_descendants,
     "graph_ancestor_path": q_graph_ancestor_path,
@@ -2132,6 +2252,9 @@ ORACLES = {
     "mvcc_versions": O_MVCC_VERSIONS,
     "mvcc_live_keys": O_MVCC_LIVE_KEYS,
     "mvcc_last_updated": O_MVCC_LAST_UPDATED,
+    "mvcc_restore": O_MVCC_RESTORE,
+    "broadcast_update": O_BROADCAST_UPDATE,
+    "view_lineage": O_VIEW_LINEAGE,
     "graph_parents": O_GRAPH_PARENTS,
     "graph_descendants": O_GRAPH_DESCENDANTS,
     "graph_ancestor_path": O_GRAPH_ANCESTOR_PATH,

@@ -108,3 +108,34 @@ def merge_compact(
 def last_updated(df: DataFrame, ts: str = "ts") -> DataFrame:
     """Max commit timestamp (kv lib.rs:435-443)."""
     return df.agg(F.max(ts).alias("last_updated"))
+
+
+def restore_candidates(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str = "ts",
+    removed: str = "is_removed",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Un-tombstone payloads (``restore``, assemblage_db/src/core.rs:552-594,
+    index.rs:434-447): for every key whose *current* version is a tombstone,
+    the latest non-removed payload — the row the restore transaction
+    re-appends (with a fresh commit ts) to resurrect the key.
+
+    Scale design: both ranks ride the same (key, ts desc) sort, so the plan
+    is one shuffle + one sort, and the tombstoned-key set joins back as a
+    broadcast semi-join when small (the common case: restores touch few
+    keys).
+    """
+    w = _version_window(keys, ts, tiebreak)
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    trashed = (
+        ranked.filter((F.col("__rn") == 1) & F.col(removed)).select(*keys)
+    )
+    live = (
+        df.filter(~F.col(removed))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return live.join(F.broadcast(trashed), list(keys))

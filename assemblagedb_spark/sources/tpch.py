@@ -97,16 +97,19 @@ def graph_edges(spark: SparkSession, sf_dir: str, include_lineitem: bool = True)
         ),
     ]
     if include_lineitem:
+        # lineitem contains duplicate (orderkey, linenumber) pairs; graph
+        # identity is the synthesized id, so duplicate edges collapse. Only
+        # this slice needs the dedup shuffle — the FK parts above are unique
+        # by construction (child ids are table PKs), so deduping the whole
+        # union would shuffle every edge for nothing.
         parts.append(
             t["lineitem"].select(
                 F.concat(F.lit("O"), F.col("l_orderkey")).alias("parent_id"),
                 F.concat(F.lit("L"), F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber")).alias("child_id"),
                 F.col("l_linenumber").cast("int").alias("idx"),
-            )
+            ).distinct()
         )
-    # lineitem contains duplicate (orderkey, linenumber) pairs; graph identity
-    # is the synthesized id, so duplicate edges are collapsed.
-    return reduce(DataFrame.unionByName, parts).distinct()
+    return reduce(DataFrame.unionByName, parts)
 
 
 def duckdb_graph_edges_cte(include_lineitem: bool = True) -> str:
