@@ -37,8 +37,12 @@ BENCH_QUERIES = [
     "graph_descendants",
     "graph_ancestor_path",
     "siblings",
+    "display_class",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q18",
 ]
 
 

@@ -80,3 +80,36 @@ def test_ann_topk_scores_without_materializing_cross_join(spark, sf_dir):
     plan = formatted_plan(h.q_ann_topk(spark, sf_dir))
     assert "MapInPandas" in plan
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_tpch_q5_broadcasts_both_dims(spark, sf_dir):
+    # supplier and the region+nation lookup are dims — no fact-side shuffle
+    # may be spent on them
+    plan = formatted_plan(h.q_tpch_q5(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_tpch_q6_pushes_whole_predicate(spark, sf_dir):
+    # scan + filter + agg: every conjunct must reach the parquet scan, and
+    # only the referenced columns may be read
+    df = h.q_tpch_q6(spark, sf_dir)
+    assert has_pushed_filters(df)
+    cols = read_schema_columns(df)
+    assert set(cols) <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_tpch_q18_broadcasts_having_set(spark, sf_dir):
+    assert uses_broadcast_join(h.q_tpch_q18(spark, sf_dir))
+
+
+def test_display_class_stays_jvm_side(spark, sf_dir):
+    assert python_stages(h.q_display_class(spark, sf_dir)) == []
+
+
+def test_gram_index_build_is_shuffle_free(spark, sf_dir):
+    # the Arrow kernel pre-aggregates per block: scan → project → explode,
+    # zero exchanges
+    from assemblagedb_spark.operators.grams import block_grams
+
+    docs = h._doc_blocks(spark, sf_dir)
+    assert count_exchanges(block_grams(docs)) == 0
