@@ -950,6 +950,32 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day × event_type ROLLUP over the events stream: per-cell, per-day and
+    grand-total aggregates in one pass (grouping-sets coverage beyond the
+    reference's flat aggregates; one shuffle, partials expanded map-side).
+    grouping_id disambiguates subtotal rows from genuine NULL groups."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day_bucket", F.expr("ts div 86400000000000"))
+        .rollup("day_bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+O_EVENTS_ROLLUP = """
+SELECT epoch_ns(ts) // 86400000000000 AS day_bucket, event_type,
+       COUNT(*)::BIGINT AS n,
+       SUM(round(value * 100)::BIGINT)::BIGINT AS sum_value_cents,
+       GROUPING(epoch_ns(ts) // 86400000000000, event_type)::BIGINT AS gid
+FROM events GROUP BY ROLLUP (1, 2)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational coverage (free from Spark SQL; benched headline queries)
 # ---------------------------------------------------------------------------
@@ -2209,6 +2235,7 @@ SPARK_QUERIES = {
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
     "events_tumbling": q_events_tumbling,
+    "events_rollup": q_events_rollup,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
@@ -2272,6 +2299,7 @@ ORACLES = {
     "text_lang_id": _o_text_lang_id(),
     "text_fingerprint": O_TEXT_FINGERPRINT,
     "events_tumbling": O_EVENTS_TUMBLING,
+    "events_rollup": O_EVENTS_ROLLUP,
     "tpch_q1": O_TPCH_Q1,
     "tpch_q3": O_TPCH_Q3,
     "tpch_q5": O_TPCH_Q5,
