@@ -1967,6 +1967,140 @@ SELECT 'O' || l_orderkey AS root_id, section_idx,
 FROM numbered GROUP BY l_orderkey, section_idx
 """
 
+def q_view_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full tile assembly (view lib.rs:460-588, SURVEY §3.3) for sampled
+    order roots: section count (run-length over shared flags), preview
+    (first non-blank subsection), and sibling *branches* — nearest non-blank
+    siblings under shared P-parents, deduped against ids already in view
+    (lib.rs:480-529). One tile row per root; every component shares the
+    lines digest, so the plan is two window passes + three aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.max((F.col("l_partkey") % 3 == 0).cast("int")).alias("shared_i"),
+            (F.max("l_quantity") < 5).alias("is_blank"),
+        )
+        .persist()
+    )
+    sampled = lines.filter(F.col("l_orderkey") % 10 == 0)
+    # sections: same run-length rule as q_view_sections
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    prev_sh = F.lag("shared_i").over(w)
+    new_sec = (prev_sh.isNull() | (F.col("shared_i") == 1) | (prev_sh == 1)).cast("long")
+    nsec = (
+        sampled.withColumn("new_sec", new_sec)
+        .groupBy("l_orderkey")
+        .agg(F.sum("new_sec").cast("long").alias("n_sections"))
+    )
+    # preview: first non-blank subsection in idx order, else 'empty'
+    line_id = F.concat(F.lit("L"), F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber"))
+    pv = sampled.groupBy("l_orderkey").agg(
+        F.coalesce(
+            F.min(
+                F.when(~F.col("is_blank"), F.struct(F.col("l_linenumber").alias("i"), line_id.alias("c")))
+            )["c"],
+            F.lit("empty"),
+        ).alias("preview_id")
+    )
+    # branches: nearest non-blank siblings under shared P-parents
+    pe = (
+        li.filter(F.col("l_partkey") % 3 == 0)
+        .select("l_partkey", "l_orderkey", "l_linenumber")
+        .distinct()
+        .join(lines.select("l_orderkey", "l_linenumber", "is_blank"), ["l_orderkey", "l_linenumber"])
+        .withColumn("child_id", line_id)
+    )
+    pw = Window.partitionBy("l_partkey").orderBy("l_linenumber", "child_id")
+    elig = F.when(
+        ~F.col("is_blank"),
+        F.struct(
+            F.col("l_linenumber").alias("i"),
+            F.col("child_id").alias("c"),
+            F.col("l_orderkey").alias("o"),
+        ),
+    )
+    sib = pe.withColumn(
+        "bef", F.max(elig).over(pw.rowsBetween(Window.unboundedPreceding, -1))
+    ).withColumn(
+        "aft", F.min(elig).over(pw.rowsBetween(1, Window.unboundedFollowing))
+    ).filter(F.col("l_orderkey") % 10 == 0)
+    cands = sib.filter(F.col("bef").isNotNull()).select(
+        F.col("l_orderkey").alias("root_ok"), F.col("bef.c").alias("bid"), F.col("bef.o").alias("bok")
+    ).unionByName(
+        sib.filter(F.col("aft").isNotNull()).select(
+            F.col("l_orderkey").alias("root_ok"), F.col("aft.c").alias("bid"), F.col("aft.o").alias("bok")
+        )
+    )
+    br = (
+        cands.filter(F.col("bok") != F.col("root_ok"))
+        .groupBy("root_ok")
+        .agg(F.countDistinct("bid").cast("long").alias("n_branches"))
+        .withColumnRenamed("root_ok", "l_orderkey")
+    )
+    return (
+        nsec.join(pv, "l_orderkey")
+        .join(br, "l_orderkey", "left")
+        .select(
+            F.concat(F.lit("O"), F.col("l_orderkey")).alias("root_id"),
+            "n_sections",
+            "preview_id",
+            F.coalesce("n_branches", F.lit(0)).cast("long").alias("n_branches"),
+        )
+    )
+
+
+O_VIEW_TILE = """
+WITH lines AS (
+  SELECT l_orderkey, l_linenumber,
+         MAX(CASE WHEN l_partkey % 3 = 0 THEN 1 ELSE 0 END) AS shared_i,
+         (MAX(l_quantity) < 5) AS is_blank
+  FROM lineitem GROUP BY 1, 2),
+sampled AS (SELECT * FROM lines WHERE l_orderkey % 10 = 0),
+flagged AS (
+  SELECT l_orderkey, shared_i,
+         CASE WHEN lag(shared_i) OVER w IS NULL OR shared_i = 1
+                   OR lag(shared_i) OVER w = 1 THEN 1 ELSE 0 END AS new_sec
+  FROM sampled WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)),
+nsec AS (SELECT l_orderkey, SUM(new_sec)::BIGINT AS n_sections FROM flagged GROUP BY 1),
+pv AS (
+  SELECT l_orderkey,
+         COALESCE((MIN(CASE WHEN NOT is_blank
+             THEN {'i': l_linenumber, 'c': 'L' || l_orderkey || '-' || l_linenumber} END)).c,
+           'empty') AS preview_id
+  FROM sampled GROUP BY 1),
+pe AS (
+  SELECT pp.l_partkey, pp.l_orderkey, pp.l_linenumber, l.is_blank,
+         'L' || pp.l_orderkey || '-' || pp.l_linenumber AS child_id
+  FROM (SELECT DISTINCT l_partkey, l_orderkey, l_linenumber FROM lineitem
+        WHERE l_partkey % 3 = 0) pp
+  JOIN lines l USING (l_orderkey, l_linenumber)),
+sib AS (
+  SELECT *,
+         (MAX(CASE WHEN NOT is_blank
+              THEN {'i': l_linenumber, 'c': child_id, 'o': l_orderkey} END)
+            OVER (PARTITION BY l_partkey ORDER BY l_linenumber, child_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS bef,
+         (MIN(CASE WHEN NOT is_blank
+              THEN {'i': l_linenumber, 'c': child_id, 'o': l_orderkey} END)
+            OVER (PARTITION BY l_partkey ORDER BY l_linenumber, child_id
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)) AS aft
+  FROM pe),
+cands AS (
+  SELECT l_orderkey AS root_ok, bef.c AS bid, bef.o AS bok
+  FROM sib WHERE l_orderkey % 10 = 0 AND bef IS NOT NULL
+  UNION ALL
+  SELECT l_orderkey, aft.c, aft.o FROM sib WHERE l_orderkey % 10 = 0 AND aft IS NOT NULL),
+br AS (
+  SELECT root_ok, COUNT(DISTINCT bid)::BIGINT AS n_branches
+  FROM cands WHERE bok <> root_ok GROUP BY 1)
+SELECT 'O' || n.l_orderkey AS root_id, n.n_sections, p.preview_id,
+       COALESCE(b.n_branches, 0)::BIGINT AS n_branches
+FROM nsec n JOIN pv p USING (l_orderkey)
+LEFT JOIN br b ON b.root_ok = n.l_orderkey
+"""
+
+
 _BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
@@ -2259,6 +2393,7 @@ SPARK_QUERIES = {
     "graph_blank": q_graph_blank,
     "export_incremental": q_export_incremental,
     "view_sections": q_view_sections,
+    "view_tile": q_view_tile,
     "siblings_escalated": q_siblings_escalated,
     "markup_roundtrip": q_markup_roundtrip,
     "text_token_bpe": q_text_token_bpe,
@@ -2323,6 +2458,7 @@ ORACLES = {
     "graph_blank": O_GRAPH_BLANK,
     "export_incremental": O_EXPORT_INCREMENTAL,
     "view_sections": O_VIEW_SECTIONS,
+    "view_tile": O_VIEW_TILE,
     "siblings_escalated": O_SIBLINGS_ESCALATED,
     "markup_roundtrip": O_MARKUP_ROUNDTRIP,
     "text_token_bpe": O_TEXT_TOKEN_BPE,

@@ -28,6 +28,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "events_sessions",
+    "view_tile",
     "graph_preview",
     "text_quality",
     "text_lang_id",
