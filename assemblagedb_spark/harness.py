@@ -1318,6 +1318,47 @@ SELECT node_id, gram, occurrences FROM doc_grams WHERE node_id % 4 = 0
 """
 
 
+def q_reindex_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent-bounded re-index (update_parent_index, index.rs:242-284):
+    after edits to member docs (doc_id % 7 == 0), re-gram only the affected
+    parent blocks. Parent text = ordered chain-concat of member texts, then
+    gram — the concatenate-then-gram equivalence of the reference's 3-gram
+    boundary splice (index.rs:722-743, SURVEY §7 #4). The changed-parent
+    set broadcasts, so untouched parents are never assembled."""
+    from assemblagedb_spark.operators.grams import block_grams
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.expr("doc_id div 10").alias("grp"), "doc_id", "text"
+    )
+    changed = d.filter(F.col("doc_id") % 7 == 0).select("grp").distinct()
+    chain = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+            lambda s: s["text"],
+        ),
+        "",
+    )
+    affected = (
+        d.join(F.broadcast(changed), "grp").groupBy("grp").agg(chain.alias("text"))
+    )
+    return block_grams(affected, id_col="grp", text_col="text").select(
+        F.col("node_id").cast("long"), "gram", F.col("occurrences").cast("long")
+    )
+
+
+O_REINDEX_PARENTS = f"""
+WITH changed AS (SELECT DISTINCT doc_id // 10 AS grp FROM documents WHERE doc_id % 7 = 0),
+gtext AS (
+  SELECT doc_id // 10 AS grp, string_agg(text, '' ORDER BY doc_id) AS text
+  FROM documents GROUP BY 1),
+affected AS (SELECT g.grp, g.text FROM gtext g JOIN changed c USING (grp)),
+g AS (
+  SELECT grp, {gram_term_sql('text', 'i')} AS gram
+  FROM (SELECT grp, text, unnest(range(-2, length(text) + 1)) AS i FROM affected))
+SELECT grp AS node_id, gram, COUNT(*)::BIGINT AS occurrences FROM g GROUP BY 1, 2
+"""
+
+
 def q_graph_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orphan reachability (the distributed form of the swap obsolete-subtree
     fixpoint, core.rs:440-471): graph nodes NOT reachable from the region
@@ -2380,6 +2421,7 @@ SPARK_QUERIES = {
     "display_class": q_display_class,
     "multimodal_meta": q_multimodal_meta,
     "gram_index_delta": q_gram_index_delta,
+    "reindex_parents": q_reindex_parents,
     "graph_orphans": q_graph_orphans,
     "events_sessions": q_events_sessions,
     "dedup_minhash_est": q_dedup_minhash_est,
@@ -2445,6 +2487,7 @@ ORACLES = {
     "display_class": O_DISPLAY_CLASS,
     "multimodal_meta": O_MULTIMODAL_META,
     "gram_index_delta": O_GRAM_INDEX_DELTA,
+    "reindex_parents": O_REINDEX_PARENTS,
     "graph_orphans": O_GRAPH_ORPHANS,
     "events_sessions": O_EVENTS_SESSIONS,
     "dedup_minhash_est": O_DEDUP_MINHASH_EST,
