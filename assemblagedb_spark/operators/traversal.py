@@ -54,10 +54,10 @@ def descendants(
     the frontier's size estimate is unknown mid-iteration.
     """
     if assume_forest and max_depth is not None:
-        # bounded forest walk: lineage is max_depth joins deep — no probes,
-        # no per-level materialization, the whole closure is ONE lazy plan
-        # (one job at action time; broadcast exchanges are reused across the
-        # union branches)
+        # bounded forest walk: each level eagerly materialized
+        # (localCheckpoint) so level d is ONE probe of the edge relation;
+        # left lazy, the union's depth-d branch would re-derive joins 1..d
+        # (O(d²/2) edge scans for the whole walk)
         e = edges.select("parent_id", "child_id")
         frontier = roots.select("node_id").distinct()
         out = frontier.withColumn("depth", F.lit(0))
@@ -65,7 +65,11 @@ def descendants(
             f = frontier.withColumnRenamed("node_id", "parent_id")
             if broadcast_frontier:
                 f = F.broadcast(f)
-            frontier = e.join(f, "parent_id").select(F.col("child_id").alias("node_id"))
+            frontier = (
+                e.join(f, "parent_id")
+                .select(F.col("child_id").alias("node_id"))
+                .localCheckpoint(eager=True)
+            )
             out = out.unionByName(frontier.withColumn("depth", F.lit(depth)))
         return out
 
@@ -130,16 +134,23 @@ def ancestors(
     scanned in place, never shuffled.
     """
     if assume_forest and exact_depth is not None:
-        # bounded forest walk — single lazy plan, no probes or caching
+        # bounded forest walk: each level's frontier is eagerly materialized
+        # (localCheckpoint — frontiers are |starts| rows), so level d is ONE
+        # probe of the parent relation. Left lazy, the union's depth-d branch
+        # would re-derive joins 1..d and the walk would cost O(d²/2) edge
+        # scans instead of d.
         parent_of = edges.select("child_id", "parent_id")
         frontier = starts.select(
             F.col("node_id").alias("start_id"), F.col("node_id").alias("current_id")
         )
         out = None
         for depth in range(1, exact_depth + 1):
-            step = (F.broadcast(frontier) if broadcast_frontier else frontier).join(
-                parent_of.withColumnRenamed("child_id", "current_id"), "current_id"
-            ).select("start_id", F.col("parent_id").alias("ancestor_id"))
+            step = (
+                (F.broadcast(frontier) if broadcast_frontier else frontier)
+                .join(parent_of.withColumnRenamed("child_id", "current_id"), "current_id")
+                .select("start_id", F.col("parent_id").alias("ancestor_id"))
+                .localCheckpoint(eager=True)
+            )
             found = step.withColumn("depth", F.lit(depth))
             out = found if out is None else out.unionByName(found)
             frontier = step.select("start_id", F.col("ancestor_id").alias("current_id"))
