@@ -592,7 +592,9 @@ def siblings_escalated(
     )
 
 
-def display_class(nodes: DataFrame, *, max_iter: int = 8) -> DataFrame:
+def display_class(
+    nodes: DataFrame, *, max_iter: int = 8, strategy: str = "doubling"
+) -> DataFrame:
     """Resolve the reference's display-class recursion (``is_span`` /
     ``is_block``, assemblage_db/src/lib.rs:347-380) over a node relation
     ``(node_id, kind, child_id)``.
@@ -601,22 +603,66 @@ def display_class(nodes: DataFrame, *, max_iter: int = 8) -> DataFrame:
     is a styled wrapper's single child (null otherwise). Text and chain
     lists render as spans, page lists and block-styled wrappers as blocks;
     a span-styled wrapper takes the class of its child — a recursion the
-    reference guards with a visited set. Here the recursion is a pointer
-    chase: each round joins the unresolved set against the node relation
-    once, resolving every wrapper whose chase reached a non-wrapper.
-    Wrappers still unresolved after ``max_iter`` hops closed a styled cycle
-    and fall back to block, matching the reference's cycle guard.
+    reference guards with a visited set. A wrapper whose chain has no
+    non-wrapper within ``max_iter`` children (a styled cycle, or deeper
+    nesting than the bound) falls back to block, matching the reference's
+    cycle guard. A dangling child pointer also classifies as block.
 
-    Scale design: the unresolved set only ever shrinks and the chase is one
-    equi-join per round on ``node_id`` — no growing visited state. For real
-    documents wrapper chains are O(1) deep, so ``max_iter`` rounds is a
-    fixed 8-join lazy plan, one job at action time.
+    ``strategy='doubling'`` (default) is pointer doubling / path
+    compression: compose the one-step relation with itself, so a
+    ``max_iter`` of 2^k costs k+1 joins instead of 2^k — ceil(log2) shuffle
+    rounds at 100 TB. ``max_iter`` is decomposed in binary, so any bound is
+    scanned EXACTLY (no overshoot past the cycle guard).
+    ``strategy='chase'`` is the literal per-hop loop: more rounds, but each
+    round only carries the shrinking unresolved set.
     """
     base = (
         F.when(F.col("kind").isin("text", "chain"), F.lit("span"))
         .when(F.col("kind").isin("page", "block_styled"), F.lit("block"))
     )
     lut = nodes.select("node_id", base.alias("dc"), "child_id")
+
+    if strategy == "doubling":
+        # T_k(x): scan the k-node chain x, child(x), ... — dc = class of the
+        # first non-wrapper found (null if all wrappers), cur = the pointer
+        # after k nodes (to continue composition). T_{a+b} = T_a then T_b.
+        def compose(a: DataFrame, b: DataFrame) -> DataFrame:
+            bb = b.select(
+                F.col("node_id").alias("cur"),
+                F.col("dc").alias("dc_b"),
+                F.col("cur").alias("cur_b"),
+            )
+            return a.join(bb, "cur", "left").select(
+                "node_id",
+                F.coalesce("dc", "dc_b").alias("dc"),
+                F.when(F.col("dc").isNotNull(), F.col("cur"))
+                .otherwise(F.col("cur_b"))
+                .alias("cur"),
+            )
+
+        t1 = lut.select("node_id", "dc", F.col("child_id").alias("cur"))
+        total, power = None, t1
+        k = max_iter
+        first = True
+        while k:
+            if k & 1:
+                total = power if first else compose(total, power)
+                first = False
+            k >>= 1
+            if k:
+                power = compose(power, power)
+        # wrapper w scans its CHILD chain: look T_{max_iter} up at child_id
+        chain = total.select(
+            F.col("node_id").alias("child_id"), F.col("dc").alias("chain_dc")
+        )
+        out = lut.join(chain, "child_id", "left").select(
+            "node_id",
+            F.coalesce("dc", "chain_dc", F.lit("block")).alias("dc"),
+        )
+        return nodes.join(out, "node_id", "left").select(
+            *nodes.columns, F.coalesce("dc", F.lit("block")).alias("display_class")
+        )
+
     done = lut.filter(F.col("dc").isNotNull()).select("node_id", "dc")
     todo = lut.filter(F.col("dc").isNull()).select(
         "node_id", F.col("child_id").alias("cur")

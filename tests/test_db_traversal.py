@@ -233,11 +233,7 @@ def test_display_class_resolution(spark):
         ("d", "span_styled", "ghost"),
     ]
     nodes = spark.createDataFrame(rows, "node_id string, kind string, child_id string")
-    got = {
-        r["node_id"]: r["display_class"]
-        for r in display_class(nodes, max_iter=8).collect()
-    }
-    assert got == {
+    want = {
         "t": "span",
         "c": "span",
         "p": "block",
@@ -249,3 +245,37 @@ def test_display_class_resolution(spark):
         "y": "block",
         "d": "block",
     }
+    for strategy in ("chase", "doubling"):
+        got = {
+            r["node_id"]: r["display_class"]
+            for r in display_class(nodes, max_iter=8, strategy=strategy).collect()
+        }
+        assert got == want, strategy
+
+
+def test_display_class_strategies_agree_on_functional_graph(spark):
+    # pseudo-random functional graph with long wrapper runs and cycles:
+    # pointer doubling must agree with the literal chase at every bound,
+    # including non-power-of-two bounds (exact binary decomposition)
+    n = 200
+    rows = [
+        (
+            str(i),
+            ["text", "span_styled", "span_styled", "page", "span_styled"][i % 5],
+            str((i * 7 + 3) % n) if i % 5 in (1, 2, 4) else None,
+        )
+        for i in range(n)
+    ]
+    nodes = spark.createDataFrame(rows, "node_id string, kind string, child_id string")
+    from assemblagedb_spark.operators.traversal import display_class
+
+    for bound in (1, 3, 8):
+        a = {
+            r["node_id"]: r["display_class"]
+            for r in display_class(nodes, max_iter=bound, strategy="chase").collect()
+        }
+        b = {
+            r["node_id"]: r["display_class"]
+            for r in display_class(nodes, max_iter=bound, strategy="doubling").collect()
+        }
+        assert a == b, bound
