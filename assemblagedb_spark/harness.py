@@ -665,6 +665,55 @@ FROM scored WHERE (intersection / LEAST(a, b)) > 0.5
 _NORM_DUCK = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
+def q_overlaps_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """store_overlaps incremental maintenance (index.rs:302-347): after an
+    edit touches blocks (doc_id % 20 == 0), recompute only THEIR overlaps
+    against the whole index and mirror the reverse edges onto affected
+    partners. The changed set broadcasts; untouched pairs are never
+    rescored."""
+    from assemblagedb_spark.operators.overlaps import overlap_pairs
+
+    g = _doc_gram_index(spark, sf_dir).filter(F.col("node_id") % 5 == 0)
+    changed = g.select("node_id").filter(F.col("node_id") % 20 == 0).distinct()
+    out = overlap_pairs(
+        g, gram_counts(g), changed=changed, broadcast_grams=True
+    )
+    return out.select(
+        F.col("src_id").cast("long"), F.col("dst_id").cast("long"),
+        "a", "b", "intersection", "score",
+    )
+
+
+O_OVERLAPS_INCREMENTAL = f"""
+WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+doc_grams AS (
+  SELECT node_id, gram, COUNT(*)::BIGINT AS occurrences FROM
+  (SELECT doc_id AS node_id, {gram_term_sql('text', 'i')} AS gram
+   FROM (SELECT doc_id, text, unnest(range(-2, length(text) + 1)) AS i FROM sub))
+  GROUP BY node_id, gram),
+counts AS (SELECT node_id, SUM(occurrences)::BIGINT AS n FROM doc_grams GROUP BY node_id),
+inter AS (
+  SELECT a.node_id AS src_id, b.node_id AS dst_id,
+         SUM(LEAST(a.occurrences, b.occurrences))::BIGINT AS i_raw
+  FROM doc_grams a JOIN doc_grams b USING (gram)
+  WHERE a.node_id % 20 = 0 AND a.node_id <> b.node_id GROUP BY 1, 2),
+scored AS (
+  SELECT src_id, dst_id,
+         (255 * ca.n // GREATEST(ca.n, cb.n))::INT AS a,
+         (255 * cb.n // GREATEST(ca.n, cb.n))::INT AS b,
+         (255 * i_raw // GREATEST(ca.n, cb.n))::INT AS intersection
+  FROM inter JOIN counts ca ON ca.node_id = src_id JOIN counts cb ON cb.node_id = dst_id),
+hits AS (
+  SELECT src_id, dst_id, a, b, intersection,
+         (intersection / LEAST(a, b)) AS score
+  FROM scored WHERE (intersection / LEAST(a, b)) > 0.5)
+SELECT DISTINCT * FROM (
+  SELECT * FROM hits
+  UNION ALL
+  SELECT dst_id, src_id, b, a, intersection, score FROM hits)
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from assemblagedb_spark.operators.dedup import exact_duplicates
 
@@ -2398,6 +2447,7 @@ SPARK_QUERIES = {
     "graph_ancestor_path": q_graph_ancestor_path,
     "siblings": q_siblings,
     "overlaps": q_overlaps,
+    "overlaps_incremental": q_overlaps_incremental,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
@@ -2464,6 +2514,7 @@ ORACLES = {
     "graph_ancestor_path": O_GRAPH_ANCESTOR_PATH,
     "siblings": O_SIBLINGS,
     "overlaps": O_OVERLAPS,
+    "overlaps_incremental": O_OVERLAPS_INCREMENTAL,
     "dedup_exact": O_DEDUP_EXACT,
     "dedup_minhash_sig": O_DEDUP_MINHASH_SIG,
     "dedup_lsh_pairs": O_DEDUP_LSH_PAIRS,
