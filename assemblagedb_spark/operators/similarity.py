@@ -223,6 +223,55 @@ def hyperplane_sketch(
     return df.select(F.col(id_col).alias("vec_id"), F.col(vec_col), F.expr(expr).alias("sketch"))
 
 
+def _ivf_centroids(corpus: DataFrame, nlist: int, id_col: str, vec_col: str):
+    """Deterministic coarse quantizer: the nlist lowest-id corpus vectors.
+    Centroids are nlist rows of metadata — collected once and reused as a
+    local relation (otherwise every downstream reference re-runs the
+    TakeOrdered job and re-broadcasts its own copy)."""
+    cent_rows = corpus.orderBy(id_col).limit(nlist).select(id_col, vec_col).collect()
+    cent_ids = np.array([r[0] for r in cent_rows])
+    CM = np.array([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
+    return cent_ids, CM, np.sqrt((CM * CM).sum(1))
+
+
+def _nearest_cells(
+    df: DataFrame, side: str, n: int, cents, id_col: str, vec_col: str
+) -> DataFrame:
+    """(side_id, cell) rows: each vector's n nearest centroid cells. The
+    centroid matrix rides in the task closure: one matmul per Arrow batch
+    replaces the (rows × nlist) cross join + rank window."""
+    cent_ids, CM, cnorm = cents
+
+    @pandas_udf("array<bigint>")
+    def cells(v: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(x, dtype=np.float64) for x in v.values])
+        cos = (V @ CM.T) / np.outer(np.sqrt((V * V).sum(1)), cnorm)
+        out = []
+        for row in cos:
+            idx = np.lexsort((cent_ids, -row))[:n]  # cos desc, cell asc
+            out.append(cent_ids[idx])
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias(f"{side}_id"), cells(vec_col).alias("cells")
+    ).select(f"{side}_id", F.explode("cells").alias("cell"))
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    *,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(c_id, cell) corpus cell assignment — the materializable IVF index
+    half. In a deployed pipeline this is computed once at ingest, persisted
+    bucketed by cell, and reused by every query batch (pass it to
+    :func:`ivf_topk` as ``corpus_assign`` with the same ``nlist``)."""
+    cents = _ivf_centroids(corpus, nlist, id_col, vec_col)
+    return _nearest_cells(corpus, "c", 1, cents, id_col, vec_col)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -232,6 +281,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_assign: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: a coarse quantizer partitions the corpus
     into ``nlist`` cells; each query exactly re-ranks only the vectors in its
@@ -242,34 +292,16 @@ def ivf_topk(
     cluster scale the drop-in upgrade is Spark ML KMeans with a fixed seed
     (same two joins; only the centroid table changes), and the assignment
     table is precomputed once and bucketed by cell so queries shuffle
-    nothing but their probe list.
+    nothing but their probe list. ``corpus_assign``: that precomputed
+    (c_id, cell) assignment (from :func:`ivf_assign` with the same nlist) —
+    skips re-assigning the corpus per query batch.
     """
-    # centroids are nlist rows of metadata: take them once and reuse as a
-    # local relation (otherwise every downstream reference re-runs the
-    # TakeOrdered job and re-broadcasts its own copy)
-    cent_rows = corpus.orderBy(id_col).limit(nlist).select(id_col, vec_col).collect()
-    cent_ids = np.array([r[0] for r in cent_rows])
-    CM = np.array([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
-    cnorm = np.sqrt((CM * CM).sum(1))
+    cents = _ivf_centroids(corpus, nlist, id_col, vec_col)
 
     def nearest_cells(df: DataFrame, side: str, n: int) -> DataFrame:
-        # centroid matrix rides in the task closure: one matmul per Arrow
-        # batch replaces the (rows × nlist) cross join + rank window
-        @pandas_udf("array<bigint>")
-        def cells(v: pd.Series) -> pd.Series:
-            V = np.stack([np.asarray(x, dtype=np.float64) for x in v.values])
-            cos = (V @ CM.T) / np.outer(np.sqrt((V * V).sum(1)), cnorm)
-            out = []
-            for row in cos:
-                idx = np.lexsort((cent_ids, -row))[:n]  # cos desc, cell asc
-                out.append(cent_ids[idx])
-            return pd.Series(out)
+        return _nearest_cells(df, side, n, cents, id_col, vec_col)
 
-        return df.select(
-            F.col(id_col).alias(f"{side}_id"), cells(vec_col).alias("cells")
-        ).select(f"{side}_id", F.explode("cells").alias("cell"))
-
-    assign = nearest_cells(corpus, "c", 1)
+    assign = corpus_assign if corpus_assign is not None else nearest_cells(corpus, "c", 1)
     probes = nearest_cells(queries, "q", nprobe)
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("vec_q"))
     c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("vec_c"))
@@ -294,6 +326,37 @@ def ivf_topk(
     )
 
 
+def band_table(
+    df: DataFrame,
+    *,
+    side: str = "c",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, band_bits) LSH band rows — the materializable half of the
+    ANN index. In a deployed pipeline the corpus side is computed once at
+    ingest, persisted bucketed by (band, band_bits), and reused by every
+    query batch (pass it to :func:`lsh_bucketed_topk` as ``corpus_bands``).
+    Ids only — embedding arrays are the fat column and must not ride
+    through the band join."""
+    rows = bits // bands
+    mask = (1 << rows) - 1
+    s = hyperplane_sketch_arrow(df, id_col=id_col, vec_col=vec_col, bits=bits)
+    return s.select(
+        F.col("vec_id").alias(f"{side}_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftright("sketch", b * rows).bitwiseAND(F.lit(mask)))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_bits"),
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -303,29 +366,18 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     bits: int = 16,
     bands: int = 4,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors sharing at least one
     sketch band with the query. Bucket equi-join instead of cross join —
     the shuffle is on (band, band_bits), cost proportional to bucket sizes.
+    ``corpus_bands``: precomputed :func:`band_table` of the corpus (side
+    'c', same bits/bands) — skips re-sketching the corpus per query batch.
     """
-    rows = bits // bands
-    mask = (1 << rows) - 1
 
     def banded(df: DataFrame, side: str) -> DataFrame:
-        # ids only through the band join — embedding arrays are the fat
-        # column, and shuffling them ×bands (then through the distinct)
-        # multiplies exchange volume for nothing
-        s = hyperplane_sketch_arrow(df, id_col=id_col, vec_col=vec_col, bits=bits)
-        return s.select(
-            F.col("vec_id").alias(f"{side}_id"),
-            F.posexplode(
-                F.array(
-                    *[
-                        (F.shiftright("sketch", b * rows).bitwiseAND(F.lit(mask)))
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("band", "band_bits"),
+        return band_table(
+            df, side=side, id_col=id_col, vec_col=vec_col, bits=bits, bands=bands
         )
 
     def sides(df: DataFrame, side: str) -> DataFrame:
@@ -335,7 +387,7 @@ def lsh_bucketed_topk(
         )
 
     q = banded(queries, "q")
-    c = banded(corpus, "c")
+    c = corpus_bands if corpus_bands is not None else banded(corpus, "c")
     cos = _cosine_pair_udf()
     cand = (
         # queries ≪ corpus by construction: broadcast the query bands so the
