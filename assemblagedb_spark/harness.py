@@ -1472,6 +1472,29 @@ FROM documents
 """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary media payloads (operators/multimodal.py
+    sample_frames): one row per sampled 64-byte window per payload, hashed —
+    the (media_id, frame_idx) exploded shape a video training pipeline
+    feeds downstream. Runs the real mapInPandas plumbing; the codec is the
+    deterministic byte-window stub."""
+    from assemblagedb_spark.operators.multimodal import media_table, sample_frames
+
+    m = media_table(load_table(spark, sf_dir, "documents"))
+    return sample_frames(m).select(
+        "media_id", F.col("frame_idx").cast("long"), "frame_sha256"
+    )
+
+
+O_MULTIMODAL_FRAMES = """
+SELECT doc_id AS media_id, i AS frame_idx,
+       sha256(substr(text, (i * 64 + 1)::INT, 64)) AS frame_sha256
+FROM (SELECT doc_id, text,
+             unnest(range(0, LEAST(8, GREATEST(1, length(text) // 64)))) AS i
+      FROM documents)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sessionization (streaming-shaped batch, gap-based session windows)
 # ---------------------------------------------------------------------------
@@ -2503,6 +2526,7 @@ SPARK_QUERIES = {
     "search_topk": q_search_topk,
     "display_class": q_display_class,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_frames": q_multimodal_frames,
     "gram_index_delta": q_gram_index_delta,
     "reindex_parents": q_reindex_parents,
     "graph_orphans": q_graph_orphans,
@@ -2570,6 +2594,7 @@ ORACLES = {
     "search_topk": O_SEARCH_TOPK,
     "display_class": O_DISPLAY_CLASS,
     "multimodal_meta": O_MULTIMODAL_META,
+    "multimodal_frames": O_MULTIMODAL_FRAMES,
     "gram_index_delta": O_GRAM_INDEX_DELTA,
     "reindex_parents": O_REINDEX_PARENTS,
     "graph_orphans": O_GRAPH_ORPHANS,
