@@ -62,6 +62,54 @@ class AssemblageDb:
         self.store = store or KvStore()
         self._open()
 
+    @classmethod
+    def from_tables(cls, spark, nodes_df, edges_df) -> "AssemblageDb":
+        """Inverse of :meth:`to_tables`: rebuild the versioned store from the
+        columnar export — full node version history incl. tombstones; the
+        ``Parents`` slot (a derived back-edge index in the reference,
+        data.rs:492-508) is re-derived from the current edge rows, the same
+        way the reference rebuilds its in-memory key directory on ``open``
+        (kv lib.rs:602-652). The gram index needs no replay: it derives
+        from current blocks on demand."""
+        from assemblagedb_spark.kvstore import Version
+
+        store = KvStore()
+        children: dict[tuple[str, int], list[tuple[int, str]]] = {}
+        for r in edges_df.collect():
+            children.setdefault((r["parent_id"], r["ts"]), []).append(
+                (r["idx"], r["child_id"])
+            )
+        max_ts = 0
+        for r in sorted(nodes_df.collect(), key=lambda r: (r["ts"], r["node_id"])):
+            kids = [cid for _, cid in sorted(children.get((r["node_id"], r["ts"]), []))]
+            value = {
+                "kind": r["kind"],
+                "text": r["text"],
+                "layout": r["layout"],
+                "style_kind": r["style_kind"],
+                "styles": sorted(r["styles"] or []),
+                "children": kids,
+            }
+            store._data.setdefault((NODE_SLOT, r["node_id"]), []).append(
+                Version(r["ts"], True, r["is_removed"], value)
+            )
+            max_ts = max(max_ts, r["ts"])
+        # current back-edges: latest version per parent wins
+        parents: dict[str, set[tuple[str, int]]] = {}
+        for (slot, pid), versions in store._data.items():
+            last = versions[-1]
+            if last.is_removed or last.value is None:
+                continue
+            for idx, cid in enumerate(last.value["children"]):
+                parents.setdefault(cid, set()).add((pid, idx))
+        for (slot, nid) in list(store._data.keys()):
+            store._data.setdefault((PARENTS_SLOT, nid), []).append(
+                Version(max_ts, True, False,
+                        [list(p) for p in sorted(parents.get(nid, set()))])
+            )
+        store._last_ts = max_ts
+        return cls(spark=spark, store=store)
+
     def _open(self) -> None:
         """Seed the root node (nil UUID, empty Page) if absent (core.rs:23-42)."""
         t = self.store.current()

@@ -221,3 +221,22 @@ def test_kv_save_load_roundtrip(tmp_path):
     assert kv2.current().get(0, "a") is None
     assert kv2.current().get_unremoved(0, "a") == {"x": 1}
     assert kv2.current().get(1, "b") == [1, 2]
+
+
+def test_to_tables_from_tables_roundtrip(spark):
+    """Columnar export -> reload round-trip (the open-from-storage path,
+    kv lib.rs:602-652): node payloads, trash state, parents, and search all
+    survive."""
+    db = AssemblageDb(spark)
+    foo = db.add(Node.text_node("This is the text foo"))
+    bar = db.add(Node.text_node("This is the text bar"))
+    page = db.add(Node.list(PAGE, [Child.lazy(foo), Child.lazy(bar)]))
+    db.remove_child(page, 1)  # tombstones bar
+
+    db2 = AssemblageDb.from_tables(spark, *db.to_tables())
+    assert db2.get(foo) is not None
+    assert db2.get(bar) is None and db2.get_in_trash(bar) is not None
+    assert db2.parents(foo) == db.parents(foo)
+    got = {(r["id"], r["score"]) for r in db2.search("text foo")}
+    want = {(r["id"], r["score"]) for r in db.search("text foo")}
+    assert got == want and want
