@@ -999,6 +999,35 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec window over the event stream: per-user trailing 5-row
+    moving sum/max of value (cents) in (ts, event_id) order — the
+    rank/window-frame surface the reference lacks entirely (SURVEY §2.7),
+    supplied by Catalyst. One shuffle on the key; the frame is computed in
+    a single sort pass."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(cents).over(w).alias("mov_sum_cents"),
+        F.max(cents).over(w).alias("mov_max_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_in_frame"),
+    )
+
+
+O_EVENTS_MOVING = """
+SELECT user_id, event_id,
+       SUM(round(value * 100)::BIGINT) OVER w AS mov_sum_cents,
+       MAX(round(value * 100)::BIGINT) OVER w AS mov_max_cents,
+       COUNT(*) OVER w AS n_in_frame
+FROM events WHERE user_id % 10 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day × event_type ROLLUP over the events stream: per-cell, per-day and
     grand-total aggregates in one pass (grouping-sets coverage beyond the
@@ -2517,6 +2546,7 @@ SPARK_QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "events_tumbling": q_events_tumbling,
     "events_rollup": q_events_rollup,
+    "events_moving": q_events_moving,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
@@ -2585,6 +2615,7 @@ ORACLES = {
     "text_fingerprint": O_TEXT_FINGERPRINT,
     "events_tumbling": O_EVENTS_TUMBLING,
     "events_rollup": O_EVENTS_ROLLUP,
+    "events_moving": O_EVENTS_MOVING,
     "tpch_q1": O_TPCH_Q1,
     "tpch_q3": O_TPCH_Q3,
     "tpch_q5": O_TPCH_Q5,
