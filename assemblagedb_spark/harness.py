@@ -419,6 +419,38 @@ SELECT node_id, MIN(depth)::BIGINT AS depth FROM d GROUP BY node_id
 """
 
 
+def q_graph_descendants_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """descendants_until_links (lib.rs:695-797): link children are included
+    but never expanded. Links = nation→customer edges whose customer key is
+    divisible by 4 — those customers appear in the closure, their orders do
+    not."""
+    from assemblagedb_spark.operators.traversal import descendants_until_links
+
+    e = _graph_edges(spark, sf_dir, include_lineitem=False).withColumn(
+        "is_link",
+        F.col("child_id").startswith("C")
+        & (F.regexp_extract("child_id", r"^C(\d+)$", 1).cast("long") % 4 == 0),
+    )
+    roots = spark.createDataFrame([("R1",)], "node_id string")
+    return descendants_until_links(
+        e, roots, max_depth=3, broadcast_frontier=True
+    ).select("node_id", F.col("depth").cast("long"))
+
+
+O_GRAPH_DESCENDANTS_LINKS = f"""
+WITH RECURSIVE edges AS ({duckdb_graph_edges_cte(False)}),
+d(node_id, depth, is_link) AS (
+  SELECT 'R1', 0, FALSE
+  UNION ALL
+  SELECT e.child_id, d.depth + 1,
+         e.child_id LIKE 'C%' AND CAST(substr(e.child_id, 2) AS BIGINT) % 4 = 0
+  FROM d JOIN edges e ON e.parent_id = d.node_id
+  WHERE NOT d.is_link AND d.depth < 3
+)
+SELECT node_id, MIN(depth)::BIGINT AS depth FROM d GROUP BY node_id
+"""
+
+
 def q_graph_ancestor_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ancestor_path for sampled lineitems: ordered lineage to the root
     (lib.rs:552-639; every node here has exactly one parent)."""
@@ -2529,6 +2561,7 @@ SPARK_QUERIES = {
     "view_lineage": q_view_lineage,
     "graph_parents": q_graph_parents,
     "graph_descendants": q_graph_descendants,
+    "graph_descendants_links": q_graph_descendants_links,
     "graph_ancestor_path": q_graph_ancestor_path,
     "siblings": q_siblings,
     "overlaps": q_overlaps,
@@ -2598,6 +2631,7 @@ ORACLES = {
     "view_lineage": O_VIEW_LINEAGE,
     "graph_parents": O_GRAPH_PARENTS,
     "graph_descendants": O_GRAPH_DESCENDANTS,
+    "graph_descendants_links": O_GRAPH_DESCENDANTS_LINKS,
     "graph_ancestor_path": O_GRAPH_ANCESTOR_PATH,
     "siblings": O_SIBLINGS,
     "overlaps": O_OVERLAPS,

@@ -684,3 +684,40 @@ def display_class(
     return nodes.join(done, "node_id", "left").select(
         *nodes.columns, F.coalesce("dc", F.lit("block")).alias("display_class")
     )
+
+
+def descendants_until_links(
+    edges: DataFrame,
+    roots: DataFrame,
+    *,
+    max_depth: int,
+    link_col: str = "is_link",
+    broadcast_frontier: bool = False,
+) -> DataFrame:
+    """Link-bounded transitive closure (``descendants_until_links``,
+    assemblage_db/src/lib.rs:695-797): a child reached through a link edge
+    IS included but never expanded — the reference stops descending at
+    block-inside-span boundaries. ``edges`` carries a boolean ``link_col``
+    per edge.
+
+    Same bounded-walk shape as :func:`descendants` (forest assumption, one
+    probe of the edge relation per level, frontiers eagerly materialized);
+    the only difference is the frontier filter ``NOT is_link``.
+    """
+    e = edges.select("parent_id", "child_id", F.col(link_col).alias("__link"))
+    frontier = roots.select("node_id").distinct()
+    out = frontier.withColumn("depth", F.lit(0))
+    for depth in range(1, max_depth + 1):
+        f = frontier.withColumnRenamed("node_id", "parent_id")
+        if broadcast_frontier:
+            f = F.broadcast(f)
+        step = e.join(f, "parent_id").localCheckpoint(eager=True)
+        out = out.unionByName(
+            step.select(F.col("child_id").alias("node_id")).withColumn(
+                "depth", F.lit(depth)
+            )
+        )
+        frontier = step.filter(~F.col("__link")).select(
+            F.col("child_id").alias("node_id")
+        )
+    return out
