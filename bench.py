@@ -21,6 +21,8 @@ BENCH_QUERIES = [
     "search",
     "find_symmetric",
     "overlaps",
+    "overlaps_incremental",
+    "reindex_parents",
     "dedup_exact",
     "dedup_lsh_pairs",
     "dedup_simhash",
@@ -35,6 +37,8 @@ BENCH_QUERIES = [
     "mvcc_latest",
     "mvcc_asof",
     "events_tumbling",
+    "events_rollup",
+    "events_moving",
     "graph_descendants",
     "graph_ancestor_path",
     "siblings",

@@ -239,3 +239,25 @@ def test_siblings_escalated_minigraph(spark):
     assert got["b1"] == ("a1", "c2")   # both escalated (P2 all blank)
     assert got["c1"] == ("a1", "c2")   # escalated before skips blank P2
     assert got["c2"] == ("a1", None)   # escalated before, no next parent
+
+
+def test_descendants_until_links_includes_but_does_not_expand(spark):
+    # lib.rs:695-797 link boundary: the link child is in the closure, its
+    # subtree is not
+    from assemblagedb_spark.operators.traversal import descendants_until_links
+
+    edges = spark.createDataFrame(
+        [
+            ("r", "a", False),
+            ("r", "l", True),   # link child
+            ("a", "a1", False),
+            ("l", "hidden", False),
+        ],
+        "parent_id string, child_id string, is_link boolean",
+    )
+    roots = spark.createDataFrame([("r",)], "node_id string")
+    got = {
+        (r["node_id"], r["depth"])
+        for r in descendants_until_links(edges, roots, max_depth=3).collect()
+    }
+    assert got == {("r", 0), ("a", 1), ("l", 1), ("a1", 2)}
