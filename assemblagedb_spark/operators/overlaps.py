@@ -61,12 +61,17 @@ def overlap_pairs(
         F.col("occurrences").alias("occ_b"),
     )
     if broadcast_grams:
-        # small-index regime: broadcasting the postings keeps the probe side
-        # in its scan partitions, so the pair partial-aggregation combines
-        # locally per partition instead of per gram-shuffle slice. At large
-        # scale leave this off — the gram-key shuffle join is the plan that
+        # small-index regime: broadcast the smaller relation so the other
+        # side stays in its scan partitions and the pair partial-aggregation
+        # combines locally per partition instead of per gram-shuffle slice.
+        # With a ``changed`` subset the changed-block postings are the small
+        # side; in the full self-join it's the probe copy. At large scale
+        # leave this off — the gram-key shuffle join is the plan that
         # survives a corpus that doesn't fit one executor.
-        r = F.broadcast(r)
+        if changed is not None:
+            l = F.broadcast(l)
+        else:
+            r = F.broadcast(r)
     # When both sides are the whole index the result is symmetric: compute
     # only ordered pairs (half the join/aggregation volume) and mirror at
     # the end. With a ``changed`` subset the sides differ, so keep both
