@@ -1995,6 +1995,46 @@ def _cyclic_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sn.unionByName(nr).unionByName(rn)
 
 
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (GraphX-style analytics per the north star) on
+    the cyclic supplier graph via 6 rounds of synchronous min-label
+    propagation — exact because 6 ≥ the graph's diameter. One |E| join +
+    one |V| aggregate per round; no closure materialization."""
+    from assemblagedb_spark.operators.components import (
+        label_propagation_components,
+    )
+
+    e = _cyclic_graph_edges(spark, sf_dir)
+    return label_propagation_components(e, rounds=6)
+
+
+def _o_components(rounds: int) -> str:
+    ctes = [
+        """e0 AS (
+  SELECT 'S' || s_suppkey AS src, 'N' || s_nationkey AS dst FROM supplier
+  UNION ALL SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+  UNION ALL SELECT 'R' || n_regionkey, 'N' || n_nationkey FROM nation WHERE n_regionkey < 3
+)""",
+        "und AS (SELECT DISTINCT * FROM (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0))",
+        "l0 AS (SELECT node_id, node_id AS component FROM (SELECT DISTINCT src AS node_id FROM und))",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""l{k} AS (
+  SELECT l.node_id,
+         LEAST(l.component, COALESCE(MIN(nb.component), l.component)) AS component
+  FROM l{k - 1} l
+  LEFT JOIN und u ON u.src = l.node_id
+  LEFT JOIN l{k - 1} nb ON nb.node_id = u.dst
+  GROUP BY l.node_id, l.component
+)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node_id, component FROM l{rounds}"
+
+
+O_GRAPH_COMPONENTS = _o_components(6)
+
+
 def q_graph_cyclic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """is_cyclic per sampled supplier root (lib.rs:424-442): revisit iff
     in-closure edge instances >= closure size."""
@@ -2602,6 +2642,7 @@ SPARK_QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "mvcc_compaction": q_mvcc_compaction,
     "graph_cyclic": q_graph_cyclic,
+    "graph_components": q_graph_components,
     "graph_blank": q_graph_blank,
     "export_incremental": q_export_incremental,
     "view_sections": q_view_sections,
@@ -2672,6 +2713,7 @@ ORACLES = {
     "ann_lsh_topk": O_ANN_LSH_TOPK,
     "mvcc_compaction": O_MVCC_COMPACTION,
     "graph_cyclic": O_GRAPH_CYCLIC,
+    "graph_components": O_GRAPH_COMPONENTS,
     "graph_blank": O_GRAPH_BLANK,
     "export_incremental": O_EXPORT_INCREMENTAL,
     "view_sections": O_VIEW_SECTIONS,

@@ -261,3 +261,27 @@ def test_descendants_until_links_includes_but_does_not_expand(spark):
         for r in descendants_until_links(edges, roots, max_depth=3).collect()
     }
     assert got == {("r", 0), ("a", 1), ("l", 1), ("a1", 2)}
+
+
+def test_label_propagation_components(spark):
+    # two disjoint components, one containing a cycle; labels converge to
+    # the per-component min id once rounds >= diameter
+    from assemblagedb_spark.operators.components import (
+        label_propagation_components,
+    )
+
+    edges = _edges(
+        spark,
+        [
+            ("a", "b", 0), ("b", "c", 0), ("c", "a", 0),  # cycle
+            ("c", "d", 0),
+            ("x", "y", 0),                                # separate chain
+        ],
+    )
+    got = {
+        r["node_id"]: r["component"]
+        for r in label_propagation_components(
+            edges.select("parent_id", "child_id"), rounds=4
+        ).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
