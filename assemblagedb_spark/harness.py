@@ -2035,6 +2035,48 @@ def _o_components(rounds: int) -> str:
 O_GRAPH_COMPONENTS = _o_components(6)
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank, 3 rounds, on the cyclic supplier graph
+    — the second canonical GraphX-style analytic next to components. All
+    arithmetic is BIGINT (rank scaled by 1e6, integer-division damping), so
+    the oracle reproduces ranks bit-exactly."""
+    from assemblagedb_spark.operators.components import pagerank_rounds
+
+    e = _cyclic_graph_edges(spark, sf_dir)
+    return pagerank_rounds(e, rounds=3)
+
+
+def _o_pagerank(rounds: int, scale: int = 1_000_000, damping_pct: int = 85) -> str:
+    base = (100 - damping_pct) * scale // 100
+    ctes = [
+        """e0 AS (
+  SELECT DISTINCT * FROM (
+    SELECT 'S' || s_suppkey AS src, 'N' || s_nationkey AS dst FROM supplier
+    UNION ALL SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+    UNION ALL SELECT 'R' || n_regionkey, 'N' || n_nationkey FROM nation WHERE n_regionkey < 3
+  ))""",
+        "nodes AS (SELECT DISTINCT node_id FROM (SELECT src AS node_id FROM e0 UNION ALL SELECT dst FROM e0))",
+        "outdeg AS (SELECT src, COUNT(*)::BIGINT AS outdeg FROM e0 GROUP BY src)",
+        f"r0 AS (SELECT node_id, {scale}::BIGINT AS rank FROM nodes)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""r{k} AS (
+  SELECT n.node_id,
+         ({base} + ({damping_pct} * COALESCE(s.in_sum, 0)) // 100)::BIGINT AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node_id, SUM(r.rank // o.outdeg)::BIGINT AS in_sum
+    FROM e0 e JOIN r{k - 1} r ON r.node_id = e.src JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node_id = n.node_id
+)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node_id, rank FROM r{rounds}"
+
+
+O_GRAPH_PAGERANK = _o_pagerank(3)
+
+
 def q_graph_cyclic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """is_cyclic per sampled supplier root (lib.rs:424-442): revisit iff
     in-closure edge instances >= closure size."""
@@ -2643,6 +2685,7 @@ SPARK_QUERIES = {
     "mvcc_compaction": q_mvcc_compaction,
     "graph_cyclic": q_graph_cyclic,
     "graph_components": q_graph_components,
+    "graph_pagerank": q_graph_pagerank,
     "graph_blank": q_graph_blank,
     "export_incremental": q_export_incremental,
     "view_sections": q_view_sections,
@@ -2714,6 +2757,7 @@ ORACLES = {
     "mvcc_compaction": O_MVCC_COMPACTION,
     "graph_cyclic": O_GRAPH_CYCLIC,
     "graph_components": O_GRAPH_COMPONENTS,
+    "graph_pagerank": O_GRAPH_PAGERANK,
     "graph_blank": O_GRAPH_BLANK,
     "export_incremental": O_EXPORT_INCREMENTAL,
     "view_sections": O_VIEW_SECTIONS,

@@ -69,3 +69,55 @@ def label_propagation_components(
         )
     und.unpersist()
     return labels
+
+
+def pagerank_rounds(
+    edges: DataFrame,
+    *,
+    rounds: int,
+    scale: int = 1_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-point integer PageRank: ``rounds`` synchronous iterations with
+    ranks held as BIGINT multiples of 1/``scale`` and integer-division
+    contributions — every engine computes bit-identical ranks (no float
+    summation order), which is what makes the result oracle-comparable.
+
+    Per round: one |E| join (contribution = rank div out-degree), one |V|
+    aggregate — same shuffle shape as the Pregel PageRank GraphX ships.
+    Dangling mass is dropped (nodes with no outgoing edges contribute
+    nothing), the common simplification for bounded-round analytics.
+    """
+    e = edges.select(
+        F.col("parent_id").alias("src"), F.col("child_id").alias("dst")
+    ).distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .unionByName(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    base = (100 - damping_pct) * scale // 100
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    for _ in range(rounds):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node_id", "src"), "src")
+            .join(outdeg, "src")
+            .select("dst", F.expr("rank div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+            .withColumnRenamed("dst", "node_id")
+        )
+        ranks = (
+            nodes.join(contrib, "node_id", "left")
+            .select(
+                "node_id",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(in_sum, 0)) div 100")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return ranks
