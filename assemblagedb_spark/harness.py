@@ -707,9 +707,10 @@ def q_overlaps_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _doc_gram_index(spark, sf_dir).filter(F.col("node_id") % 5 == 0)
     changed = g.select("node_id").filter(F.col("node_id") % 20 == 0).distinct()
-    out = overlap_pairs(
-        g, gram_counts(g), changed=changed, broadcast_grams=True
-    )
+    # per-block totals are subset-independent: reuse the memoized stored
+    # counts (slot 3) instead of re-aggregating the postings twice
+    counts = _doc_gram_counts(spark, sf_dir).filter(F.col("node_id") % 5 == 0)
+    out = overlap_pairs(g, counts, changed=changed, broadcast_grams=True)
     return out.select(
         F.col("src_id").cast("long"), F.col("dst_id").cast("long"),
         "a", "b", "intersection", "score",

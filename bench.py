@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "events_moving",
     "graph_descendants",
     "graph_ancestor_path",
+    "graph_components",
+    "graph_pagerank",
     "siblings",
     "display_class",
     "tpch_q1",
