@@ -830,6 +830,76 @@ O_DEDUP_LSH_PAIRS = (
 )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup pipeline ending: LSH candidate pairs → connected
+    components over the pair graph (8 min-label rounds) → every document
+    mapped to its cluster's canonical keeper (min doc_id); singletons keep
+    themselves. This is the operator a 100 TB dedup job actually runs —
+    pair generation is candidate-bounded by the bands, clustering is one
+    |E| join + |V| aggregate per round."""
+    from assemblagedb_spark.operators.components import (
+        label_propagation_components,
+    )
+    from assemblagedb_spark.operators.dedup import lsh_candidate_pairs
+
+    sig = _doc_minhash_sigs(spark, sf_dir)
+    pairs = lsh_candidate_pairs(sig, bands=_LSH_BANDS, rows_per_band=_LSH_ROWS)
+    edges = pairs.select(
+        F.col("id_a").alias("parent_id"), F.col("id_b").alias("child_id")
+    )
+    comp = label_propagation_components(edges, rounds=8).withColumnRenamed(
+        "node_id", "doc_id"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).cast("long").alias("cluster_id"),
+        F.col("component").isNotNull().alias("has_near_dup"),
+    )
+
+
+def _o_dedup_clusters(rounds: int = 8) -> str:
+    # AS MATERIALIZED: DuckDB inlines plain CTEs, and each label round
+    # references the previous one twice — without materialization the
+    # minhash pipeline would be re-evaluated 2^rounds times.
+    ctes = [
+        _DOC_SHINGLES_CTE,
+        _MINHASH_CTE.format(coeffs=_coeff_values_sql()),
+        (
+            f"bands AS (SELECT doc_id, j // {_LSH_ROWS} AS band, "
+            "string_agg(minhash, ',' ORDER BY j) AS band_sig "
+            f"FROM mh GROUP BY doc_id, j // {_LSH_ROWS})"
+        ),
+        (
+            "pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig "
+            "WHERE a.doc_id < b.doc_id)"
+        ),
+        "und AS MATERIALIZED (SELECT DISTINCT * FROM (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs))",
+        "l0 AS MATERIALIZED (SELECT node_id, node_id AS component FROM (SELECT DISTINCT src AS node_id FROM und))",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+  SELECT l.node_id,
+         LEAST(l.component, COALESCE(MIN(nb.component), l.component)) AS component
+  FROM l{k - 1} l
+  LEFT JOIN und u ON u.src = l.node_id
+  LEFT JOIN l{k - 1} nb ON nb.node_id = u.dst
+  GROUP BY l.node_id, l.component
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT d.doc_id, COALESCE(l{rounds}.component, d.doc_id)::BIGINT AS cluster_id,
+       l{rounds}.component IS NOT NULL AS has_near_dup
+FROM documents d LEFT JOIN l{rounds} ON l{rounds}.node_id = d.doc_id"""
+    )
+
+
+O_DEDUP_CLUSTERS = _o_dedup_clusters(8)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from assemblagedb_spark.operators.dedup import simhash_fingerprints
 
@@ -2017,11 +2087,13 @@ def _o_components(rounds: int) -> str:
   UNION ALL SELECT 'R' || n_regionkey, 'N' || n_nationkey FROM nation WHERE n_regionkey < 3
 )""",
         "und AS (SELECT DISTINCT * FROM (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0))",
-        "l0 AS (SELECT node_id, node_id AS component FROM (SELECT DISTINCT src AS node_id FROM und))",
+        # MATERIALIZED: each round references the previous twice; plain
+        # (inlined) CTEs would re-evaluate the base 2^rounds times
+        "l0 AS MATERIALIZED (SELECT node_id, node_id AS component FROM (SELECT DISTINCT src AS node_id FROM und))",
     ]
     for k in range(1, rounds + 1):
         ctes.append(
-            f"""l{k} AS (
+            f"""l{k} AS MATERIALIZED (
   SELECT l.node_id,
          LEAST(l.component, COALESCE(MIN(nb.component), l.component)) AS component
   FROM l{k - 1} l
@@ -2058,11 +2130,11 @@ def _o_pagerank(rounds: int, scale: int = 1_000_000, damping_pct: int = 85) -> s
   ))""",
         "nodes AS (SELECT DISTINCT node_id FROM (SELECT src AS node_id FROM e0 UNION ALL SELECT dst FROM e0))",
         "outdeg AS (SELECT src, COUNT(*)::BIGINT AS outdeg FROM e0 GROUP BY src)",
-        f"r0 AS (SELECT node_id, {scale}::BIGINT AS rank FROM nodes)",
+        f"r0 AS MATERIALIZED (SELECT node_id, {scale}::BIGINT AS rank FROM nodes)",
     ]
     for k in range(1, rounds + 1):
         ctes.append(
-            f"""r{k} AS (
+            f"""r{k} AS MATERIALIZED (
   SELECT n.node_id,
          ({base} + ({damping_pct} * COALESCE(s.in_sum, 0)) // 100)::BIGINT AS rank
   FROM nodes n LEFT JOIN (
@@ -2652,6 +2724,7 @@ SPARK_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_jaccard": q_dedup_jaccard,
     "ann_topk": q_ann_topk,
@@ -2724,6 +2797,7 @@ ORACLES = {
     "dedup_exact": O_DEDUP_EXACT,
     "dedup_minhash_sig": O_DEDUP_MINHASH_SIG,
     "dedup_lsh_pairs": O_DEDUP_LSH_PAIRS,
+    "dedup_clusters": O_DEDUP_CLUSTERS,
     "dedup_simhash": O_DEDUP_SIMHASH,
     "dedup_jaccard": O_DEDUP_JACCARD,
     "ann_topk": O_ANN_TOPK,
