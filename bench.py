@@ -25,6 +25,7 @@ BENCH_QUERIES = [
     "reindex_parents",
     "dedup_exact",
     "dedup_lsh_pairs",
+    "dedup_clusters",
     "dedup_simhash",
     "ann_topk",
     "ann_lsh_topk",
