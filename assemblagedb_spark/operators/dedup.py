@@ -227,6 +227,52 @@ def simhash_fingerprints(
     return docs.select(F.col(id_col).alias("doc_id"), F.expr(expr).alias("simhash"))
 
 
+def simhash_band_candidates(
+    fingerprints: DataFrame, *, bits: int = 32, bands: int = 4
+) -> DataFrame:
+    """Banded candidate pairs for simhash: split each fingerprint into
+    ``bands`` contiguous bit-bands and bucket-join on any equal band.
+
+    Pigeonhole guarantee: two fingerprints within hamming distance
+    ``bands - 1`` differ in at most ``bands - 1`` bits, so at least one band
+    is bit-identical — recall is exactly 1.0 for ``max_hamming <= bands - 1``
+    (the Manku et al. WWW'07 construction). Candidate volume for random
+    pairs is ~``bands / 2^(bits/bands)`` of the cross join (4×8-bit bands:
+    ~1.6%), and the join is a bucket equi-join — the 100 TB plan.
+
+    ``bits`` need not divide evenly: the fingerprint is partitioned into
+    contiguous bands whose widths differ by at most one bit (e.g. 32 bits /
+    5 bands -> widths 7,7,6,6,6); the pigeonhole argument only needs a
+    partition, not equal widths.
+    """
+    base, extra = divmod(bits, bands)
+    widths = [base + (1 if b < extra else 0) for b in range(bands)]
+    offsets = [sum(widths[:b]) for b in range(bands)]
+    banded = fingerprints.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.shiftright("simhash", offsets[b]).bitwiseAND(
+                            F.lit((1 << widths[b]) - 1)
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_bits"),
+    )
+    a = banded.select(F.col("doc_id").alias("id_a"), "band", "band_bits")
+    b = banded.select(F.col("doc_id").alias("id_b"), "band", "band_bits")
+    return (
+        a.join(b, ["band", "band_bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def simhash_near_pairs(
     fingerprints: DataFrame, *, max_hamming: int = 3, candidates: DataFrame | None = None
 ) -> DataFrame:

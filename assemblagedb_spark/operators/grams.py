@@ -105,6 +105,11 @@ def block_grams(
     byte) never materializes. Byte-exact on non-ASCII (operates on UTF-8
     bytes). ``impl='jvm'`` keeps the build pure-SQL (no Python workers):
     explode + map-side-combining groupBy, one shuffle.
+
+    Precondition: one row per ``id_col`` value. The arrow kernel aggregates
+    within each input row, so duplicate ids would yield duplicate
+    (node_id, gram) rows, while the jvm path's groupBy would merge them —
+    pre-aggregate (concat text per id) before calling if ids can repeat.
     """
     if impl == "arrow":
         return (

@@ -41,7 +41,18 @@ def salted_equijoin(
     probe skew dominates: probe rows hash to a deterministic bucket via
     xxhash64 over ALL probe columns, so a key with N rows lands in
     min(N, salt) buckets of ~N/salt rows each.
+
+    ``how`` is restricted to inner/left/left_semi/left_anti: with a right or
+    full outer join every unmatched BUILD row would surface once per salt
+    replica, breaking the bit-identical guarantee.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "semi",
+               "left_semi", "leftsemi", "anti", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_equijoin: how={how!r} would replicate unmatched build "
+            f"rows across salt buckets; use one of {sorted(allowed)}"
+        )
     keys = list(keys)
     non_key = [c for c in probe.columns if c not in keys]
     p = probe.withColumn(

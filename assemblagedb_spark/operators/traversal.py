@@ -52,6 +52,13 @@ def descendants(
     broadcast the frontier so the edge relation is never shuffled, only
     scanned. Without the hint Catalyst sort-merge-joins both sides because
     the frontier's size estimate is unknown mid-iteration.
+
+    Side effect: the per-level ``localCheckpoint(eager=True)`` runs Spark
+    jobs DURING DataFrame construction (calls are not lazy), and
+    checkpointed blocks are not recomputable if an executor is lost. For
+    very long walks on an unreliable cluster, swap in reliable
+    ``checkpoint()`` against a checkpoint dir (same call sites) — the lazy
+    alternative costs O(d²/2) re-derived joins.
     """
     if assume_forest and max_depth is not None:
         # bounded forest walk: each level eagerly materialized

@@ -285,3 +285,52 @@ def test_label_propagation_components(spark):
         ).collect()
     }
     assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_label_propagation_convergence_mode(spark):
+    # rounds=None probes convergence: a chain much longer than any default
+    # round guess still fully merges to the min id (the VERDICT round-1
+    # under-merge hazard), and a directed sink-only node gets a label row
+    from assemblagedb_spark.operators.components import (
+        label_propagation_components,
+    )
+
+    n = 24  # diameter 24 ≫ the 6-8 round gate settings
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}", 0) for i in range(n)]
+    edges = _edges(spark, chain).select("parent_id", "child_id")
+    got = {
+        r["node_id"]: r["component"]
+        for r in label_propagation_components(edges, rounds=None).collect()
+    }
+    assert got == {f"n{i:02d}": "n00" for i in range(n + 1)}
+
+    # directed: labels flow src->dst only; sink 'z' must still be present
+    directed = _edges(spark, [("a", "z", 0)]).select("parent_id", "child_id")
+    got_d = {
+        r["node_id"]: r["component"]
+        for r in label_propagation_components(
+            directed, rounds=2, directed=True
+        ).collect()
+    }
+    assert got_d == {"a": "a", "z": "a"}
+
+
+def test_pagerank_convergence_mode(spark):
+    # rounds=None runs to the exact integer fixed point: one more round
+    # changes nothing
+    from assemblagedb_spark.operators.components import pagerank_rounds
+
+    edges = _edges(
+        spark, [("a", "b", 0), ("b", "c", 0), ("c", "a", 0), ("a", "c", 0)]
+    ).select("parent_id", "child_id")
+    stable = {
+        r["node_id"]: r["rank"]
+        for r in pagerank_rounds(edges, rounds=None).collect()
+    }
+    # replaying the fixed-point ranks through many fixed rounds reproduces
+    # them exactly (idempotence of the reached fixed point)
+    again = {
+        r["node_id"]: r["rank"]
+        for r in pagerank_rounds(edges, rounds=60).collect()
+    }
+    assert stable == again

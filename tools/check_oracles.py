@@ -75,6 +75,16 @@ def main() -> int:
             print(f"FAIL  {name}: cols spark={sorted(sdf.columns)} duckdb={sorted(odf.columns)}")
             failures.append(name)
             continue
+        # Raw-dtype drift (e.g. DuckDB HUGEINT from uncast windowed SUM ->
+        # object/float64) breaks the driver's value hash even when every
+        # value matches after coercion — surface it loudly.
+        dty = [
+            (c, str(sdf[c].dtype), str(odf[c].dtype))
+            for c in sorted(sdf.columns)
+            if str(sdf[c].dtype) != str(odf[c].dtype)
+        ]
+        if dty:
+            print(f"WARN  {name}: raw dtype drift {dty}")
         a, b = normalize(sdf), normalize(odf)
         try:
             # floats compare with tolerance; everything else EXACTLY — the
