@@ -63,16 +63,32 @@ class AssemblageDb:
         self._open()
 
     @classmethod
-    def from_tables(cls, spark, nodes_df, edges_df) -> "AssemblageDb":
+    def from_tables(
+        cls, spark, nodes_df, edges_df, *, max_rows: int = 5_000_000
+    ) -> "AssemblageDb":
         """Inverse of :meth:`to_tables`: rebuild the versioned store from the
         columnar export — full node version history incl. tombstones; the
         ``Parents`` slot (a derived back-edge index in the reference,
         data.rs:492-508) is re-derived from the current edge rows, the same
         way the reference rebuilds its in-memory key directory on ``open``
         (kv lib.rs:602-652). The gram index needs no replay: it derives
-        from current blocks on demand."""
+        from current blocks on demand.
+
+        This materializes the whole store on the driver — the reference's
+        single-user OLTP model, sane for tile/episode-sized graphs only.
+        ``max_rows`` (default 5M version rows) guards the collect: larger
+        inputs raise instead of silently OOMing the driver; analytics over
+        bigger graphs should stay on the DataFrames (harness queries do)."""
         from assemblagedb_spark.kvstore import Version
 
+        n = nodes_df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"from_tables: {n} node version rows exceed the driver-side "
+                f"limit of {max_rows}; this OLTP rebuild is for tile-sized "
+                "graphs — run analytics on the DataFrames instead, or raise "
+                "max_rows explicitly if the driver has the memory"
+            )
         store = KvStore()
         children: dict[tuple[str, int], list[tuple[int, str]]] = {}
         for r in edges_df.collect():

@@ -59,17 +59,33 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return width, height, channels
 
 
+try:  # real codec, used automatically when the environment provides it
+    from PIL import Image as _PILImage  # type: ignore
+
+    HAS_IMAGE_CODEC = True
+except ImportError:  # this container ships no image codec
+    _PILImage = None
+    HAS_IMAGE_CODEC = False
+
+
 def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, int]:
     """(width, height, channels) of an encoded image payload.
 
-    STUB: the container has no image codec; pass ``fake=True`` for the
-    deterministic fake, or swap in a real decoder here.
+    With ``fake=True``: the deterministic stub (payload-hash-derived dims) —
+    what the harness gates use for replayability. Otherwise decodes with PIL
+    when importable (``HAS_IMAGE_CODEC``); raises ``NotImplementedError`` in
+    codec-less environments like this container.
     """
-    if not fake:
-        raise NotImplementedError(
-            "no image codec in this environment — use fake=True or plug in PIL"
-        )
-    return _fake_decode(payload)
+    if fake:
+        return _fake_decode(payload)
+    if HAS_IMAGE_CODEC:
+        import io
+
+        with _PILImage.open(io.BytesIO(payload)) as im:
+            return im.width, im.height, len(im.getbands())
+    raise NotImplementedError(
+        "no image codec in this environment — use fake=True or install PIL"
+    )
 
 
 def media_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

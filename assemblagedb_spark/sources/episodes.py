@@ -157,22 +157,44 @@ def read_episode(spark, episode_dir: str) -> dict:
 class BroadcastHub:
     """Filesystem-backed broadcast service: episodes + manifest per
     broadcast id (the Spark-era replacement of the REST service,
-    assemblage_broadcast/src/lib.rs — shared storage between jobs)."""
+    assemblage_broadcast/src/lib.rs — shared storage between jobs).
+
+    Auth/expiry semantics mirror the reference service:
+
+    - creation mints a random bearer token (lib.rs:123 ``post_broadcast``);
+      every subsequent write to the broadcast must present it
+      (lib.rs:139-181 ``put_episode`` → 401 otherwise). Reads are
+      unauthenticated, as in the reference.
+    - expiration is fixed at creation time (+24h, lib.rs:110) and NOT
+      extended by later episode writes — the reference stores episodes with
+      the broadcast's original expiration. Expired broadcasts behave as
+      deleted (Workers KV TTL): reads and writes see "not found".
+    """
 
     def __init__(self, spark, base_dir: str, expiry_ms: int = 24 * 3600 * 1000) -> None:
         self.spark = spark
         self.base_dir = base_dir
         self.expiry_ms = expiry_ms
 
+    def _now_ms(self) -> int:
+        return int(time.time() * 1000)
+
     def _manifest_path(self, broadcast_id: str) -> str:
         return os.path.join(self.base_dir, broadcast_id, "manifest.json")
 
-    def _read_manifest(self, broadcast_id: str) -> dict | None:
+    def _read_manifest(
+        self, broadcast_id: str, now: int | None = None
+    ) -> dict | None:
+        """Manifest, or None if absent/expired — an expired entry is
+        indistinguishable from a deleted one, like the KV TTL."""
         p = self._manifest_path(broadcast_id)
         if not os.path.exists(p):
             return None
         with open(p) as f:
-            return json.load(f)
+            m = json.load(f)
+        if m.get("expiration", 0) <= (now if now is not None else self._now_ms()):
+            return None
+        return m
 
     def _write_manifest(self, broadcast_id: str, manifest: dict) -> None:
         os.makedirs(os.path.dirname(self._manifest_path(broadcast_id)), exist_ok=True)
@@ -180,12 +202,42 @@ class BroadcastHub:
             json.dump(manifest, f)
 
     # -- publisher side (index.rs:31-43, broadcast.rs:28-54) ---------------
-    def publish(self, db: AssemblageDb, broadcast_id: str, root_id: str) -> dict:
-        """Full export on first publish, incremental afterwards."""
+    def publish(
+        self,
+        db: AssemblageDb,
+        broadcast_id: str,
+        root_id: str,
+        token: str | None = None,
+    ) -> dict:
+        """Full export on first publish, incremental afterwards.
+
+        First publish (or publish after expiry) mints a bearer token
+        (lib.rs:123) and remembers it on the publishing db — the reference
+        client likewise stores its broadcasts' tokens in its index. A
+        re-publish must present that token, either explicitly or implicitly
+        via the same db handle; anything else raises PermissionError (the
+        401 path, lib.rs:174). Expiration is fixed at creation and never
+        extended by re-publishes (lib.rs:110).
+        """
+        tokens = db.__dict__.setdefault("_broadcast_tokens", {})
         manifest = self._read_manifest(broadcast_id)
-        since = manifest["last_updated"] if manifest else 0
+        now = db.last_updated() or self._now_ms()
+        if manifest is None:
+            minted = str(uuid.uuid4())
+            tokens[broadcast_id] = minted
+            since, expiration, tok = 0, now + self.expiry_ms, minted
+        else:
+            presented = token or tokens.get(broadcast_id)
+            if presented != manifest["token"]:
+                raise PermissionError(
+                    f"publish to {broadcast_id}: missing or wrong bearer token"
+                )
+            since, expiration, tok = (
+                manifest["last_updated"],
+                manifest["expiration"],
+                manifest["token"],
+            )
         payload, ids = export_since(db, root_id, since)
-        now = db.last_updated() or int(time.time() * 1000)
         if payload["nodes"]:
             episode_dir = os.path.join(self.base_dir, broadcast_id, f"episode={now}")
             write_episode(self.spark, payload, episode_dir)
@@ -194,7 +246,8 @@ class BroadcastHub:
             "root_id": root_id,
             "exported": sorted(ids),
             "last_updated": now,
-            "expiration": now + self.expiry_ms,
+            "expiration": expiration,
+            "token": tok,
         }
         self._write_manifest(broadcast_id, manifest)
         return manifest
@@ -223,37 +276,62 @@ class BroadcastHub:
 
     def fetch(self, db: AssemblageDb, broadcast_id: str) -> int:
         """Pull all episodes newer than the local watermark; returns the
-        number of episodes imported."""
+        number of episodes imported.
+
+        An expired broadcast reads as deleted (KeyError — the 404 path).
+        A torn episode (publisher died mid-write: missing parquet _SUCCESS
+        marker or unreadable files) stops the pull WITHOUT advancing the
+        watermark past it — the valid prefix is imported, the torn tail is
+        retried on the next fetch once the publisher has re-pushed. Same
+        recovery contract as the reference's corrupt-log-tail truncation
+        (assemblage_kv/src/lib.rs:617-629): keep everything before the
+        tear, never half-apply the tear itself.
+        """
         sub = getattr(db, "_subscriptions", {}).get(broadcast_id)
         if sub is None:
             raise KeyError(f"not subscribed to {broadcast_id}")
-        episodes = self.episodes(broadcast_id, sub["last_updated"])
-        for ts, episode_dir in episodes:
-            payload = read_episode(self.spark, episode_dir)
+        if self._read_manifest(broadcast_id) is None:
+            raise KeyError(f"broadcast {broadcast_id} not found or expired")
+        imported = 0
+        for ts, episode_dir in self.episodes(broadcast_id, sub["last_updated"]):
+            for part in ("nodes", "parents"):
+                if not os.path.exists(os.path.join(episode_dir, part, "_SUCCESS")):
+                    return imported  # torn write: stop before the tear
+            try:
+                payload = read_episode(self.spark, episode_dir)
+            except Exception:
+                return imported  # unreadable tail: same contract
             import_payload(db, payload, sub["namespace"])
             sub["last_updated"] = ts
-        return len(episodes)
+            imported += 1
+        return imported
 
     def list_broadcasts(self, exported_id: str, now: int | None = None) -> list[dict]:
         """Non-expired broadcasts whose exported set contains the id
         (index.rs:88-112)."""
-        now = now or int(time.time() * 1000)
+        now = now or self._now_ms()
         out = []
         if not os.path.isdir(self.base_dir):
             return out
         for bid in os.listdir(self.base_dir):
-            m = self._read_manifest(bid)
-            if m and m["expiration"] > now and exported_id in m["exported"]:
-                out.append(m)
+            m = self._read_manifest(bid, now=now)
+            if m and exported_id in m["exported"]:
+                # reads are unauthenticated; never hand out the write token
+                out.append({k: v for k, v in m.items() if k != "token"})
         return out
 
     def update_broadcasts(self, db: AssemblageDb, changed_ids: set[str]) -> list[str]:
-        """Re-publish all broadcasts whose exported set intersects the
-        changed descendants (index.rs:116-171)."""
+        """Re-publish the db's own broadcasts whose exported set intersects
+        the changed descendants (index.rs:116-171). Only broadcasts this db
+        holds the bearer token for are considered — the reference client
+        likewise iterates its own broadcasts list."""
         updated = []
         if not os.path.isdir(self.base_dir):
             return updated
+        tokens = getattr(db, "_broadcast_tokens", {})
         for bid in os.listdir(self.base_dir):
+            if bid not in tokens:
+                continue
             m = self._read_manifest(bid)
             if m and set(m["exported"]) & changed_ids:
                 self.publish(db, bid, m["root_id"])

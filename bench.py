@@ -27,6 +27,8 @@ BENCH_QUERIES = [
     "dedup_lsh_pairs",
     "dedup_clusters",
     "dedup_simhash",
+    "dedup_simhash_pairs",
+    "embedding_neardup",
     "ann_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -240,3 +240,17 @@ def test_to_tables_from_tables_roundtrip(spark):
     got = {(r["id"], r["score"]) for r in db2.search("text foo")}
     want = {(r["id"], r["score"]) for r in db.search("text foo")}
     assert got == want and want
+
+
+def test_from_tables_row_guard(spark):
+    """from_tables collects to the driver; over-limit inputs must raise a
+    clear error instead of OOMing (VERDICT r1 item 8)."""
+    import pytest
+
+    db = AssemblageDb(spark)
+    db.add(Node.text_node("small"))
+    nodes_df, edges_df = db.to_tables()
+    with pytest.raises(ValueError, match="driver-side limit"):
+        AssemblageDb.from_tables(spark, nodes_df, edges_df, max_rows=1)
+    # within the limit everything still works
+    assert AssemblageDb.from_tables(spark, nodes_df, edges_df).get is not None

@@ -162,3 +162,99 @@ def test_streaming_subscription(spark, tmp_path):
     q2.awaitTermination(120)
     texts = {db2.get(c.id).text for c in db2.get(page).children if db2.get(c.id).is_text()}
     assert "streamed update" in texts
+
+
+def test_broadcast_token_auth(spark, tmp_path):
+    # lib.rs:139-181: writes need the bearer token; reads don't. A foreign
+    # db (no stored token) is rejected; presenting the minted token works.
+    hub = BroadcastHub(spark, str(tmp_path / "bc"))
+    db = AssemblageDb(spark)
+    page, chain, nested = build_exportable(db)
+    manifest = hub.publish(db, "b1", page)
+    token = manifest["token"]
+
+    other = AssemblageDb(spark)
+    opage, _, _ = build_exportable(other)
+    import pytest
+
+    with pytest.raises(PermissionError):
+        hub.publish(other, "b1", opage)
+    # explicit token authorizes the foreign publisher (401 -> 201)
+    hub.publish(other, "b1", opage, token=token)
+
+    # same-db re-publish implicitly reuses its stored token
+    db.push(page, Node.text_node("more"))
+    hub.publish(db, "b1", page)
+
+    # unauthenticated read path never exposes the token
+    listed = hub.list_broadcasts(page)
+    assert listed and all("token" not in m for m in listed)
+
+
+def test_broadcast_expiry(spark, tmp_path):
+    # lib.rs:110: expiration fixed at creation (+expiry); expired broadcasts
+    # read as deleted (KV TTL), and re-publish after expiry mints a fresh
+    # broadcast lifetime + token
+    hub = BroadcastHub(spark, str(tmp_path / "bc"), expiry_ms=1)
+    db = AssemblageDb(spark)
+    page, chain, nested = build_exportable(db)
+    m1 = hub.publish(db, "b1", page)
+
+    import time as _time
+
+    _time.sleep(0.01)  # outlive the 1 ms expiry
+    assert hub.list_broadcasts(nested) == []
+
+    db2 = AssemblageDb(spark)
+    db2._subscriptions = {"b1": {"broadcast_id": "b1", "namespace": ROOT_ID, "last_updated": -1}}
+    import pytest
+
+    with pytest.raises(KeyError):
+        hub.fetch(db2, "b1")
+
+    # expired entry is gone -> publish recreates with a fresh token/lifetime
+    hub.expiry_ms = 24 * 3600 * 1000
+    m2 = hub.publish(db, "b1", page)
+    assert m2["token"] != m1["token"]
+    assert m2["expiration"] > m1["expiration"]
+    assert hub.list_broadcasts(nested) != []
+
+
+def test_broadcast_torn_episode_recovery(spark, tmp_path):
+    # assemblage_kv/tests/transactions.rs:113-249 contract, episode-shaped:
+    # a torn tail write is never half-applied; the valid prefix imports,
+    # the watermark stays before the tear, and a repaired re-push is picked
+    # up by the next fetch.
+    import os
+    import shutil
+
+    hub = BroadcastHub(spark, str(tmp_path / "bc"))
+    db = AssemblageDb(spark)
+    page, chain, nested = build_exportable(db)
+    hub.publish(db, "b1", page)
+
+    db2 = AssemblageDb(spark)
+    hub.subscribe(db2, "b1", namespace=ROOT_ID)
+    assert db2.get(nested).text == "nested"
+
+    # publisher pushes an update, but the write is torn: _SUCCESS missing
+    db.push(page, Node.text_node("torn update"))
+    hub.publish(db, "b1", page)
+    eps = hub.episodes("b1")
+    torn_ts, torn_dir = eps[-1]
+    os.remove(os.path.join(torn_dir, "nodes", "_SUCCESS"))
+
+    sub = db2._subscriptions["b1"]
+    watermark = sub["last_updated"]
+    assert hub.fetch(db2, "b1") == 0  # nothing imported...
+    assert sub["last_updated"] == watermark  # ...and watermark unmoved
+    texts = {db2.get(c.id).text for c in db2.get(page).children if db2.get(c.id).is_text()}
+    assert "torn update" not in texts
+
+    # publisher repairs (re-pushes the same episode completely)
+    shutil.rmtree(torn_dir)
+    payload, _ = export_since(db, page, watermark)
+    write_episode(spark, payload, torn_dir)
+    assert hub.fetch(db2, "b1") == 1
+    texts = {db2.get(c.id).text for c in db2.get(page).children if db2.get(c.id).is_text()}
+    assert "torn update" in texts
