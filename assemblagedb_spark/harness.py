@@ -1125,6 +1125,45 @@ FROM (SELECT doc_id, {cols} FROM documents)
 """
 
 
+def q_text_lang_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-profile + stopword language ID (textstats.language_id_ngram):
+    the Cavnar/Trenkle-style n-gram scorer as one integer Catalyst
+    expression — replace()-count occurrences, no explode, no Python."""
+    from assemblagedb_spark.operators.textstats import language_id_ngram
+
+    return language_id_ngram(load_table(spark, sf_dir, "documents"))
+
+
+def _o_text_lang_ngram(stopword_weight: int = 4) -> str:
+    from assemblagedb_spark.operators.textstats import LANG_STOPWORDS, LANG_TRIGRAMS
+
+    s = (
+        "(' ' || regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')"
+        " || ' ')"
+    )
+    scores = {}
+    for lang, tris in LANG_TRIGRAMS.items():
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        hits = (
+            f"len(list_filter({_TOKENS_DUCK}, t -> list_contains([{words}], lower(t))))::BIGINT"
+        )
+        occ = " + ".join(
+            f"((length({s}) - length(replace({s}, '{t}', ''))) // 3)" for t in tris
+        )
+        scores[lang] = f"({hits} * {stopword_weight} + ({occ}))::BIGINT"
+    langs = list(LANG_TRIGRAMS)
+    best, best_score = f"'{langs[0]}'", f"score_{langs[0]}"
+    for lang in langs[1:]:
+        best = f"(CASE WHEN score_{lang} > {best_score} THEN '{lang}' ELSE {best} END)"
+        best_score = f"GREATEST(score_{lang}, {best_score})"
+    cols = ", ".join(f"{c} AS score_{lang}" for lang, c in scores.items())
+    return f"""
+SELECT doc_id, {", ".join(f"score_{lang}" for lang in langs)},
+       (CASE WHEN {best_score} > 0 THEN {best} ELSE 'und' END) AS lang_guess
+FROM (SELECT doc_id, {cols} FROM documents)
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from assemblagedb_spark.operators.textstats import fingerprints
 
@@ -2793,6 +2832,7 @@ SPARK_QUERIES = {
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
+    "text_lang_ngram": q_text_lang_ngram,
     "text_fingerprint": q_text_fingerprint,
     "events_tumbling": q_events_tumbling,
     "events_rollup": q_events_rollup,
@@ -2866,6 +2906,7 @@ ORACLES = {
     "text_stats": O_TEXT_STATS,
     "text_quality": _o_text_quality(),
     "text_lang_id": _o_text_lang_id(),
+    "text_lang_ngram": _o_text_lang_ngram(),
     "text_fingerprint": O_TEXT_FINGERPRINT,
     "events_tumbling": O_EVENTS_TUMBLING,
     "events_rollup": O_EVENTS_ROLLUP,

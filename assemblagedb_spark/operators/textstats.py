@@ -97,6 +97,84 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+# Character-trigram profiles (boundary-padded, lowercased) — the classic
+# Cavnar/Trenkle n-gram language-ID signal, reduced to a deterministic
+# integer formula both engines evaluate identically. Trigrams may overlap
+# across languages; votes simply accumulate.
+LANG_TRIGRAMS: dict[str, list[str]] = {
+    "en": [" th", "the", "he ", " an", "and", "nd ", "ing", "ng ", " of",
+           "of ", "ion", " to"],
+    "de": ["der", "er ", " de", "ein", "ich", "sch", "die", "ie ", "und",
+           " un", "ch ", "cht"],
+    "fr": [" le", "le ", "es ", "ent", " la", "que", " qu", "ue ", "ait",
+           "les", " et", "et "],
+    "es": [" la", "la ", "os ", " qu", "que", "ado", " el", "el ", " en",
+           "ar ", "cio", " co"],
+    "zh": ["shi", " bu", "zai", "you", " wo", " ta", "ang", "eng", "ian",
+           "ong", "ao ", " zh"],
+}
+
+
+def _lang_norm(text_col: str) -> F.Column:
+    """' ' + lowercased whitespace-collapsed text + ' ' — the padded form
+    trigram profiles are counted against."""
+    return F.concat(
+        F.lit(" "),
+        F.regexp_replace(
+            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
+        ),
+        F.lit(" "),
+    )
+
+
+def language_id_ngram(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopword_weight: int = 4,
+) -> DataFrame:
+    """Combined trigram-profile + stopword-vote language ID.
+
+    score_L = stopword_hits_L * ``stopword_weight`` + Σ_t occurrences(t)
+    over L's trigram profile. Occurrences are counted by length difference
+    after ``replace(s, t, '')`` — leftmost non-overlapping semantics,
+    identical in Spark and DuckDB, so the whole scorer is a pure-integer
+    Catalyst expression (no explode, no shuffle, no Python) that an oracle
+    can replay bit-for-bit. ``lang_guess`` = argmax with LANG_TRIGRAMS key
+    order as the tiebreak; 'und' when every score is zero.
+    """
+    s = _lang_norm(text_col)
+    score_cols: dict[str, F.Column] = {}
+    for lang in LANG_TRIGRAMS:
+        stop_arr = "array(" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + ")"
+        hits = F.size(F.expr(
+            f"filter(filter(split(trim(coalesce({text_col}, '')), ' +'), t -> t <> ''), "
+            f"t -> array_contains({stop_arr}, lower(t)))"
+        )).cast("long")
+        tri = sum(
+            (
+                (F.length(s) - F.length(F.expr(f"replace(__lang_s, '{t}', '')")))
+                .cast("long") / 3
+            ).cast("long")
+            for t in LANG_TRIGRAMS[lang]
+        )
+        score_cols[lang] = (hits * stopword_weight + tri).cast("long")
+    out = docs.withColumn("__lang_s", s).select(
+        F.col(id_col).alias("doc_id"),
+        *[c.alias(f"score_{lang}") for lang, c in score_cols.items()],
+    )
+    langs = list(LANG_TRIGRAMS)
+    best = F.lit(langs[0])
+    best_score = F.col(f"score_{langs[0]}")
+    for lang in langs[1:]:
+        cond = F.col(f"score_{lang}") > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, F.col(f"score_{lang}")).otherwise(best_score)
+    return out.withColumn(
+        "lang_guess", F.when(best_score > 0, best).otherwise(F.lit("und"))
+    ).select("doc_id", *[f"score_{lang}" for lang in langs], "lang_guess")
+
+
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Canonical-text fingerprint: md5 of the whitespace-normalized,
     lower-cased text (stable across engines). For shift-tolerant
