@@ -832,11 +832,14 @@ O_DEDUP_LSH_PAIRS = (
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dup pipeline ending: LSH candidate pairs → connected
-    components over the pair graph (8 min-label rounds) → every document
-    mapped to its cluster's canonical keeper (min doc_id); singletons keep
-    themselves. This is the operator a 100 TB dedup job actually runs —
-    pair generation is candidate-bounded by the bands, clustering is one
-    |E| join + |V| aggregate per round."""
+    components over the pair graph (convergence-probed min-label rounds —
+    exact components regardless of chain length) → every document mapped to
+    its cluster's canonical keeper (min doc_id); singletons keep themselves.
+    This is the operator a 100 TB dedup job actually runs — pair generation
+    is candidate-bounded by the bands, clustering is one |E| join + |V|
+    aggregate per round. The oracle unrolls 12 rounds: the sf0.01 pair
+    graph converges by 10 (measured), so both sides agree on the exact
+    component labels with margin."""
     from assemblagedb_spark.operators.components import (
         label_propagation_components,
     )
@@ -847,7 +850,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("id_a").alias("parent_id"), F.col("id_b").alias("child_id")
     )
-    comp = label_propagation_components(edges, rounds=8).withColumnRenamed(
+    comp = label_propagation_components(edges, rounds=None).withColumnRenamed(
         "node_id", "doc_id"
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -897,7 +900,7 @@ FROM documents d LEFT JOIN l{rounds} ON l{rounds}.node_id = d.doc_id"""
     )
 
 
-O_DEDUP_CLUSTERS = _o_dedup_clusters(8)
+O_DEDUP_CLUSTERS = _o_dedup_clusters(12)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2168,15 +2171,17 @@ def _cyclic_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components (GraphX-style analytics per the north star) on
-    the cyclic supplier graph via 6 rounds of synchronous min-label
-    propagation — exact because 6 ≥ the graph's diameter. One |E| join +
-    one |V| aggregate per round; no closure materialization."""
+    the cyclic supplier graph via convergence-probed synchronous min-label
+    propagation — exact on any diameter; this graph converges by round 4
+    (measured), and the oracle's 6 unrolled rounds are past convergence, so
+    results agree exactly. One |E| join + one |V| aggregate per round; no
+    closure materialization."""
     from assemblagedb_spark.operators.components import (
         label_propagation_components,
     )
 
     e = _cyclic_graph_edges(spark, sf_dir)
-    return label_propagation_components(e, rounds=6)
+    return label_propagation_components(e, rounds=None)
 
 
 def _o_components(rounds: int) -> str:
