@@ -991,9 +991,9 @@ _NEARDUP_COS = 0.40  # data-relative: the synthetic corpus' max pair cosine
 # Margins to the cut are >= 6e-4 — far beyond double nondeterminism.
 
 
-def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs among vec_id % 5 == 0: LSH-band candidates
-    verified with exact cosine >= _NEARDUP_COS.
+def _embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b) near-dup pairs among vec_id % 5 == 0: LSH-band
+    candidates verified with exact cosine >= _NEARDUP_COS.
 
     The candidate stage is a self equi-join of the stored hyperplane-sketch
     band table (the same materialized ANN index half `ann_lsh_topk` probes —
@@ -1028,6 +1028,36 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _embedding_neardup_pairs(spark, sf_dir)
+
+
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full embedding-dedup pipeline ending (the vector twin of
+    dedup_clusters): banded near-dup pairs → convergence-probed connected
+    components → every subset vector mapped to its cluster's canonical
+    keeper (min vec_id); singletons keep themselves."""
+    from assemblagedb_spark.operators.components import (
+        label_propagation_components,
+    )
+
+    pairs = _embedding_neardup_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("id_a").alias("parent_id"), F.col("id_b").alias("child_id")
+    )
+    comp = label_propagation_components(edges, rounds=None).withColumnRenamed(
+        "node_id", "vec_id"
+    )
+    sub = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 5 == 0
+    ).select("vec_id")
+    return sub.join(comp, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("component", F.col("vec_id")).cast("long").alias("cluster_id"),
+        F.col("component").isNotNull().alias("has_near_dup"),
+    )
+
+
 O_EMBEDDING_NEARDUP = f"""
 WITH el AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
 ex AS (SELECT vec_id, embedding, unnest(range(0, len(embedding))) AS d FROM el),
@@ -1055,6 +1085,42 @@ WHERE list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
       (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
        sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))) >= {_NEARDUP_COS}
 """
+
+
+def _o_embedding_clusters(rounds: int = 6) -> str:
+    # reuse the near-dup oracle's CTE chain verbatim (identical sketch,
+    # banding, and cosine verification), then unroll min-label rounds past
+    # measured convergence — the tiny pair graph settles in <= 3 rounds
+    ctes_part, select_part = O_EMBEDDING_NEARDUP.strip().rsplit("SELECT cand.id_a", 1)
+    pairs_sql = ("SELECT cand.id_a" + select_part).strip()
+    ctes = [
+        ctes_part.rstrip().rstrip(","),
+        f"pairs AS MATERIALIZED ({pairs_sql})",
+        "und AS MATERIALIZED (SELECT DISTINCT * FROM (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs))",
+        "l0 AS MATERIALIZED (SELECT node_id, node_id AS component FROM (SELECT DISTINCT src AS node_id FROM und))",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+  SELECT l.node_id,
+         LEAST(l.component, COALESCE(MIN(nb.component), l.component)) AS component
+  FROM l{k - 1} l
+  LEFT JOIN und u ON u.src = l.node_id
+  LEFT JOIN l{k - 1} nb ON nb.node_id = u.dst
+  GROUP BY l.node_id, l.component
+)"""
+        )
+    return (
+        ",\n".join(ctes)
+        + f"""
+SELECT s.vec_id, COALESCE(l{rounds}.component, s.vec_id)::BIGINT AS cluster_id,
+       l{rounds}.component IS NOT NULL AS has_near_dup
+FROM (SELECT vec_id FROM embeddings WHERE vec_id % 5 = 0) s
+LEFT JOIN l{rounds} ON l{rounds}.node_id = s.vec_id"""
+    )
+
+
+O_EMBEDDING_CLUSTERS = _o_embedding_clusters(6)
 
 
 # ---------------------------------------------------------------------------
@@ -2834,6 +2900,7 @@ SPARK_QUERIES = {
     "dedup_jaccard": q_dedup_jaccard,
     "ann_topk": q_ann_topk,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_clusters": q_embedding_clusters,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
@@ -2908,6 +2975,7 @@ ORACLES = {
     "dedup_jaccard": O_DEDUP_JACCARD,
     "ann_topk": O_ANN_TOPK,
     "embedding_neardup": O_EMBEDDING_NEARDUP,
+    "embedding_clusters": O_EMBEDDING_CLUSTERS,
     "text_stats": O_TEXT_STATS,
     "text_quality": _o_text_quality(),
     "text_lang_id": _o_text_lang_id(),

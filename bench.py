@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "embedding_neardup",
+    "embedding_clusters",
     "ann_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
