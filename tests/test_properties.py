@@ -231,3 +231,97 @@ def test_pagerank_rounds_match_python_reference(spark, pairs):
                 in_sum[d] += c
         rank = {n: base + (damping * in_sum[n]) // 100 for n in nodes}
     assert got == rank
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**32 - 1),
+        min_size=2, max_size=24, unique=True,
+    ),
+    st.integers(min_value=2, max_value=6),
+)
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_simhash_banding_recall_guarantee(spark, fps, bands):
+    """Pigeonhole: every pair within hamming <= bands-1 of a 32-bit
+    fingerprint shares at least one band, so simhash_band_candidates never
+    misses a pair that simhash_near_pairs would emit at that threshold."""
+    from assemblagedb_spark.operators.dedup import (
+        simhash_band_candidates,
+        simhash_near_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(fps)], "doc_id long, simhash long"
+    )
+    max_h = bands - 1
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_band_candidates(df, bits=32, bands=bands).collect()
+    }
+    want = {
+        (a, b)
+        for a in range(len(fps))
+        for b in range(a + 1, len(fps))
+        if bin(fps[a] ^ fps[b]).count("1") <= max_h
+    }
+    assert want <= cand
+    # and feeding the candidates into the verifier reproduces the exact set
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(
+            df, max_hamming=max_h, candidates=simhash_band_candidates(df, bits=32, bands=bands)
+        ).collect()
+    }
+    assert got == want
+
+
+def test_language_id_ngram_matches_python_replay(spark):
+    """The Catalyst lang-ngram scorer equals a direct python replay of the
+    documented formula on assorted texts (incl. empty/None/whitespace)."""
+    import re
+
+    from assemblagedb_spark.operators.textstats import (
+        LANG_STOPWORDS,
+        LANG_TRIGRAMS,
+        language_id_ngram,
+    )
+
+    texts = [
+        "the cat and the dog of the house",
+        "der hund und die katze ist nicht da",
+        "le chat est dans la maison pour les amis",
+        "el perro y la casa que es de los amigos",
+        "wo shi zai you ta de ang eng",
+        "",
+        None,
+        "   ",
+        "xyzzy qqq",
+        "The THE the  and AND  of",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def replay(text):
+        raw = text or ""
+        toks = [t for t in raw.strip().split() if t]
+        s = " " + re.sub(r"\s+", " ", raw.strip().lower()) + " "
+        scores = {}
+        for lang, tris in LANG_TRIGRAMS.items():
+            hits = sum(1 for t in toks if t.lower() in LANG_STOPWORDS[lang])
+            tri = sum((len(s) - len(s.replace(t, ""))) // 3 for t in tris)
+            scores[lang] = hits * 4 + tri
+        best = max(scores.items(), key=lambda kv: kv[1])
+        langs = list(LANG_TRIGRAMS)
+        # argmax with key-order tiebreak
+        guess = "und"
+        if best[1] > 0:
+            top = best[1]
+            guess = next(l for l in langs if scores[l] == top)
+        return scores, guess
+
+    for r in language_id_ngram(docs).collect():
+        scores, guess = replay(texts[r["doc_id"]])
+        for lang in LANG_TRIGRAMS:
+            assert r[f"score_{lang}"] == scores[lang], (texts[r["doc_id"]], lang)
+        assert r["lang_guess"] == guess, texts[r["doc_id"]]
