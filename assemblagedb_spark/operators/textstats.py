@@ -143,25 +143,48 @@ def language_id_ngram(
     can replay bit-for-bit. ``lang_guess`` = argmax with LANG_TRIGRAMS key
     order as the tiebreak; 'und' when every score is zero.
     """
-    s = _lang_norm(text_col)
-    score_cols: dict[str, F.Column] = {}
+    # Bind the padded string and the token array ONCE per row as lambda
+    # variables: Catalyst's CollapseProject would otherwise inline the
+    # regexp_replace into every one of the ~120 uses (2 per trigram × 12
+    # trigrams × 5 languages), turning one O(len) normalization into 120.
+    # `transform(array(x), v -> body)[0]` evaluates x exactly once and
+    # exposes it to the body as `v` — the standard Spark CSE workaround.
+    s_sql = (
+        f"concat(' ', regexp_replace(lower(trim(coalesce({text_col}, ''))), "
+        f"'\\\\s+', ' '), ' ')"
+    )
+    toks_sql = (
+        f"transform(filter(split(trim(coalesce({text_col}, '')), ' +'), "
+        f"t -> t <> ''), t -> lower(t))"
+    )
+    fields = []
     for lang in LANG_TRIGRAMS:
         stop_arr = "array(" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + ")"
-        hits = F.size(F.expr(
-            f"filter(filter(split(trim(coalesce({text_col}, '')), ' +'), t -> t <> ''), "
-            f"t -> array_contains({stop_arr}, lower(t)))"
-        )).cast("long")
-        tri = sum(
-            (
-                (F.length(s) - F.length(F.expr(f"replace(__lang_s, '{t}', '')")))
-                .cast("long") / 3
-            ).cast("long")
-            for t in LANG_TRIGRAMS[lang]
+        tri_arr = "array(" + ", ".join(f"'{t}'" for t in LANG_TRIGRAMS[lang]) + ")"
+        fields.append(
+            f"'{lang}', CAST(size(filter(toks, t -> array_contains({stop_arr}, t)))"
+            f" * {stopword_weight}"
+            f" + aggregate({tri_arr}, CAST(0 AS BIGINT), (acc, t) -> acc"
+            f" + CAST((length(s) - length(replace(s, t, ''))) div 3 AS BIGINT))"
+            f" AS BIGINT)"
         )
-        score_cols[lang] = (hits * stopword_weight + tri).cast("long")
-    out = docs.withColumn("__lang_s", s).select(
+    # zip_with over two 1-element arrays binds both values as lambda vars;
+    # explode (a generator) makes the struct a real output attribute, so
+    # the downstream field extractions reference it instead of re-inlining
+    # the whole expression once per language.
+    scores_expr = (
+        f"zip_with(array({s_sql}), array({toks_sql}), "
+        f"(s, toks) -> named_struct({', '.join(fields)}))"
+    )
+    out = docs.select(
         F.col(id_col).alias("doc_id"),
-        *[c.alias(f"score_{lang}") for lang, c in score_cols.items()],
+        F.explode(F.expr(scores_expr)).alias("__scores"),
+    ).select(
+        "doc_id",
+        *[
+            F.col(f"__scores.{lang}").alias(f"score_{lang}")
+            for lang in LANG_TRIGRAMS
+        ],
     )
     langs = list(LANG_TRIGRAMS)
     best = F.lit(langs[0])
