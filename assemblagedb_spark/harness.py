@@ -1233,6 +1233,45 @@ FROM (SELECT doc_id, {cols} FROM documents)
 """
 
 
+_WINNOW_K, _WINNOW_W, _WINNOW_B, _WINNOW_M = 5, 4, 257, 1_000_000_007
+
+
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints: k-gram rolling hashes, window-min
+    selection, distinct — the shift-tolerant document fingerprint set
+    (textstats.winnowing_fingerprints)."""
+    from assemblagedb_spark.operators.textstats import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        load_table(spark, sf_dir, "documents"),
+        k=_WINNOW_K, window=_WINNOW_W, base=_WINNOW_B, mod=_WINNOW_M,
+    )
+
+
+O_TEXT_WINNOWING = f"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS s
+  FROM documents
+),
+ok AS (SELECT doc_id, s FROM norm WHERE length(s) >= {_WINNOW_K + _WINNOW_W - 1}),
+hs AS (
+  SELECT doc_id,
+         list_transform(range(1, length(s) - {_WINNOW_K - 2}), i ->
+           list_reduce(list_transform(range(i, i + {_WINNOW_K}), j ->
+             ord(s[j])::BIGINT), (acc, x) -> (acc * {_WINNOW_B} + x) % {_WINNOW_M})) AS h
+  FROM ok
+),
+sel AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(h) - {_WINNOW_W - 2}), j ->
+           list_aggregate(h[j : j + {_WINNOW_W - 1}], 'min'))) AS fps
+  FROM hs
+)
+SELECT doc_id, unnest(fps) AS fingerprint FROM sel
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from assemblagedb_spark.operators.textstats import fingerprints
 
@@ -2905,6 +2944,7 @@ SPARK_QUERIES = {
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_lang_ngram": q_text_lang_ngram,
+    "text_winnowing": q_text_winnowing,
     "text_fingerprint": q_text_fingerprint,
     "events_tumbling": q_events_tumbling,
     "events_rollup": q_events_rollup,
@@ -2980,6 +3020,7 @@ ORACLES = {
     "text_quality": _o_text_quality(),
     "text_lang_id": _o_text_lang_id(),
     "text_lang_ngram": _o_text_lang_ngram(),
+    "text_winnowing": O_TEXT_WINNOWING,
     "text_fingerprint": O_TEXT_FINGERPRINT,
     "events_tumbling": O_EVENTS_TUMBLING,
     "events_rollup": O_EVENTS_ROLLUP,

@@ -204,3 +204,54 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     fingerprinting use the minhash/simhash operators (dedup.py)."""
     norm = F.trim(F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "))
     return docs.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("fingerprint"))
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    base: int = 257,
+    mod: int = 1_000_000_007,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    MOSS algorithm): polynomial rolling hashes of the text's k-grams, one
+    selected minimum per sliding window of ``window`` consecutive hashes,
+    deduplicated. The selected set is what plagiarism/near-copy detection
+    stores per document: shift-tolerant (an insertion far from a region
+    leaves that region's selected hashes intact) with guaranteed detection
+    of shared substrings of length >= window + k - 1.
+
+    Everything is integer arithmetic on the whitespace-normalized
+    lower-cased text inside one Catalyst expression (transform/aggregate
+    higher-order functions — no explode of the raw hash stream, no Python,
+    no shuffle), and the identical formula runs in DuckDB for the oracle.
+    Selecting window minima BY VALUE (then distinct) sidesteps the
+    rightmost-vs-leftmost tie rule entirely — the output set is identical
+    under either convention. Docs shorter than ``window + k - 1``
+    normalized chars yield no fingerprints (no full window exists).
+
+    Returns (doc_id, fingerprint BIGINT) — one row per distinct selected
+    hash. O(len · k) arithmetic per row (the SQL form re-derives each
+    k-gram hash rather than rolling); k is small by construction.
+    """
+    hashes = (
+        f"transform(sequence(1, length(__s) - {k - 1}), i -> "
+        f"aggregate(sequence(i, i + {k - 1}), CAST(0 AS BIGINT), "
+        f"(acc, j) -> (acc * {base} + ascii(substr(__s, j, 1))) % {mod}))"
+    )
+    mins = (
+        f"array_distinct(transform(sequence(1, size(__h) - {window - 1}), j -> "
+        f"array_min(slice(__h, j, {window}))))"
+    )
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " ")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), norm.alias("__s"))
+        .filter(F.length("__s") >= k + window - 1)
+        .select("doc_id", F.expr(hashes).alias("__h"))
+        .select("doc_id", F.explode(F.expr(mins)).alias("fingerprint"))
+    )

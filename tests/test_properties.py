@@ -325,3 +325,47 @@ def test_language_id_ngram_matches_python_replay(spark):
         for lang in LANG_TRIGRAMS:
             assert r[f"score_{lang}"] == scores[lang], (texts[r["doc_id"]], lang)
         assert r["lang_guess"] == guess, texts[r["doc_id"]]
+
+
+def test_winnowing_matches_python_replay_and_shift_tolerance(spark):
+    """The Catalyst winnowing fingerprints equal a direct python replay,
+    and inserting text at the END leaves the original region's selected
+    hashes present (the shift-tolerance that motivates winnowing)."""
+    import re
+
+    from assemblagedb_spark.operators.textstats import winnowing_fingerprints
+
+    K, W, B, M = 5, 4, 257, 1_000_000_007
+
+    def replay(text):
+        s = re.sub(r"\s+", " ", (text or "").lower()).strip()
+        if len(s) < K + W - 1:
+            return set()
+        hs = []
+        for i in range(len(s) - K + 1):
+            acc = 0
+            for ch in s[i : i + K]:
+                acc = (acc * B + ord(ch)) % M
+            hs.append(acc)
+        return {min(hs[j : j + W]) for j in range(len(hs) - W + 1)}
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "short",
+        "",
+        None,
+        "aaaaaaaaaaaaaa",
+        "Spaces   and    MIXED case Text here",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got: dict[int, set] = {}
+    for r in winnowing_fingerprints(docs, k=K, window=W).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == replay(t), (i, t)
+
+    # appending a suffix preserves every original window's selected hash
+    base = "the quick brown fox jumps over the lazy dog"
+    assert replay(base) <= replay(base + " with an appended tail of text")
