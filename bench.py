@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "graph_preview",
     "text_quality",
     "text_lang_id",
+    "text_winnowing",
     "mvcc_latest",
     "mvcc_asof",
     "events_tumbling",

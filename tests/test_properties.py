@@ -369,3 +369,30 @@ def test_winnowing_matches_python_replay_and_shift_tolerance(spark):
     # appending a suffix preserves every original window's selected hash
     base = "the quick brown fox jumps over the lazy dog"
     assert replay(base) <= replay(base + " with an appended tail of text")
+
+
+def test_winnowing_arrow_equals_jvm(spark):
+    """The vectorized arrow winnowing kernel and the pure-Catalyst form
+    produce identical (doc_id, fingerprint) sets, incl. non-ASCII text
+    (codepoint arithmetic on both paths)."""
+    from assemblagedb_spark.operators.textstats import winnowing_fingerprints
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "Grüße aus Köln — äöü ßharfes",
+        "aaaaaaaaaaaaaaaaaa",
+        "mixed   WHITESPACE  and CASE",
+        "tiny",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    a = {
+        (r["doc_id"], r["fingerprint"])
+        for r in winnowing_fingerprints(docs, impl="arrow").collect()
+    }
+    j = {
+        (r["doc_id"], r["fingerprint"])
+        for r in winnowing_fingerprints(docs, impl="jvm").collect()
+    }
+    assert a == j and a
