@@ -1364,6 +1364,65 @@ FROM events GROUP BY ROLLUP (1, 2)
 """
 
 
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day × event_type CUBE: all four grouping sets (cell, per-day,
+    per-type, grand total) in one pass — the full grouping-sets surface
+    next to the rollup gate. Same single-shuffle expanded-partials plan."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day_bucket", F.expr("ts div 86400000000000"))
+        .cube("day_bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+O_EVENTS_CUBE = """
+SELECT epoch_ns(ts) // 86400000000000 AS day_bucket, event_type,
+       COUNT(*)::BIGINT AS n,
+       SUM(round(value * 100)::BIGINT)::BIGINT AS sum_value_cents,
+       GROUPING(epoch_ns(ts) // 86400000000000, event_type)::BIGINT AS gid
+FROM events GROUP BY CUBE (1, 2)
+"""
+
+
+def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles (percentile_disc — smallest value whose
+    cume_dist reaches p) of integer value-cents per event_type. Discrete
+    selection returns actual data values, so the output is BIGINT-exact
+    across engines — no interpolated-float hashing hazard. One shuffle;
+    Spark computes the quantiles in a single sort-based aggregate."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    return ev.groupBy("event_type").agg(
+        F.expr(
+            "CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS BIGINT)"
+        ).alias("p25"),
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT)"
+        ).alias("p50"),
+        F.expr(
+            "CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents) AS BIGINT)"
+        ).alias("p75"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+O_EVENTS_QUANTILES = """
+SELECT event_type,
+       quantile_disc(cents, 0.25)::BIGINT AS p25,
+       quantile_disc(cents, 0.5)::BIGINT AS p50,
+       quantile_disc(cents, 0.75)::BIGINT AS p75,
+       COUNT(*)::BIGINT AS n
+FROM (SELECT event_type, round(value * 100)::BIGINT AS cents FROM events)
+GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational coverage (free from Spark SQL; benched headline queries)
 # ---------------------------------------------------------------------------
@@ -2948,6 +3007,8 @@ SPARK_QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "events_tumbling": q_events_tumbling,
     "events_rollup": q_events_rollup,
+    "events_cube": q_events_cube,
+    "events_quantiles": q_events_quantiles,
     "events_moving": q_events_moving,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -3024,6 +3085,8 @@ ORACLES = {
     "text_fingerprint": O_TEXT_FINGERPRINT,
     "events_tumbling": O_EVENTS_TUMBLING,
     "events_rollup": O_EVENTS_ROLLUP,
+    "events_cube": O_EVENTS_CUBE,
+    "events_quantiles": O_EVENTS_QUANTILES,
     "events_moving": O_EVENTS_MOVING,
     "tpch_q1": O_TPCH_Q1,
     "tpch_q3": O_TPCH_Q3,
