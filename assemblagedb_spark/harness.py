@@ -1278,6 +1278,45 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+def q_pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data filter job — what this engine exists to
+    run at 100 TB: keep each exact-dup group's canonical keeper, require
+    quality_score >= 0.4 and lang_guess = 'en', emit integer/string
+    columns only. Three doc_id equi-joins over single-scan derivations
+    (hash-dedup groupBy, quality expression, stopword lang-ID); every
+    stage is the same operator the standalone gates check."""
+    from assemblagedb_spark.operators.dedup import exact_duplicates
+    from assemblagedb_spark.operators.textstats import language_id, quality_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = exact_duplicates(docs).select(
+        F.col("keeper_id").alias("doc_id"), "n_copies"
+    )
+    quality = quality_scores(docs).select("doc_id", "n_tokens", "quality_score")
+    lang = language_id(docs).select("doc_id", "lang_guess")
+    return (
+        keepers.join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .filter((F.col("quality_score") >= 0.4) & (F.col("lang_guess") == "en"))
+        .select("doc_id", "n_tokens", "n_copies", "lang_guess")
+    )
+
+
+def _o_pipeline_filter() -> str:
+    return f"""
+WITH k AS (
+  SELECT MIN(doc_id) AS doc_id, COUNT(*)::BIGINT AS n_copies
+  FROM (SELECT doc_id, md5({_NORM_DUCK}) AS h FROM documents)
+  GROUP BY h
+),
+q AS ({_o_text_quality()}),
+l AS ({_o_text_lang_id()})
+SELECT k.doc_id, q.n_tokens, k.n_copies, l.lang_guess
+FROM k JOIN q USING (doc_id) JOIN l USING (doc_id)
+WHERE q.quality_score >= 0.4 AND l.lang_guess = 'en'
+"""
+
+
 O_TEXT_FINGERPRINT = f"SELECT doc_id, md5({_NORM_DUCK}) AS fingerprint FROM documents"
 
 
@@ -3004,6 +3043,7 @@ SPARK_QUERIES = {
     "text_lang_id": q_text_lang_id,
     "text_lang_ngram": q_text_lang_ngram,
     "text_winnowing": q_text_winnowing,
+    "pipeline_filter": q_pipeline_filter,
     "text_fingerprint": q_text_fingerprint,
     "events_tumbling": q_events_tumbling,
     "events_rollup": q_events_rollup,
@@ -3082,6 +3122,7 @@ ORACLES = {
     "text_lang_id": _o_text_lang_id(),
     "text_lang_ngram": _o_text_lang_ngram(),
     "text_winnowing": O_TEXT_WINNOWING,
+    "pipeline_filter": _o_pipeline_filter(),
     "text_fingerprint": O_TEXT_FINGERPRINT,
     "events_tumbling": O_EVENTS_TUMBLING,
     "events_rollup": O_EVENTS_ROLLUP,
