@@ -1278,6 +1278,32 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+_CHUNK_TOKENS, _CHUNK_OVERLAP = 64, 8
+
+
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (operators/chunking.py) —
+    64-token windows every 56 tokens, truncated final chunk, one output
+    row per chunk."""
+    from assemblagedb_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP,
+    )
+
+
+O_TEXT_CHUNKS = f"""
+WITH t AS (SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents),
+ok AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+c AS (SELECT doc_id, toks, unnest(range(0, len(toks), {_CHUNK_TOKENS - _CHUNK_OVERLAP})) AS s FROM ok)
+SELECT doc_id, (s // {_CHUNK_TOKENS - _CHUNK_OVERLAP})::BIGINT AS chunk_idx,
+       array_to_string(toks[s + 1 : s + {_CHUNK_TOKENS}], ' ') AS chunk_text,
+       len(toks[s + 1 : s + {_CHUNK_TOKENS}])::BIGINT AS n_tokens
+FROM c
+"""
+
+
 def q_pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data filter job — what this engine exists to
     run at 100 TB: keep each exact-dup group's canonical keeper, require
@@ -3044,6 +3070,7 @@ SPARK_QUERIES = {
     "text_lang_ngram": q_text_lang_ngram,
     "text_winnowing": q_text_winnowing,
     "pipeline_filter": q_pipeline_filter,
+    "text_chunks": q_text_chunks,
     "text_fingerprint": q_text_fingerprint,
     "events_tumbling": q_events_tumbling,
     "events_rollup": q_events_rollup,
@@ -3123,6 +3150,7 @@ ORACLES = {
     "text_lang_ngram": _o_text_lang_ngram(),
     "text_winnowing": O_TEXT_WINNOWING,
     "pipeline_filter": _o_pipeline_filter(),
+    "text_chunks": O_TEXT_CHUNKS,
     "text_fingerprint": O_TEXT_FINGERPRINT,
     "events_tumbling": O_EVENTS_TUMBLING,
     "events_rollup": O_EVENTS_ROLLUP,

@@ -396,3 +396,44 @@ def test_winnowing_arrow_equals_jvm(spark):
         for r in winnowing_fingerprints(docs, impl="jvm").collect()
     }
     assert a == j and a
+
+
+def test_chunking_matches_python_replay(spark):
+    """chunk_documents equals a python replay: stride starts, truncated
+    final chunk, overlap tokens shared between consecutive chunks."""
+    from assemblagedb_spark.operators.chunking import chunk_documents
+
+    texts = [
+        " ".join(f"t{i}" for i in range(150)),
+        "one two three",
+        "",
+        None,
+        "   ",
+        " ".join(f"w{i}" for i in range(64)),   # exactly one full chunk
+        " ".join(f"v{i}" for i in range(65)),   # one full + short tail
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    CH, OV = 64, 8
+    step = CH - OV
+
+    def replay(text):
+        toks = (text or "").split()
+        return [
+            (j, " ".join(toks[s : s + CH]), len(toks[s : s + CH]))
+            for j, s in enumerate(range(0, len(toks), step))
+        ]
+
+    got: dict[int, list] = {}
+    for r in chunk_documents(docs, chunk_tokens=CH, overlap=OV).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+        )
+    for i, t in enumerate(texts):
+        assert sorted(got.get(i, [])) == replay(t), i
+
+    # overlap invariant: consecutive chunks share exactly OV tokens
+    chunks = sorted(got[0])
+    for (_, a, na), (_, b, _) in zip(chunks, chunks[1:]):
+        assert a.split()[step:] == b.split()[: na - step]
