@@ -1304,6 +1304,42 @@ FROM c
 """
 
 
+_PACK_BUDGET, _PACK_SHARDS = 256, 8
+
+
+def q_text_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over the chunk stream (chunking.pack_chunks):
+    shard-parallel running-total bin assignment, 256-token bins."""
+    from assemblagedb_spark.operators.chunking import chunk_documents, pack_chunks
+
+    chunks = chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP,
+    ).select("doc_id", "chunk_idx", "n_tokens")
+    return pack_chunks(chunks, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS)
+
+
+O_TEXT_PACKING = f"""
+WITH t AS (SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents),
+ok AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+c AS (SELECT doc_id, toks, unnest(range(0, len(toks), {_CHUNK_TOKENS - _CHUNK_OVERLAP})) AS s FROM ok),
+chunks AS (
+  SELECT doc_id, (s // {_CHUNK_TOKENS - _CHUNK_OVERLAP})::BIGINT AS chunk_idx,
+         len(toks[s + 1 : s + {_CHUNK_TOKENS}])::BIGINT AS n_tokens
+  FROM c),
+packed AS (
+  SELECT doc_id, chunk_idx, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY doc_id % {_PACK_SHARDS}
+                   ORDER BY doc_id, chunk_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS strt
+  FROM chunks)
+SELECT doc_id, chunk_idx, n_tokens,
+       ((doc_id % {_PACK_SHARDS}) * {1 << 40} + strt // {_PACK_BUDGET})::BIGINT AS bin_id,
+       strt AS bin_offset
+FROM packed
+"""
+
+
 def q_pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data filter job — what this engine exists to
     run at 100 TB: keep each exact-dup group's canonical keeper, require
@@ -3071,6 +3107,7 @@ SPARK_QUERIES = {
     "text_winnowing": q_text_winnowing,
     "pipeline_filter": q_pipeline_filter,
     "text_chunks": q_text_chunks,
+    "text_packing": q_text_packing,
     "text_fingerprint": q_text_fingerprint,
     "events_tumbling": q_events_tumbling,
     "events_rollup": q_events_rollup,
@@ -3151,6 +3188,7 @@ ORACLES = {
     "text_winnowing": O_TEXT_WINNOWING,
     "pipeline_filter": _o_pipeline_filter(),
     "text_chunks": O_TEXT_CHUNKS,
+    "text_packing": O_TEXT_PACKING,
     "text_fingerprint": O_TEXT_FINGERPRINT,
     "events_tumbling": O_EVENTS_TUMBLING,
     "events_rollup": O_EVENTS_ROLLUP,

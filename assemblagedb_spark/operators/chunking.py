@@ -58,3 +58,53 @@ def chunk_documents(
             F.col("c.n_tokens").alias("n_tokens"),
         )
     )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    *,
+    budget: int = 256,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Sequence packing: assign chunks to context-window bins of
+    ``budget`` tokens — the step between chunking and batch assembly in an
+    LLM pipeline.
+
+    Deterministic contiguous FIFO packing: within each shard (doc_id mod
+    ``n_shards``), chunks are laid end-to-end in (doc_id, chunk_idx) order
+    and a chunk's bin is the window its FIRST token falls in
+    (``exclusive-running-total div budget``) — one running-sum window per
+    shard, all integer arithmetic. Sharding keeps the cumulative sum
+    parallel at scale (a global pack would serialize on one partition);
+    bins are (shard, bin_in_shard) pairs, encoded as
+    ``shard * 2^40 + bin``. A chunk longer than the leftover space
+    straddles into the next bin (assignment is by start offset), the
+    standard trade of streaming packers that never reorder or split
+    chunks.
+
+    Returns (doc_id, chunk_idx, n_tokens, bin_id, bin_offset) — bin_offset
+    is the chunk's start position within its shard's token stream.
+    """
+    from pyspark.sql import Window
+
+    shard = (F.col("doc_id") % n_shards).cast("long")
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return (
+        chunks.withColumn("__shard", shard)
+        .withColumn("__start", start)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "n_tokens",
+            (
+                F.col("__shard") * F.lit(1 << 40)
+                + F.expr(f"__start div {budget}")
+            ).cast("long").alias("bin_id"),
+            F.col("__start").alias("bin_offset"),
+        )
+    )

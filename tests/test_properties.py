@@ -437,3 +437,38 @@ def test_chunking_matches_python_replay(spark):
     chunks = sorted(got[0])
     for (_, a, na), (_, b, _) in zip(chunks, chunks[1:]):
         assert a.split()[step:] == b.split()[: na - step]
+
+
+def test_packing_invariants(spark):
+    """pack_chunks: within a shard, chunks stay in (doc_id, chunk_idx)
+    order, offsets are the exclusive running token total, and bin ids are
+    contiguous non-decreasing windows of the offset stream."""
+    from assemblagedb_spark.operators.chunking import pack_chunks
+
+    rows = [
+        (d, c, n)
+        for d in range(10)
+        for c, n in enumerate([7, 13, 5, 64, 3][: (d % 5) + 1])
+    ]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, chunk_idx long, n_tokens long"
+    )
+    BUDGET, SHARDS = 32, 4
+    out = pack_chunks(chunks, budget=BUDGET, n_shards=SHARDS).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["bin_id"] >> 40, []).append(r)
+    assert set(by_shard) == {d % SHARDS for d, _, _ in rows}
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: (r["doc_id"], r["chunk_idx"]))
+        total = 0
+        prev_bin = None
+        for r in rs:
+            assert r["doc_id"] % SHARDS == shard
+            assert r["bin_offset"] == total  # exclusive running total
+            b = r["bin_id"] - (shard << 40)
+            assert b == total // BUDGET  # start-offset window
+            if prev_bin is not None:
+                assert b >= prev_bin  # bins never rewind
+            prev_bin = b
+            total += r["n_tokens"]
