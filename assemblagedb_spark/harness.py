@@ -2478,6 +2478,41 @@ def _o_components(rounds: int) -> str:
 O_GRAPH_COMPONENTS = _o_components(6)
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (components.triangle_counts) on the LSH
+    near-dup pair graph — dup clusters are cliquish, so the triangle
+    census is the natural density check on the dedup graph. Ordered-edge
+    double-join enumeration, each triangle exactly once."""
+    from assemblagedb_spark.operators.components import triangle_counts
+    from assemblagedb_spark.operators.dedup import lsh_candidate_pairs
+
+    sig = _doc_minhash_sigs(spark, sf_dir)
+    pairs = lsh_candidate_pairs(sig, bands=_LSH_BANDS, rows_per_band=_LSH_ROWS)
+    edges = pairs.select(
+        F.col("id_a").alias("parent_id"), F.col("id_b").alias("child_id")
+    )
+    return triangle_counts(edges).withColumnRenamed("node_id", "doc_id")
+
+
+def _o_graph_triangles() -> str:
+    pairs_cte = O_DEDUP_LSH_PAIRS.strip()
+    return f"""
+WITH pairs AS MATERIALIZED ({pairs_cte}),
+tri AS (
+  SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
+  FROM pairs p1 JOIN pairs p2 ON p2.id_a = p1.id_b
+  JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b),
+per_node AS (
+  SELECT node_id, COUNT(*)::BIGINT AS n_triangles FROM (
+    SELECT a AS node_id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+  GROUP BY node_id),
+nodes AS (SELECT DISTINCT node_id FROM (
+  SELECT id_a AS node_id FROM pairs UNION ALL SELECT id_b FROM pairs))
+SELECT n.node_id AS doc_id, COALESCE(p.n_triangles, 0)::BIGINT AS n_triangles
+FROM nodes n LEFT JOIN per_node p USING (node_id)
+"""
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point integer PageRank, 3 rounds, on the cyclic supplier graph
     — the second canonical GraphX-style analytic next to components. All
@@ -3138,6 +3173,7 @@ SPARK_QUERIES = {
     "graph_cyclic": q_graph_cyclic,
     "graph_components": q_graph_components,
     "graph_pagerank": q_graph_pagerank,
+    "graph_triangles": q_graph_triangles,
     "graph_blank": q_graph_blank,
     "export_incremental": q_export_incremental,
     "view_sections": q_view_sections,
@@ -3219,6 +3255,7 @@ ORACLES = {
     "graph_cyclic": O_GRAPH_CYCLIC,
     "graph_components": O_GRAPH_COMPONENTS,
     "graph_pagerank": O_GRAPH_PAGERANK,
+    "graph_triangles": _o_graph_triangles(),
     "graph_blank": O_GRAPH_BLANK,
     "export_incremental": O_EXPORT_INCREMENTAL,
     "view_sections": O_VIEW_SECTIONS,

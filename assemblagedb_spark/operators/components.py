@@ -152,3 +152,51 @@ def pagerank_rounds(
             break
     e.unpersist()
     return ranks
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts — the third canonical graph
+    analytic next to components/PageRank (GraphX ``triangleCount``).
+
+    Edges are canonicalized to (u < v); each triangle a<b<c is enumerated
+    exactly once as e(a,b) ⋈ e(b,c) ⋈ e(a,c) — two equi-joins, no wedge
+    ever materialized twice. Every node of the input edge set gets a row
+    (0 if triangle-free).
+
+    Scale note: the wedge join's cost is Σ deg(v)², so a hub node
+    dominates; the production mitigation is degree-ordered orientation
+    (orient each edge toward the higher-degree endpoint, which bounds
+    wedges by arboricity) — same plan shape, one extra degree join. The
+    id-ordered orientation here keeps the result oracle-replayable.
+    """
+    e = (
+        edges.select(
+            F.least("parent_id", "child_id").alias("u"),
+            F.greatest("parent_id", "child_id").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    per_node = (
+        tri.select(F.col("a").alias("node_id"))
+        .unionAll(tri.select(F.col("b").alias("node_id")))
+        .unionAll(tri.select(F.col("c").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    nodes = (
+        e.select(F.col("u").alias("node_id"))
+        .unionByName(e.select(F.col("v").alias("node_id")))
+        .distinct()
+    )
+    out = nodes.join(per_node, "node_id", "left").select(
+        "node_id",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+    )
+    e.unpersist()
+    return out

@@ -334,3 +334,29 @@ def test_pagerank_convergence_mode(spark):
         for r in pagerank_rounds(edges, rounds=60).collect()
     }
     assert stable == again
+
+
+def test_triangle_counts(spark):
+    # K4 on a-b-c-d (4 triangles, each node in 3) plus a pendant edge and
+    # an isolated pair: pendant/pair nodes report 0
+    from assemblagedb_spark.operators.components import triangle_counts
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    extra = [("d", "e"), ("x", "y")]
+    edges = spark.createDataFrame(
+        [(u, v, 0) for u, v in k4 + extra],
+        "parent_id string, child_id string, ignored int",
+    ).select("parent_id", "child_id")
+    got = {
+        r["node_id"]: r["n_triangles"] for r in triangle_counts(edges).collect()
+    }
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 0, "x": 0, "y": 0}
+
+    # orientation-insensitive: reversing some edges changes nothing
+    rev = spark.createDataFrame(
+        [(v, u, 0) for u, v in k4] + [(u, v, 0) for u, v in extra],
+        "parent_id string, child_id string, ignored int",
+    ).select("parent_id", "child_id")
+    assert {
+        r["node_id"]: r["n_triangles"] for r in triangle_counts(rev).collect()
+    } == got
