@@ -3075,6 +3075,49 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
+_ASOF_TOL_NS = 3600 * 1_000_000_000  # 1h in ns
+
+
+def q_events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance bound: clicks older than 1h before the
+    purchase are nulled out (pandas merge_asof(tolerance=...) semantics) —
+    same single-shuffle union-window plan as the unbounded gate."""
+    from assemblagedb_spark.operators.asof import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.round(F.col("value") * 100).cast("long").alias("click_value_cents"),
+    )
+    return asof_join_backward(
+        purchases,
+        clicks,
+        key="user_id",
+        ts="ts",
+        payload=["click_id", "click_value_cents"],
+        right_tiebreak=["click_id"],
+        tolerance=_ASOF_TOL_NS,
+    ).select("user_id", "purchase_id", "click_id", "click_value_cents")
+
+
+O_EVENTS_ASOF_TOLERANCE = f"""
+WITH p AS (SELECT user_id, epoch_ns(ts) AS ts, event_id AS purchase_id
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, epoch_ns(ts) AS ts, event_id AS click_id,
+             round(value * 100)::BIGINT AS click_value_cents
+      FROM events WHERE event_type = 'click')
+SELECT p.user_id, p.purchase_id,
+       CASE WHEN p.ts - c.ts <= {_ASOF_TOL_NS} THEN c.click_id END AS click_id,
+       CASE WHEN p.ts - c.ts <= {_ASOF_TOL_NS} THEN c.click_value_cents END AS click_value_cents
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 _RANGE_GAP_US = 6 * 3600 * 1_000_000  # 6h, in µs (the oracle's ts precision)
 
 
@@ -3184,6 +3227,7 @@ SPARK_QUERIES = {
     "events_hopping": q_events_hopping,
     "ann_ivf_topk": q_ann_ivf_topk,
     "events_asof": q_events_asof,
+    "events_asof_tolerance": q_events_asof_tolerance,
     "events_range_pairs": q_events_range_pairs,
 }
 
@@ -3266,5 +3310,6 @@ ORACLES = {
     "events_hopping": O_EVENTS_HOPPING,
     "ann_ivf_topk": O_ANN_IVF_TOPK,
     "events_asof": O_EVENTS_ASOF,
+    "events_asof_tolerance": O_EVENTS_ASOF_TOLERANCE,
     "events_range_pairs": O_EVENTS_RANGE_PAIRS,
 }

@@ -29,11 +29,18 @@ def asof_join_backward(
     ts: str,
     payload: Sequence[str],
     right_tiebreak: Sequence[str] = (),
+    tolerance: int | None = None,
 ) -> DataFrame:
     """For each left row: the right row with the greatest ``ts`` <= left ts
     within the same ``key`` (ties among right rows resolved by
     ``right_tiebreak``, last one wins). Returns all left columns plus the
-    right ``payload`` columns (null when no prior right row exists)."""
+    right ``payload`` columns (null when no prior right row exists).
+
+    ``tolerance``: maximum allowed ``left_ts - right_ts`` (same unit as the
+    ``ts`` column). A match older than the tolerance is nulled out — the
+    pandas ``merge_asof(tolerance=...)`` / kdb ``wj`` bound — applied AFTER
+    the forward fill, so the plan is unchanged: still one shuffle, one
+    window pass."""
     l_tag = left.select(
         key,
         ts,
@@ -56,12 +63,20 @@ def asof_join_backward(
     w = Window.partitionBy(key).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    match_ts = F.when(F.col("__side") == 0, F.col(ts))
     filled = l_tag.unionByName(r_tag).select(
         "__side",
         "__left",
+        F.col(ts).alias("__l_ts"),
+        F.last(match_ts, ignorenulls=True).over(w).alias("__m_ts"),
         *[F.last(f"__p_{p}", ignorenulls=True).over(w).alias(f"__f_{p}") for p in payload],
+    )
+    in_tol = (
+        F.lit(True)
+        if tolerance is None
+        else (F.col("__l_ts") - F.col("__m_ts")) <= tolerance
     )
     return filled.filter(F.col("__side") == 1).select(
         *[F.col(f"__left.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__f_{p}").alias(p) for p in payload],
+        *[F.when(in_tol, F.col(f"__f_{p}")).alias(p) for p in payload],
     )

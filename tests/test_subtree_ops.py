@@ -360,3 +360,27 @@ def test_triangle_counts(spark):
     assert {
         r["node_id"]: r["n_triangles"] for r in triangle_counts(rev).collect()
     } == got
+
+
+def test_asof_tolerance(spark):
+    from assemblagedb_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 200, "p2"), (2, 50, "p3")],
+        "user_id long, ts long, pid string",
+    )
+    right = spark.createDataFrame(
+        [(1, 95, "c1"), (1, 120, "c2")], "user_id long, ts long, cid string"
+    )
+    kw = dict(key="user_id", ts="ts", payload=["cid"], right_tiebreak=["cid"])
+    unbounded = {
+        r["pid"]: r["cid"]
+        for r in asof_join_backward(left, right, **kw).collect()
+    }
+    assert unbounded == {"p1": "c1", "p2": "c2", "p3": None}
+    # tol=10: p1 keeps c1 (gap 5); p2 loses c2 (gap 80 > 10)
+    bounded = {
+        r["pid"]: r["cid"]
+        for r in asof_join_backward(left, right, tolerance=10, **kw).collect()
+    }
+    assert bounded == {"p1": "c1", "p2": None, "p3": None}
