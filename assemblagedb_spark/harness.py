@@ -3075,6 +3075,49 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
+_SAMPLE_RATES = {"click": 100, "purchase": 1000, "view": 20}
+
+
+def q_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli sample of documents by key-hash bucket
+    (operators/sampling.py) — reproducible across partitionings/engines,
+    unlike df.sample()'s per-partition RNG."""
+    from assemblagedb_spark.operators.sampling import hash_sample
+
+    return hash_sample(
+        load_table(spark, sf_dir, "documents"), rate_permille=100
+    ).select("doc_id", "source", "lang")
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling of the event stream: keep all
+    purchases, 10% of clicks, 2% of views — the class-rebalancing shape of
+    a training-data ingest."""
+    from assemblagedb_spark.operators.sampling import stratified_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    return stratified_sample(
+        ev, strata_col="event_type", rates_permille=_SAMPLE_RATES,
+        key_col="event_id",
+    ).select("event_id", "user_id", "event_type")
+
+
+def _o_samples() -> tuple[str, str]:
+    from assemblagedb_spark.operators.sampling import bucket_sql
+
+    bern = f"""
+SELECT doc_id, source, lang FROM documents WHERE {bucket_sql("doc_id")} < 100
+"""
+    rate = "CASE " + " ".join(
+        f"WHEN event_type = '{k}' THEN {v}" for k, v in sorted(_SAMPLE_RATES.items())
+    ) + " ELSE 0 END"
+    strat = f"""
+SELECT event_id, user_id, event_type FROM events
+WHERE {bucket_sql("event_id")} < {rate}
+"""
+    return bern, strat
+
+
 _ASOF_TOL_NS = 3600 * 1_000_000_000  # 1h in ns
 
 
@@ -3228,6 +3271,8 @@ SPARK_QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "events_asof": q_events_asof,
     "events_asof_tolerance": q_events_asof_tolerance,
+    "sample_bernoulli": q_sample_bernoulli,
+    "sample_stratified": q_sample_stratified,
     "events_range_pairs": q_events_range_pairs,
 }
 
@@ -3311,5 +3356,7 @@ ORACLES = {
     "ann_ivf_topk": O_ANN_IVF_TOPK,
     "events_asof": O_EVENTS_ASOF,
     "events_asof_tolerance": O_EVENTS_ASOF_TOLERANCE,
+    "sample_bernoulli": _o_samples()[0],
+    "sample_stratified": _o_samples()[1],
     "events_range_pairs": O_EVENTS_RANGE_PAIRS,
 }

@@ -1,0 +1,66 @@
+"""Deterministic sampling: hash-based Bernoulli and stratified rates.
+
+``df.sample()`` draws from a per-partition RNG — results change with
+partitioning, task retries, and Spark version, which disqualifies it for
+reproducible training-data pipelines (and for oracle comparison). These
+operators decide membership from universal-hash arithmetic on a key
+column: ``h(k) = (k*a + b) mod P`` with the permille bucket
+``h(k) mod 1000`` — the same explicit-hash discipline as the minhash/
+simhash family (functions/core.py), identical in any engine, stable
+under repartitioning, and naturally consistent across tables (the same
+key samples in or out everywhere — exactly what train/eval splits need).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from assemblagedb_spark.functions.core import MINHASH_PRIME
+
+# fixed odd multiplier / offset pair for the sampling hash family; any
+# (a, b) works, these are the repo-wide defaults so splits are stable
+SAMPLE_A = 2654435761
+SAMPLE_B = 97531
+
+
+def sample_bucket(key_col: str, seed: int = 1) -> F.Column:
+    """Permille bucket 0..999 of a BIGINT key — the membership hash."""
+    return (
+        (F.col(key_col) * SAMPLE_A + SAMPLE_B * seed) % MINHASH_PRIME
+    ) % 1000
+
+
+def bucket_sql(key_col: str, seed: int = 1) -> str:
+    """The identical bucket formula as engine-portable SQL (for oracles)."""
+    return f"((({key_col} * {SAMPLE_A} + {SAMPLE_B * seed}) % {MINHASH_PRIME}) % 1000)"
+
+
+def hash_sample(
+    df: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    rate_permille: int = 100,
+    seed: int = 1,
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose key bucket falls
+    below ``rate_permille`` (100 = 10%). Same key + seed → same decision
+    on any cluster, any partitioning, any engine."""
+    return df.filter(sample_bucket(key_col, seed) < rate_permille)
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    rates_permille: dict[str, int],
+    key_col: str = "doc_id",
+    default_permille: int = 0,
+    seed: int = 1,
+) -> DataFrame:
+    """Per-stratum deterministic rates (e.g. downsample boilerplate-heavy
+    sources, keep all rare ones): membership = bucket < rate(stratum).
+    Strata not listed get ``default_permille``."""
+    rate = F.lit(default_permille)
+    for value, permille in sorted(rates_permille.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(permille)).otherwise(rate)
+    return df.filter(sample_bucket(key_col, seed) < rate)

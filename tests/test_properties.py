@@ -472,3 +472,40 @@ def test_packing_invariants(spark):
                 assert b >= prev_bin  # bins never rewind
             prev_bin = b
             total += r["n_tokens"]
+
+
+def test_hash_sampling_determinism_and_consistency(spark):
+    """Hash sampling is partitioning-invariant (same keys selected at any
+    repartition) and cross-table consistent (a key samples identically
+    wherever it appears); stratified rates apply per stratum."""
+    from pyspark.sql import functions as F
+
+    from assemblagedb_spark.operators.sampling import (
+        hash_sample,
+        stratified_sample,
+    )
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in hash_sample(df, rate_permille=100).collect()}
+    b = {
+        r["doc_id"]
+        for r in hash_sample(df.repartition(13), rate_permille=100).collect()
+    }
+    assert a == b and 120 <= len(a) <= 280  # ~10% of 2000, hash-spread
+    # nested rates: a 5% sample is a subset of the 10% sample (same seed)
+    c = {r["doc_id"] for r in hash_sample(df, rate_permille=50).collect()}
+    assert c <= a
+    # cross-table consistency: the same keys survive in a different table
+    other = df.withColumn("payload", F.col("doc_id") * 2)
+    d = {r["doc_id"] for r in hash_sample(other, rate_permille=100).collect()}
+    assert d == a
+
+    strat = df.withColumn(
+        "grp", F.when(F.col("doc_id") % 2 == 0, "keep").otherwise("drop")
+    )
+    out = stratified_sample(
+        strat, strata_col="grp", rates_permille={"keep": 1000},
+        key_col="doc_id",
+    ).collect()
+    assert {r["grp"] for r in out} == {"keep"}
+    assert len(out) == 1000
