@@ -1344,22 +1344,71 @@ def q_pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data filter job — what this engine exists to
     run at 100 TB: keep each exact-dup group's canonical keeper, require
     quality_score >= 0.4 and lang_guess = 'en', emit integer/string
-    columns only. Three doc_id equi-joins over single-scan derivations
-    (hash-dedup groupBy, quality expression, stopword lang-ID); every
-    stage is the same operator the standalone gates check."""
-    from assemblagedb_spark.operators.dedup import exact_duplicates
-    from assemblagedb_spark.operators.textstats import language_id, quality_scores
+    columns only.
+
+    Fused plan: quality, language, and the dedup hash are all per-row
+    derivations of ONE documents scan, so they compute in a single
+    projection with the token array bound ONCE per row (lambda-CSE —
+    otherwise CollapseProject re-inlines the split ~15×); keeper
+    selection and group size are windows over the hash — ONE shuffle
+    total, where the naive three-way join of the standalone operators
+    costs three. Formulas are identical to textstats.quality_cols /
+    lang_hit_cols (the standalone-gate expressions)."""
+    from assemblagedb_spark.operators.textstats import LANG_STOPWORDS
 
     docs = load_table(spark, sf_dir, "documents")
-    keepers = exact_duplicates(docs).select(
-        F.col("keeper_id").alias("doc_id"), "n_copies"
+    toks = "filter(split(trim(coalesce(text, '')), ' +'), t -> t <> '')"
+    stop_en = "array(" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"]) + ")"
+    n_tok = "CAST(size(toks) AS BIGINT)"
+    n_stop = (
+        f"CAST(size(filter(toks, t -> array_contains({stop_en}, lower(t)))) AS BIGINT)"
     )
-    quality = quality_scores(docs).select("doc_id", "n_tokens", "quality_score")
-    lang = language_id(docs).select("doc_id", "lang_guess")
+    quality = (
+        f"(LEAST({n_tok} / 100.0, 1.0)"
+        f" + (CASE WHEN {n_tok} > 0 THEN size(array_distinct(toks)) / {n_tok} ELSE 0.0 END)"
+        f" + LEAST((CASE WHEN {n_tok} > 0 THEN {n_stop} / {n_tok} ELSE 0.0 END) * 4, 1.0)"
+        f") / 3"
+    )
+    hits_fields = ", ".join(
+        f"'{lang}', CAST(size(filter(toks, t -> array_contains("
+        + "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+        + ", lower(t)))) AS BIGINT)"
+        for lang, words in LANG_STOPWORDS.items()
+    )
+    langs = list(LANG_STOPWORDS)
+    best, best_hits = f"'{langs[0]}'", f"hs.{langs[0]}"
+    for lang in langs[1:]:
+        best = f"(CASE WHEN hs.{lang} > {best_hits} THEN '{lang}' ELSE {best} END)"
+        best_hits = f"GREATEST(hs.{lang}, {best_hits})"
+    guess = (
+        f"transform(array(named_struct({hits_fields})), hs -> "
+        f"CASE WHEN {best_hits} > 0 THEN {best} ELSE 'und' END)[0]"
+    )
+    features = (
+        f"transform(array({toks}), toks -> named_struct("
+        f"'h', md5(trim(regexp_replace(lower(text), '\\\\s+', ' '))), "
+        f"'n_tokens', {n_tok}, "
+        f"'q', {quality}, "
+        f"'lang', {guess}))"
+    )
+    per_row = docs.select(
+        "doc_id", F.explode(F.expr(features)).alias("__f")
+    ).select(
+        "doc_id",
+        F.col("__f.h").alias("__h"),
+        F.col("__f.n_tokens").alias("n_tokens"),
+        F.col("__f.q").alias("__q"),
+        F.col("__f.lang").alias("lang_guess"),
+    )
+    w = Window.partitionBy("__h")
     return (
-        keepers.join(quality, "doc_id")
-        .join(lang, "doc_id")
-        .filter((F.col("quality_score") >= 0.4) & (F.col("lang_guess") == "en"))
+        per_row.withColumn("__rn", F.row_number().over(w.orderBy("doc_id")))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w).cast("long"))
+        .filter(
+            (F.col("__rn") == 1)
+            & (F.col("__q") >= 0.4)
+            & (F.col("lang_guess") == "en")
+        )
         .select("doc_id", "n_tokens", "n_copies", "lang_guess")
     )
 

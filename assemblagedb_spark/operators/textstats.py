@@ -39,6 +39,35 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def quality_cols(
+    text_col: str = "text", stopwords: list[str] | None = None
+) -> dict[str, F.Column]:
+    """The quality-feature expressions as reusable Columns — shared by
+    :func:`quality_scores` and fused pipelines that want the score inline
+    without a join."""
+    stop = stopwords or LANG_STOPWORDS["en"]
+    stop_arr = "array(" + ", ".join(f"'{s}'" for s in stop) + ")"
+    t = tokens(text_col)
+    n_tok = F.size(t).cast("long")
+    n_stop = F.size(F.expr(
+        f"filter(filter(split(trim(coalesce({text_col}, '')), ' +'), t -> t <> ''), "
+        f"t -> array_contains({stop_arr}, lower(t)))"
+    )).cast("long")
+    length_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    diversity = F.when(n_tok > 0, F.size(F.array_distinct(t)) / n_tok).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    return {
+        "n_tokens": n_tok,
+        "n_stopwords": n_stop,
+        "length_score": length_score,
+        "diversity": diversity,
+        "stopword_ratio": stop_ratio,
+        "quality_score": (
+            (length_score + diversity + F.least(stop_ratio * 4, F.lit(1.0))) / 3
+        ),
+    }
+
+
 def quality_scores(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -52,31 +81,15 @@ def quality_scores(
     - stopword_ratio: stopword tokens / total (natural text has some)
     - score = (length_score + diversity + least(stopword_ratio * 4, 1)) / 3
     """
-    stop = stopwords or LANG_STOPWORDS["en"]
-    stop_arr = "array(" + ", ".join(f"'{s}'" for s in stop) + ")"
-    t = tokens(text_col)
-    n_tok = F.size(t).cast("long")
-    n_stop = F.size(F.expr(
-        f"filter(filter(split(trim(coalesce({text_col}, '')), ' +'), t -> t <> ''), "
-        f"t -> array_contains({stop_arr}, lower(t)))"
-    )).cast("long")
-    length_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
-    diversity = F.when(n_tok > 0, F.size(F.array_distinct(t)) / n_tok).otherwise(F.lit(0.0))
-    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    cols = quality_cols(text_col, stopwords)
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        n_tok.alias("n_tokens"),
-        n_stop.alias("n_stopwords"),
-        length_score.alias("length_score"),
-        diversity.alias("diversity"),
-        stop_ratio.alias("stopword_ratio"),
-        ((length_score + diversity + F.least(stop_ratio * 4, F.lit(1.0))) / 3).alias("quality_score"),
+        *[c.alias(name) for name, c in cols.items()],
     )
 
 
-def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Stopword-vote language ID: count per-language stopword hits, argmax
-    with fixed tiebreak order (the LANG_STOPWORDS key order)."""
+def lang_hit_cols(text_col: str = "text") -> dict[str, F.Column]:
+    """Per-language stopword hit counts as reusable Columns."""
     hit_cols = {}
     for lang, words in LANG_STOPWORDS.items():
         arr = "array(" + ", ".join(f"'{w}'" for w in words) + ")"
@@ -84,16 +97,32 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
             f"filter(filter(split(trim(coalesce({text_col}, '')), ' +'), t -> t <> ''), "
             f"t -> array_contains({arr}, lower(t)))"
         )).cast("long")
-    out = docs.select(F.col(id_col).alias("doc_id"), *[c.alias(f"hits_{lang}") for lang, c in hit_cols.items()])
-    langs = list(LANG_STOPWORDS)
+    return hit_cols
+
+
+def lang_guess_col(hit_cols: dict[str, F.Column]) -> F.Column:
+    """Argmax of the hit counts with LANG_STOPWORDS key-order tiebreak;
+    'und' when all are zero. Takes the Columns themselves so a fused
+    pipeline can inline everything in one projection."""
+    langs = list(hit_cols)
     best = F.lit(langs[0])
-    best_hits = F.col(f"hits_{langs[0]}")
+    best_hits = hit_cols[langs[0]]
     for lang in langs[1:]:
-        cond = F.col(f"hits_{lang}") > best_hits
+        cond = hit_cols[lang] > best_hits
         best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_hits = F.when(cond, F.col(f"hits_{lang}")).otherwise(best_hits)
-    return out.withColumn("lang_guess", F.when(best_hits > 0, best).otherwise(F.lit("und"))).select(
-        "doc_id", *[f"hits_{lang}" for lang in langs], "lang_guess"
+        best_hits = F.when(cond, hit_cols[lang]).otherwise(best_hits)
+    return F.when(best_hits > 0, best).otherwise(F.lit("und"))
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: count per-language stopword hits, argmax
+    with fixed tiebreak order (the LANG_STOPWORDS key order)."""
+    hit_cols = lang_hit_cols(text_col)
+    langs = list(LANG_STOPWORDS)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[c.alias(f"hits_{lang}") for lang, c in hit_cols.items()],
+        lang_guess_col(hit_cols).alias("lang_guess"),
     )
 
 

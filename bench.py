@@ -39,15 +39,21 @@ BENCH_QUERIES = [
     "text_quality",
     "text_lang_id",
     "text_winnowing",
+    "text_lang_ngram",
+    "text_chunks",
+    "text_packing",
+    "pipeline_filter",
     "mvcc_latest",
     "mvcc_asof",
     "events_tumbling",
     "events_rollup",
+    "events_quantiles",
     "events_moving",
     "graph_descendants",
     "graph_ancestor_path",
     "graph_components",
     "graph_pagerank",
+    "graph_triangles",
     "siblings",
     "display_class",
     "tpch_q1",
