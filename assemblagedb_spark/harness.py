@@ -3240,6 +3240,236 @@ WHERE b.ts - a.ts <= {_RANGE_GAP_US}
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus curation: decontamination, PII scrubbing, repetition signals,
+# budgeted selection, deterministic training order, boilerplate n-grams
+# ---------------------------------------------------------------------------
+
+# DuckDB mirror of decontam.word_ngrams: tokenize, then one distinct
+# (doc_id, gram) row per word n-gram (1-based inclusive list slicing).
+_O_WORDS = """
+words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), ' +'),
+                     t -> t <> '') AS w
+  FROM documents
+)
+"""
+
+
+def _o_grams(n: int, distinct: bool = True) -> str:
+    d = "DISTINCT " if distinct else ""
+    return f"""(
+  SELECT {d}doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS gram
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - {n - 2})) AS i
+        FROM words WHERE len(w) >= {n})
+)"""
+
+
+_DECONTAM_N = 3  # tiny synthetic vocab → 3-grams collide like real 13-grams
+
+
+def q_text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 App. C style): docs with doc_id %
+    10 == 0 stand in for the held-out benchmark; every other document
+    sharing any word n-gram with it is flagged with its shared-gram count.
+    Eval gram set deduped + broadcast — corpus side never shuffles."""
+    from assemblagedb_spark.operators.decontam import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return decontaminate(train, bench, n=_DECONTAM_N)
+
+
+O_TEXT_DECONTAM = f"""
+WITH {_O_WORDS},
+grams AS {_o_grams(_DECONTAM_N)},
+ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0),
+tr AS (SELECT doc_id, gram FROM grams WHERE doc_id % 10 <> 0)
+SELECT tr.doc_id, COUNT(*)::BIGINT AS n_shared_grams
+FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id
+"""
+
+
+# The documents table carries no literal PII (synthetic word soup), so the
+# gate derives a deterministic contact blurb from each doc_id — email, IPv4
+# and an account-shaped digit run — and checks that detection counts AND the
+# redacted text replay byte-for-byte on both engines.
+_PII_NOTES_SPARK = (
+    "concat(text, ' contact user', doc_id, '@mail.example from ', "
+    "doc_id % 223, '.0.', doc_id % 199, '.', doc_id % 251, "
+    "' acct ', 1000000 + doc_id * 7919)"
+)
+_PII_NOTES_SQL = (
+    "text || ' contact user' || doc_id || '@mail.example from ' || "
+    "(doc_id % 223) || '.0.' || (doc_id % 199) || '.' || (doc_id % 251) || "
+    "' acct ' || (1000000 + doc_id * 7919)"
+)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit: per-doc email/IP/digit-run detection counts plus an
+    md5 of the placeholder-redacted text (email → IP → digit-run staging;
+    pure regexp codegen, no shuffle)."""
+    from assemblagedb_spark.operators.pii import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PII_NOTES_SPARK).alias("text")
+    )
+    return pii_scrub(docs).select(
+        "doc_id", "n_emails", "n_ips", "n_digit_runs",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+from assemblagedb_spark.operators.pii import (  # noqa: E402
+    DIGIT_RUN_RE as _PII_NUM,
+    EMAIL_RE as _PII_EMAIL,
+    IPV4_RE as _PII_IP,
+)
+
+O_PII_SCRUB = f"""
+WITH notes AS (SELECT doc_id, {_PII_NOTES_SQL} AS t FROM documents),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '{_PII_EMAIL}'))::BIGINT AS n_emails,
+         regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t
+  FROM notes
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t, '{_PII_IP}'))::BIGINT AS n_ips,
+         regexp_replace(t, '{_PII_IP}', '<IP>', 'g') AS t
+  FROM s1
+)
+SELECT doc_id, n_emails, n_ips,
+       len(regexp_extract_all(t, '{_PII_NUM}'))::BIGINT AS n_digit_runs,
+       md5(regexp_replace(t, '{_PII_NUM}', '<NUMBER>', 'g')) AS clean_md5
+FROM s2
+"""
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters: most-common-2-gram mass and duplicate
+    3-gram instance counts per document (integer-exact)."""
+    from assemblagedb_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+O_TEXT_REPETITION = f"""
+WITH {_O_WORDS},
+g2 AS {_o_grams(2, distinct=False)},
+c2 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2),
+r2 AS (SELECT doc_id, gram, cnt,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY cnt DESC, gram ASC) AS rn
+       FROM c2),
+top AS (SELECT doc_id, SUM(cnt)::BIGINT AS n_top_grams,
+               MAX(CASE WHEN rn = 1 THEN cnt END)::BIGINT AS top_gram_count,
+               MAX(CASE WHEN rn = 1 THEN cnt * length(gram) END)::BIGINT
+                   AS top_gram_chars
+        FROM r2 GROUP BY doc_id),
+g3 AS {_o_grams(3, distinct=False)},
+c3 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g3 GROUP BY 1, 2),
+dup AS (SELECT doc_id, SUM(cnt)::BIGINT AS n_dup_grams,
+               SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END)::BIGINT
+                   AS dup_gram_instances
+        FROM c3 GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(top.n_top_grams, 0)::BIGINT AS n_top_grams,
+       coalesce(top.top_gram_count, 0)::BIGINT AS top_gram_count,
+       coalesce(top.top_gram_chars, 0)::BIGINT AS top_gram_chars,
+       coalesce(dup.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+       coalesce(dup.dup_gram_instances, 0)::BIGINT AS dup_gram_instances
+FROM documents d LEFT JOIN top ON d.doc_id = top.doc_id
+LEFT JOIN dup ON d.doc_id = dup.doc_id
+"""
+
+
+_BUDGET_TOKENS = 10_000
+
+
+def q_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation: rank by lexical-diversity score (distinct
+    tokens, integer), keep documents while cumulative tokens ≤ 10k. The
+    running sum is the two-phase range-partitioned prefix (selection.py) —
+    no single-node global sort."""
+    from assemblagedb_spark.operators.selection import select_token_budget
+    from assemblagedb_spark.operators.textstats import token_stats
+
+    stats = token_stats(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("n_tokens"),
+        F.col("n_distinct_tokens").alias("score"),
+    )
+    return select_token_budget(stats, _BUDGET_TOKENS)
+
+
+O_SELECT_BUDGET = f"""
+WITH {_O_WORDS},
+t AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,
+             len(list_distinct(w))::BIGINT AS score
+      FROM words),
+r AS (SELECT doc_id, n_tokens, score,
+             (SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+                 AS cum_tokens
+      FROM t)
+SELECT doc_id, n_tokens, score, cum_tokens
+FROM r WHERE cum_tokens <= {_BUDGET_TOKENS}
+"""
+
+
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle: Knuth-multiplicative shuffle key +
+    dense epoch order index via the two-phase global row number."""
+    from assemblagedb_spark.operators.selection import training_order
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return training_order(docs).select("doc_id", "shuffle_key", "order_idx")
+
+
+O_TRAINING_ORDER = """
+WITH h0 AS (
+  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h FROM documents
+),
+h1 AS (SELECT doc_id, (xor(h, h >> 16) * 73244475) % 4294967296 AS h FROM h0),
+h2 AS (SELECT doc_id, (xor(h, h >> 16) * 73244475) % 4294967296 AS h FROM h1),
+k AS (SELECT doc_id, xor(h, h >> 16) AS k FROM h2)
+SELECT doc_id, k::BIGINT AS shuffle_key,
+       (row_number() OVER (ORDER BY k, doc_id))::BIGINT AS order_idx
+FROM k
+"""
+
+
+_BOILER_N = 3
+_BOILER_DF = 4
+
+
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate exposure: fraction of each doc's word
+    3-grams that occur in ≥ 4 distinct documents (CCNet shared-line removal,
+    n-gram form). One doc-frequency groupBy + one gram equi-join."""
+    from assemblagedb_spark.operators.selection import boilerplate_ngram_stats
+
+    return boilerplate_ngram_stats(
+        load_table(spark, sf_dir, "documents"), n=_BOILER_N, df_threshold=_BOILER_DF
+    )
+
+
+O_TEXT_BOILERPLATE = f"""
+WITH {_O_WORDS},
+inst AS {_o_grams(_BOILER_N, distinct=False)},
+gdf AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM inst GROUP BY gram)
+SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+       SUM(CASE WHEN df >= {_BOILER_DF} THEN 1 ELSE 0 END)::BIGINT
+           AS n_boiler_grams
+FROM inst JOIN gdf USING (gram) GROUP BY doc_id
+"""
+
+
 SPARK_QUERIES = {
     "gram_index": q_gram_index,
     "gram_counts": q_gram_counts,
@@ -3323,6 +3553,12 @@ SPARK_QUERIES = {
     "sample_bernoulli": q_sample_bernoulli,
     "sample_stratified": q_sample_stratified,
     "events_range_pairs": q_events_range_pairs,
+    "text_decontam": q_text_decontam,
+    "pii_scrub": q_pii_scrub,
+    "text_repetition": q_text_repetition,
+    "select_budget": q_select_budget,
+    "training_order": q_training_order,
+    "text_boilerplate": q_text_boilerplate,
 }
 
 ORACLES = {
@@ -3408,4 +3644,10 @@ ORACLES = {
     "sample_bernoulli": _o_samples()[0],
     "sample_stratified": _o_samples()[1],
     "events_range_pairs": O_EVENTS_RANGE_PAIRS,
+    "text_decontam": O_TEXT_DECONTAM,
+    "pii_scrub": O_PII_SCRUB,
+    "text_repetition": O_TEXT_REPETITION,
+    "select_budget": O_SELECT_BUDGET,
+    "training_order": O_TRAINING_ORDER,
+    "text_boilerplate": O_TEXT_BOILERPLATE,
 }

@@ -1,0 +1,203 @@
+"""Corpus selection operators: global running totals without a single-node
+sort, token-budget selection, deterministic training order, boilerplate
+n-gram filtering.
+
+The shared primitive is a two-phase global prefix aggregate: a naive
+``Window.orderBy(...)`` with no partition key collapses the whole relation
+into ONE task — correct on a laptop, a non-starter on 100 TB. Instead:
+
+1. ``repartitionByRange`` on the total order (each partition holds a
+   contiguous key range; Spark samples boundaries),
+2. a per-partition window computes the LOCAL prefix,
+3. per-partition totals (one row per partition — a few hundred rows at any
+   scale) come to the driver, an exclusive prefix over them is broadcast
+   back, and local + offset = global.
+
+Every executor does one local sort of its own range; nothing global ever
+materializes on one node. The order columns must form a total order (pass a
+unique tiebreaker) so equal keys cannot straddle a range boundary
+ambiguously.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+_PID = "__pid"
+_LOCAL = "__local"
+_OFFSET = "__offset"
+
+
+def _two_phase_prefix(
+    df: DataFrame,
+    order: Sequence[Column],
+    value: Column,
+    out_col: str,
+    num_partitions: int | None,
+) -> DataFrame:
+    """Global inclusive running SUM of ``value`` in ``order`` — distributed
+    two-phase plan (see module docstring)."""
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, *order).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn(_LOCAL, F.sum(value).over(w))
+    totals = {
+        r[_PID]: r["t"]
+        for r in local.groupBy(_PID).agg(F.sum(value).alias("t")).collect()
+    }
+    acc = 0
+    offsets = []
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += totals[pid]
+    spark = df.sparkSession
+    off = spark.createDataFrame(offsets, f"{_PID} int, {_OFFSET} long")
+    return (
+        local.join(F.broadcast(off), _PID)
+        .withColumn(out_col, (F.col(_LOCAL) + F.col(_OFFSET)).cast("long"))
+        .drop(_PID, _LOCAL, _OFFSET)
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order: Sequence[Column],
+    value: Column,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive global running sum of ``value`` over the total order."""
+    return _two_phase_prefix(df, order, value, out_col, num_partitions)
+
+
+def global_row_number(
+    df: DataFrame,
+    order: Sequence[Column],
+    out_col: str = "row_idx",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """1-based global row number over the total order (running count)."""
+    return _two_phase_prefix(df, order, F.lit(1), out_col, num_partitions)
+
+
+def select_token_budget(
+    docs: DataFrame,
+    budget: int,
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    token_col: str = "n_tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy quality-ordered selection: keep documents in descending
+    ``score_col`` (ties broken by ascending id) while the INCLUSIVE
+    cumulative ``token_col`` stays ≤ ``budget``.
+
+    The standard "best N tokens" curation step: rank the corpus by a quality
+    score and cut at the training-token budget. Output is the kept set with
+    its cumulative position, so the caller can audit the cut point.
+    """
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    ranked = _two_phase_prefix(
+        docs, order, F.col(token_col), "cum_tokens", num_partitions
+    )
+    return ranked.filter(F.col("cum_tokens") <= budget)
+
+
+# Knuth's multiplicative constant (2654435761 = floor(2^32/phi)); the
+# product of any int64 id stays within int64 for ids < 2^33.
+_KNUTH = 2654435761
+_MOD = 2**32
+
+
+def training_order(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle for training: each document gets a
+    pseudorandom ``shuffle_key`` (Knuth multiplicative hash of its id
+    followed by an xorshift finalizer — an explicit arithmetic formula any
+    engine can replay, not an engine hash) and a dense 1-based
+    ``order_idx`` in shuffle-key order.
+
+    The finalizer matters: an affine-only hash maps ``seed`` to a constant
+    shift of every key, so different seeds would yield (nearly) the SAME
+    permutation. Two xorshift-multiply rounds (the public "hash32 /
+    lowbias32" mixer; multiplier 0x45D9F3B kept < 2^27 so every
+    intermediate stays inside int64) avalanche low bits into the ordering-
+    dominant high bits, making each seed an independent epoch order.
+
+    Writing the corpus sorted by ``order_idx`` yields a reproducible
+    training order independent of input layout, partition count, or
+    engine — re-running with the same seed gives the same epoch order.
+    """
+    h = F.pmod(F.col(id_col) * F.lit(_KNUTH) + F.lit(seed), F.lit(_MOD))
+    for _ in range(2):
+        h = F.pmod(
+            h.bitwiseXOR(F.shiftright(h, 16)) * F.lit(0x45D9F3B), F.lit(_MOD)
+        )
+    keyed = docs.withColumn(
+        "shuffle_key",
+        h.bitwiseXOR(F.shiftright(h, 16)).cast("long"),
+    )
+    return global_row_number(
+        keyed,
+        [F.col("shuffle_key").asc(), F.col(id_col).asc()],
+        "order_idx",
+        num_partitions,
+    )
+
+
+def boilerplate_ngram_stats(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    df_threshold: int = 2,
+) -> DataFrame:
+    """Per-document boilerplate exposure via corpus-wide n-gram document
+    frequency (the n-gram analogue of CCNet's shared-line removal —
+    reference corpora carry headers/footers/license blocks repeated across
+    thousands of pages).
+
+    A word ``n``-gram is *boilerplate* when it occurs in ≥ ``df_threshold``
+    distinct documents. Output: (doc_id, n_grams, n_boiler_grams) counting
+    gram INSTANCES, so ``n_boiler_grams / n_grams`` is the fraction of the
+    document covered by cross-document repeated material.
+
+    Scale: one groupBy computes gram → document frequency (map-side partial
+    on the distinct pass), one equi-join on gram annotates instances. No
+    per-pair work, no cartesian; skewed mega-grams are exactly the ones the
+    threshold flags, and AQE splits their join partitions.
+    """
+    from assemblagedb_spark.operators.decontam import word_ngrams
+
+    inst = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(text_col, n)).alias("gram"),
+    )
+    gram_df = (
+        inst.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("gram_docfreq"))
+    )
+    flagged = inst.join(gram_df, "gram").select(
+        "doc_id", (F.col("gram_docfreq") >= df_threshold).cast("long").alias("is_b")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum("is_b").cast("long").alias("n_boiler_grams"),
+    )

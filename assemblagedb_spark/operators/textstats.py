@@ -341,3 +341,75 @@ def winnowing_fingerprints(
         .select("doc_id", F.expr(hashes).alias("__h"))
         .select("doc_id", F.explode(F.expr(mins)).alias("fingerprint"))
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 3,
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    §A1.1 repetition filters): documents dominated by a single repeated
+    phrase or by duplicated n-grams are low-quality training data.
+
+    Output per document (integer-exact, one row per input doc):
+    - ``n_top_grams`` / ``top_gram_count`` / ``top_gram_chars``: total
+      ``top_n``-gram instances, occurrences of the MOST frequENT one (ties
+      broken by lexicographically smallest gram), and characters covered by
+      those occurrences (count × gram length) — the "fraction of characters
+      in the most common n-gram" signal as a ratio of integers.
+    - ``n_dup_grams`` / ``dup_gram_instances``: total ``dup_n``-gram
+      instances and how many of them belong to a gram occurring ≥ 2 times
+      in the document — the "fraction of characters in duplicate n-grams"
+      numerator, in instance units.
+
+    Plan: explode grams → ONE groupBy (doc, gram) per n → per-doc window
+    pick + aggregate. Both aggregations partial map-side; nothing leaves
+    the (doc_id, gram) key space, so the shuffle is linear in corpus size.
+    """
+    from pyspark.sql import Window
+
+    from assemblagedb_spark.operators.decontam import word_ngrams
+
+    base = docs.select(F.col(id_col).alias("doc_id"))
+
+    def gram_counts(n: int) -> DataFrame:
+        return (
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(word_ngrams(text_col, n)).alias("gram"),
+            )
+            .groupBy("doc_id", "gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("gram"))
+    top = (
+        gram_counts(top_n)
+        .withColumn("__rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_top_grams"),
+            F.max(F.when(F.col("__rn") == 1, F.col("cnt"))).cast("long").alias(
+                "top_gram_count"
+            ),
+            F.max(
+                F.when(F.col("__rn") == 1, F.col("cnt") * F.length("gram"))
+            ).cast("long").alias("top_gram_chars"),
+        )
+    )
+    dup = gram_counts(dup_n).groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_dup_grams"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("dup_gram_instances"),
+    )
+    return (
+        base.join(top, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .na.fill(0, ["n_top_grams", "top_gram_count", "top_gram_chars",
+                     "n_dup_grams", "dup_gram_instances"])
+    )

@@ -61,6 +61,12 @@ BENCH_QUERIES = [
     "tpch_q5",
     "tpch_q6",
     "tpch_q18",
+    "text_decontam",
+    "pii_scrub",
+    "text_repetition",
+    "select_budget",
+    "training_order",
+    "text_boilerplate",
 ]
 
 

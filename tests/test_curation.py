@@ -1,0 +1,194 @@
+"""Corpus-curation operators: decontamination, PII scrub, repetition
+signals, budgeted selection, training order, boilerplate n-grams."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from assemblagedb_spark.operators.decontam import decontaminate, gram_set
+from assemblagedb_spark.operators.pii import pii_scrub
+from assemblagedb_spark.operators.selection import (
+    boilerplate_ngram_stats,
+    global_row_number,
+    global_running_sum,
+    select_token_budget,
+    training_order,
+)
+from assemblagedb_spark.operators.textstats import repetition_stats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    train = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely unrelated words here today friend"),
+        (3, "quick brown fox again but different tail"),
+    ])
+    bench = _docs(spark, [(100, "a quick brown fox appeared")])
+    out = {r["doc_id"]: r["n_shared_grams"]
+           for r in decontaminate(train, bench, n=3).collect()}
+    # "quick brown fox" is the only shared 3-gram
+    assert out == {1: 1, 3: 1}
+
+
+def test_decontaminate_short_docs_no_phantom_grams(spark):
+    # fewer tokens than n must yield NO grams (sequence() guard)
+    train = _docs(spark, [(1, "one two")])
+    bench = _docs(spark, [(2, "one two")])
+    assert decontaminate(train, bench, n=3).count() == 0
+    assert gram_set(_docs(spark, [(1, "a b")]), n=13).count() == 0
+
+
+def test_decontaminate_hashed_matches_exact(spark):
+    train = _docs(spark, [
+        (i, f"w{i} shared middle section w{i + 1} tail tok") for i in range(6)
+    ])
+    bench = _docs(spark, [(99, "the shared middle section appears here")])
+    exact = sorted(decontaminate(train, bench, n=3).collect())
+    hashed = sorted(decontaminate(train, bench, n=3, hashed=True).collect())
+    assert exact == hashed and len(exact) > 0
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+def test_pii_scrub_counts_and_redaction(spark):
+    out = pii_scrub(_docs(spark, [
+        (1, "mail a.b+c@ex-1.org or 10.0.0.1 acct 12345678 end"),
+        (2, "no pii at all"),
+        (3, None),
+    ])).collect()
+    rows = {r["doc_id"]: r for r in out}
+    r1 = rows[1]
+    assert (r1["n_emails"], r1["n_ips"], r1["n_digit_runs"]) == (1, 1, 1)
+    assert r1["clean_text"] == "mail <EMAIL> or <IP> acct <NUMBER> end"
+    assert rows[2]["clean_text"] == "no pii at all"
+    assert rows[3]["clean_text"] == ""
+
+
+def test_pii_scrub_email_with_ip_host_is_one_email(spark):
+    # staged ordering: the IP inside the email host must not double-count
+    r = pii_scrub(_docs(spark, [(1, "ping root@10.1.2.3 now")])).first()
+    assert (r["n_emails"], r["n_ips"]) == (1, 0)
+    assert r["clean_text"] == "ping <EMAIL> now"
+
+
+def test_pii_scrub_short_digit_runs_kept(spark):
+    r = pii_scrub(_docs(spark, [(1, "call 123456 not 1234567")])).first()
+    assert r["n_digit_runs"] == 1
+    assert r["clean_text"] == "call 123456 not <NUMBER>"
+
+
+# ---------------------------------------------------------------------------
+# repetition signals
+# ---------------------------------------------------------------------------
+
+def test_repetition_stats_repeated_phrase(spark):
+    out = repetition_stats(_docs(spark, [
+        (1, "buy now buy now buy now"),     # "buy now" 2-gram x3 (of 5)
+        (2, "all words fully distinct here"),
+        (3, "ab"),                           # 1 token -> no grams at all
+    ])).collect()
+    rows = {r["doc_id"]: r for r in out}
+    r1 = rows[1]
+    assert r1["n_top_grams"] == 5
+    assert r1["top_gram_count"] == 3
+    assert r1["top_gram_chars"] == 3 * len("buy now")
+    # 3-grams: "buy now buy" x2, "now buy now" x2 -> all 4 instances dup
+    assert (r1["n_dup_grams"], r1["dup_gram_instances"]) == (4, 4)
+    r2 = rows[2]
+    assert r2["top_gram_count"] == 1 and r2["dup_gram_instances"] == 0
+    r3 = rows[3]  # present with zeros, not dropped
+    assert (r3["n_top_grams"], r3["n_dup_grams"]) == (0, 0)
+
+
+def test_repetition_stats_tie_breaks_lexicographic(spark):
+    # two 2-grams tie at count 2 -> smallest gram string wins
+    r = repetition_stats(_docs(spark, [(1, "b c b c a z a z")])).first()
+    assert r["top_gram_count"] == 2
+    # grams: "b c"x2, "c b"x1, "c a"x1, "a z"x2, "z a"x1 -> tie "a z" vs "b c"
+    assert r["top_gram_chars"] == 2 * len("a z")
+
+
+# ---------------------------------------------------------------------------
+# two-phase global prefix + selection
+# ---------------------------------------------------------------------------
+
+def test_global_running_sum_matches_single_partition_window(spark):
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        (F.pmod(F.col("id") * 7919, F.lit(1000))).alias("v"),
+    ).repartition(13)
+    got = global_running_sum(
+        df, [F.col("k").asc()], F.col("v"), "rs", num_partitions=8
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("rs", F.sum("v").over(w).cast("long"))
+    assert sorted(got.select("k", "rs").collect()) == sorted(
+        want.select("k", "rs").collect()
+    )
+
+
+def test_global_row_number_dense_and_layout_invariant(spark):
+    base = spark.range(0, 300).select(F.col("id").alias("k"))
+    a = global_row_number(base.repartition(3), [F.col("k").desc()], "i",
+                          num_partitions=4)
+    b = global_row_number(base.repartition(17), [F.col("k").desc()], "i",
+                          num_partitions=9)
+    ra = sorted((r["k"], r["i"]) for r in a.collect())
+    assert ra == sorted((r["k"], r["i"]) for r in b.collect())
+    assert sorted(i for _, i in ra) == list(range(1, 301))
+    assert dict(ra)[299] == 1  # descending order: largest key first
+
+
+def test_select_token_budget_greedy_boundary(spark):
+    docs = spark.createDataFrame(
+        [(1, 10, 5), (2, 10, 4), (3, 10, 3), (4, 10, 2)],
+        "doc_id long, n_tokens long, score long",
+    )
+    kept = select_token_budget(docs, 25)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2]
+    # exact-fit budget includes the boundary doc
+    assert sorted(
+        r["doc_id"] for r in select_token_budget(docs, 30).collect()
+    ) == [1, 2, 3]
+
+
+def test_training_order_is_dense_deterministic_permutation(spark):
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = training_order(docs.repartition(5), num_partitions=4)
+    b = training_order(docs.repartition(11), num_partitions=7)
+    pa = sorted((r["doc_id"], r["order_idx"]) for r in a.collect())
+    assert pa == sorted((r["doc_id"], r["order_idx"]) for r in b.collect())
+    assert sorted(i for _, i in pa) == list(range(1, 201))
+    # different seed -> different permutation
+    c = training_order(docs, seed=7)
+    pc = sorted((r["doc_id"], r["order_idx"]) for r in c.collect())
+    assert pa != pc
+
+
+# ---------------------------------------------------------------------------
+# boilerplate n-grams
+# ---------------------------------------------------------------------------
+
+def test_boilerplate_ngram_stats(spark):
+    footer = "generated by example corp"
+    docs = _docs(spark, [
+        (1, f"unique alpha text {footer}"),
+        (2, f"other beta words {footer}"),
+        (3, f"third gamma doc {footer}"),
+        (4, "nothing shared in this one"),
+    ])
+    out = {r["doc_id"]: r for r in
+           boilerplate_ngram_stats(docs, n=4, df_threshold=3).collect()}
+    # each doc has 4 word-4-grams; only the footer gram is in >= 3 docs
+    assert out[1]["n_grams"] == 4 and out[1]["n_boiler_grams"] == 1
+    assert out[4]["n_boiler_grams"] == 0
