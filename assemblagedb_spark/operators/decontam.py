@@ -24,19 +24,47 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def word_ngrams(text_col: str, n: int) -> F.Column:
-    """Array of space-joined word ``n``-grams of the whitespace-tokenized
-    text; empty array when the document has fewer than ``n`` tokens.
-
-    ``sequence(1, size-n+1)`` is guarded (Spark's sequence runs DESCENDING
-    when stop < start, which would fabricate grams on short docs).
-    """
-    words = f"filter(split(trim(coalesce({text_col}, '')), ' +'), t -> t <> '')"
+def tokens_expr(text_col: str) -> F.Column:
+    """Whitespace tokens of the trimmed text (empty text → empty array)."""
     return F.expr(
-        f"CASE WHEN size({words}) >= {n} THEN "
-        f"transform(sequence(1, size({words}) - {n} + 1), "
-        f"i -> array_join(slice({words}, i, {n}), ' ')) "
+        f"filter(split(trim(coalesce({text_col}, '')), ' +'), t -> t <> '')"
+    )
+
+
+def word_ngrams(words_col: str, n: int) -> F.Column:
+    """Array of space-joined word ``n``-grams over an ALREADY-TOKENIZED
+    array column; empty array when the document has fewer than ``n``
+    tokens.
+
+    Taking the token array (not raw text) matters twice over: the split
+    runs once per row instead of once per mention inside this expression
+    (SQL expressions have no let-binding, and subexpression elimination
+    does not reach across the CASE branches), and callers stacking several
+    gram sizes tokenize once. ``sequence(1, size-n+1)`` is guarded
+    (Spark's sequence runs DESCENDING when stop < start, which would
+    fabricate grams on short docs).
+    """
+    w = words_col
+    return F.expr(
+        f"CASE WHEN size({w}) >= {n} THEN "
+        f"transform(sequence(1, size({w}) - {n} + 1), "
+        f"i -> array_join(slice({w}, i, {n}), ' ')) "
         f"ELSE array() END"
+    )
+
+
+def exploded_ngrams(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int,
+) -> DataFrame:
+    """(doc_id, gram) — one row per word n-gram INSTANCE. Tokenizes in its
+    own projection so the split evaluates once per row."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("__w"))
+        .select("doc_id", F.explode(word_ngrams("__w", n)).alias("gram"))
     )
 
 
@@ -49,10 +77,7 @@ def gram_set(
     hashed: bool = False,
 ) -> DataFrame:
     """Distinct (doc_id, gram) pairs for every word ``n``-gram."""
-    g = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_ngrams(text_col, n)).alias("gram"),
-    ).distinct()
+    g = exploded_ngrams(docs, id_col=id_col, text_col=text_col, n=n).distinct()
     if hashed:
         g = g.select("doc_id", F.xxhash64("gram").alias("gram"))
     return g

@@ -48,7 +48,10 @@ def _two_phase_prefix(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = ranged.withColumn(_LOCAL, F.sum(value).over(w))
+    # Persist the sorted local prefix: the totals collect below and the
+    # final join both consume it, and without pinning, the range shuffle +
+    # per-partition sort would execute twice.
+    local = ranged.withColumn(_LOCAL, F.sum(value).over(w)).persist()
     totals = {
         r[_PID]: r["t"]
         for r in local.groupBy(_PID).agg(F.sum(value).alias("t")).collect()
@@ -177,27 +180,32 @@ def boilerplate_ngram_stats(
     gram INSTANCES, so ``n_boiler_grams / n_grams`` is the fraction of the
     document covered by cross-document repeated material.
 
-    Scale: one groupBy computes gram → document frequency (map-side partial
-    on the distinct pass), one equi-join on gram annotates instances. No
+    Scale: the corpus is exploded ONCE into per-document gram counts (one
+    map-side-partial groupBy); document frequency then falls out of that
+    counts table (each (doc, gram) row is one document) without touching
+    the raw text again, and a single gram equi-join annotates it back. No
     per-pair work, no cartesian; skewed mega-grams are exactly the ones the
     threshold flags, and AQE splits their join partitions.
     """
-    from assemblagedb_spark.operators.decontam import word_ngrams
+    from assemblagedb_spark.operators.decontam import exploded_ngrams
 
-    inst = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_ngrams(text_col, n)).alias("gram"),
+    counts = (
+        exploded_ngrams(docs, id_col=id_col, text_col=text_col, n=n)
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()  # consumed twice: doc-frequency derivation + final join
     )
-    gram_df = (
-        inst.select("doc_id", "gram")
-        .distinct()
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("gram_docfreq"))
+    gram_df = counts.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("gram_docfreq")
     )
-    flagged = inst.join(gram_df, "gram").select(
-        "doc_id", (F.col("gram_docfreq") >= df_threshold).cast("long").alias("is_b")
-    )
-    return flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams"),
-        F.sum("is_b").cast("long").alias("n_boiler_grams"),
+    return (
+        counts.join(gram_df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("gram_docfreq") >= df_threshold, F.col("cnt"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("n_boiler_grams"),
+        )
     )

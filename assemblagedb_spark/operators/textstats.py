@@ -372,16 +372,13 @@ def repetition_stats(
     """
     from pyspark.sql import Window
 
-    from assemblagedb_spark.operators.decontam import word_ngrams
+    from assemblagedb_spark.operators.decontam import exploded_ngrams
 
     base = docs.select(F.col(id_col).alias("doc_id"))
 
     def gram_counts(n: int) -> DataFrame:
         return (
-            docs.select(
-                F.col(id_col).alias("doc_id"),
-                F.explode(word_ngrams(text_col, n)).alias("gram"),
-            )
+            exploded_ngrams(docs, id_col=id_col, text_col=text_col, n=n)
             .groupBy("doc_id", "gram")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
