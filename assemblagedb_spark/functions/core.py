@@ -150,3 +150,66 @@ def xor_uuid_hex(id_hex: str, namespace_hex: str) -> str:
     """Driver-side XOR of two 32-char hex UUIDs (byte-exact reference
     semantics, ``index.rs:653-655``) — used by the import path for string ids."""
     return format(int(id_hex.replace("-", ""), 16) ^ int(namespace_hex.replace("-", ""), 16), "032x")
+
+
+# ---------------------------------------------------------------------------
+# Portable 32-bit integer mixer + string hash (sketches, training order)
+# ---------------------------------------------------------------------------
+
+# "lowbias32"-style xorshift-multiply mixer. The multiplier is kept < 2^27
+# so every intermediate of (32-bit value * mult) stays inside int64 in both
+# engines; two rounds avalanche low bits into the high (ordering-dominant)
+# bits, which a plain affine hash never does.
+MIX32_MULT = 0x45D9F3B
+MIX32_MOD = 1 << 32
+KNUTH_MULT = 2654435761  # floor(2^32 / phi)
+
+
+def mix32_sql(x: str, seed: int = 0) -> str:
+    """SQL text of the mixer over an int expression — valid in BOTH Spark
+    SQL and DuckDB (xor() spelled per dialect by the caller via {xor})."""
+    h = f"(({x}) * {KNUTH_MULT} + {seed}) % {MIX32_MOD}"
+    for _ in range(2):
+        h = f"(({_xor_sql(h)}) * {MIX32_MULT}) % {MIX32_MOD}"
+    return _xor_sql(h)
+
+
+def _xor_sql(h: str) -> str:
+    return f"xor(({h}), ({h}) >> 16)"
+
+
+def mix32_col(x, seed: int = 0):
+    """Column form of the mixer (Spark side)."""
+    from pyspark.sql import functions as F
+
+    h = F.pmod(x * F.lit(KNUTH_MULT) + F.lit(seed), F.lit(MIX32_MOD))
+    for _ in range(2):
+        h = F.pmod(
+            h.bitwiseXOR(F.shiftright(h, 16)) * F.lit(MIX32_MULT), F.lit(MIX32_MOD)
+        )
+    return h.bitwiseXOR(F.shiftright(h, 16))
+
+
+# Polynomial string hash: fold (acc * B + ascii(char)) % P over the bytes.
+# Same arithmetic replays in DuckDB via list_reduce over the char codes.
+STRHASH_BASE = 257
+STRHASH_MOD = MINHASH_PRIME
+
+
+def strhash_spark_sql(col: str) -> str:
+    """Spark-SQL expression: polynomial hash of a string column."""
+    return (
+        f"aggregate(sequence(1, length({col})), CAST(0 AS BIGINT), "
+        f"(acc, j) -> (acc * {STRHASH_BASE} + ascii(substr({col}, j, 1))) "
+        f"% {STRHASH_MOD})"
+    )
+
+
+def strhash_duckdb_sql(col: str) -> str:
+    """DuckDB expression computing the identical polynomial hash (2-arg
+    list_reduce uses the first element as init, so prepend the 0 seed)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({col}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * {STRHASH_BASE} + c) % {STRHASH_MOD})"
+    )

@@ -3470,6 +3470,207 @@ FROM inst JOIN gdf USING (gram) GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Sketches, vector aggregation, tf-idf, z-order layout keys
+# ---------------------------------------------------------------------------
+
+from assemblagedb_spark.functions.core import (  # noqa: E402
+    mix32_sql,
+    strhash_duckdb_sql,
+)
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid merge state (quantized component sums + counts):
+    posexplode → one map-side-partial groupBy; output ≤ labels × dim rows
+    regardless of corpus size."""
+    from assemblagedb_spark.operators.vectors import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroids(emb).select(
+        "label", F.col("pos").cast("long").alias("pos"), "sum_q", "n_vecs"
+    )
+
+
+O_EMBEDDING_CENTROIDS = """
+SELECT label, (t.i - 1)::BIGINT AS pos,
+       SUM(floor(CAST(e.embedding[t.i] AS DOUBLE) * 1000))::BIGINT AS sum_q,
+       COUNT(*)::BIGINT AS n_vecs
+FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) t(i)
+GROUP BY label, t.i
+"""
+
+
+def q_embedding_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means E-step: nearest stored centroid per vector (broadcast
+    centroid list, per-row zip_with distance fold, argmin; corpus scanned
+    once, never shuffled)."""
+    from assemblagedb_spark.operators.vectors import centroid_assign, label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_assign(emb, label_centroids(emb))
+
+
+O_EMBEDDING_ASSIGN = """
+WITH cent AS (
+  SELECT label, t.i - 1 AS pos,
+         SUM(floor(CAST(e.embedding[t.i] AS DOUBLE) * 1000)) AS sum_q,
+         COUNT(*) AS n
+  FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) t(i)
+  GROUP BY label, t.i
+),
+cvec AS (SELECT label, pos, floor(sum_q / n)::BIGINT AS c FROM cent),
+q AS (
+  SELECT vec_id, t.i - 1 AS pos,
+         floor(CAST(e.embedding[t.i] AS DOUBLE) * 1000)::BIGINT AS qv
+  FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) t(i)
+),
+d AS (
+  SELECT q.vec_id, c.label, SUM((q.qv - c.c) * (q.qv - c.c))::BIGINT AS dist
+  FROM q JOIN cvec c USING (pos) GROUP BY 1, 2
+),
+r AS (SELECT vec_id, label, dist,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, label) AS rn
+      FROM d)
+SELECT vec_id, label, dist FROM r WHERE rn = 1
+"""
+
+
+_HLL_M = 256
+
+
+def q_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table for distinct users per event_type —
+    portable mix32 hash, registers merged with MAX map-side. The compared
+    output IS the sketch state (integers), not a float estimate."""
+    from assemblagedb_spark.operators.sketches import hll_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_registers(ev, "user_id", ["event_type"], m=_HLL_M).select(
+        "event_type", F.col("bucket").cast("long").alias("bucket"), "register"
+    )
+
+
+O_DISTINCT_HLL = f"""
+WITH h AS (SELECT event_type, {mix32_sql("user_id")} AS h FROM events),
+r AS (SELECT event_type, (h % {_HLL_M})::BIGINT AS bucket,
+             h // {_HLL_M} AS rest
+      FROM h)
+SELECT event_type, bucket,
+       MAX(CASE WHEN rest = 0 THEN 33
+                ELSE length(bin(rest & (-rest))) END)::BIGINT AS register
+FROM r GROUP BY event_type, bucket
+"""
+
+
+_LC_M = 4096
+
+
+def q_distinct_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-counting occupancy per event_type (m=4096 buckets): the
+    small-cardinality companion sketch to the HLL registers."""
+    from assemblagedb_spark.operators.sketches import linear_counting
+
+    ev = load_table(spark, sf_dir, "events")
+    return linear_counting(ev, "user_id", ["event_type"], m=_LC_M)
+
+
+O_DISTINCT_LINEAR = f"""
+SELECT event_type,
+       COUNT(DISTINCT ({mix32_sql("user_id")}) % {_LC_M})::BIGINT AS n_filled,
+       {_LC_M}::BIGINT AS m
+FROM events GROUP BY event_type
+"""
+
+
+_CM_D, _CM_W = 2, 1024
+
+
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch state over the corpus token stream (d=2 rows,
+    w=1024 columns): one polynomial string fold per token, d integer
+    re-mixes, one groupBy — the whole sketch is d*w rows."""
+    from assemblagedb_spark.operators.decontam import tokens_expr
+    from assemblagedb_spark.operators.sketches import countmin_counters
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(tokens_expr("text").alias("__w"))
+        .select(F.explode("__w").alias("term"))
+    )
+    return countmin_counters(toks, "term", d=_CM_D, w=_CM_W).select(
+        F.col("row").cast("long").alias("cm_row"),
+        F.col("col").cast("long").alias("cm_col"),
+        "counter",
+    )
+
+
+O_SKETCH_COUNTMIN = f"""
+WITH {_O_WORDS},
+tok AS (SELECT unnest(w) AS term FROM words),
+h AS (SELECT {strhash_duckdb_sql("term")} AS h FROM tok),
+cells AS (
+  SELECT 0 AS cm_row, ({mix32_sql("h", 0)}) % {_CM_W} AS cm_col FROM h
+  UNION ALL
+  SELECT 1 AS cm_row, ({mix32_sql("h", 1)}) % {_CM_W} AS cm_col FROM h
+)
+SELECT cm_row::BIGINT AS cm_row, cm_col::BIGINT AS cm_col,
+       COUNT(*)::BIGINT AS counter
+FROM cells GROUP BY 1, 2
+"""
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per doc by (tf DESC, df ASC, term ASC) —
+    integer-lexicographic tf-idf ordering, one tokenize pass."""
+    from assemblagedb_spark.operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+O_TEXT_TFIDF = f"""
+WITH {_O_WORDS},
+tok AS (SELECT doc_id, unnest(w) AS term FROM words),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+r AS (SELECT doc_id, term, tf, df,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tf DESC, df ASC, term ASC) AS rnk
+      FROM tf JOIN dfx USING (term))
+SELECT doc_id, term, tf::BIGINT AS tf, df::BIGINT AS df, rnk::BIGINT AS rnk
+FROM r WHERE rnk <= 3
+"""
+
+
+_Z_BITS = 10
+
+
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) layout key over (user bucket, event bucket):
+    sorting files by this key gives tight parquet min/max stats on BOTH
+    dimensions — the data-skipping layout for multi-dim point/range
+    predicates."""
+    from assemblagedb_spark.sources.layout import zorder_key_col
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        zorder_key_col(
+            F.pmod(F.col("user_id"), F.lit(1024)),
+            F.pmod(F.col("event_id"), F.lit(1024)),
+            _Z_BITS,
+        ).alias("zkey"),
+    )
+
+
+def _o_layout_zorder() -> str:
+    from assemblagedb_spark.sources.layout import zorder_key_sql
+
+    z = zorder_key_sql("user_id % 1024", "event_id % 1024", _Z_BITS)
+    return f"SELECT event_id, {z}::BIGINT AS zkey FROM events"
+
+
 SPARK_QUERIES = {
     "gram_index": q_gram_index,
     "gram_counts": q_gram_counts,
@@ -3559,6 +3760,13 @@ SPARK_QUERIES = {
     "select_budget": q_select_budget,
     "training_order": q_training_order,
     "text_boilerplate": q_text_boilerplate,
+    "embedding_centroids": q_embedding_centroids,
+    "embedding_assign": q_embedding_assign,
+    "distinct_hll": q_distinct_hll,
+    "distinct_linear": q_distinct_linear,
+    "sketch_countmin": q_sketch_countmin,
+    "text_tfidf": q_text_tfidf,
+    "layout_zorder": q_layout_zorder,
 }
 
 ORACLES = {
@@ -3650,4 +3858,11 @@ ORACLES = {
     "select_budget": O_SELECT_BUDGET,
     "training_order": O_TRAINING_ORDER,
     "text_boilerplate": O_TEXT_BOILERPLATE,
+    "embedding_centroids": O_EMBEDDING_CENTROIDS,
+    "embedding_assign": O_EMBEDDING_ASSIGN,
+    "distinct_hll": O_DISTINCT_HLL,
+    "distinct_linear": O_DISTINCT_LINEAR,
+    "sketch_countmin": O_SKETCH_COUNTMIN,
+    "text_tfidf": O_TEXT_TFIDF,
+    "layout_zorder": _o_layout_zorder(),
 }

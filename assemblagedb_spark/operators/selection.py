@@ -145,14 +145,10 @@ def training_order(
     training order independent of input layout, partition count, or
     engine — re-running with the same seed gives the same epoch order.
     """
-    h = F.pmod(F.col(id_col) * F.lit(_KNUTH) + F.lit(seed), F.lit(_MOD))
-    for _ in range(2):
-        h = F.pmod(
-            h.bitwiseXOR(F.shiftright(h, 16)) * F.lit(0x45D9F3B), F.lit(_MOD)
-        )
+    from assemblagedb_spark.functions.core import mix32_col
+
     keyed = docs.withColumn(
-        "shuffle_key",
-        h.bitwiseXOR(F.shiftright(h, 16)).cast("long"),
+        "shuffle_key", mix32_col(F.col(id_col), seed).cast("long")
     )
     return global_row_number(
         keyed,

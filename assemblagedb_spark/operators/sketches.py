@@ -1,0 +1,129 @@
+"""Distributed sketches with engine-portable hashing: HyperLogLog-style
+registers, linear counting, count-min frequency counters.
+
+At 100 TB, exact per-key distinct counts and full frequency tables are
+often the wrong tool — a sketch gives a bounded-size summary that merges
+associatively across partitions (one map-side partial per executor, one
+tiny reduce). Spark's built-ins (``approx_count_distinct``) use engine-
+private hashing that no oracle can replay; these operators use the explicit
+``mix32`` / polynomial string hash from ``functions/core.py`` so DuckDB
+reproduces every register bit-for-bit, and the SKETCH STATE (registers /
+counters — all integers) is the compared output. Estimate formulas (floats)
+are left to the caller, as with any sketch store.
+
+All three reduce to one groupBy with map-side partial aggregation — the
+sketch never exists as a driver-side object, only as rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from assemblagedb_spark.functions.core import mix32_col
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    *,
+    m: int = 256,
+    seed: int = 0,
+) -> DataFrame:
+    """HyperLogLog register table: per group and bucket, the max over keys
+    of rho = 1 + trailing-zero count of the mixed hash's remaining bits.
+
+    Output: group_cols + (bucket, register). |output| ≤ |groups| * m
+    regardless of cardinality; registers merge with MAX, so partial
+    aggregation does the heavy lifting executor-side.
+
+    rho is computed as ``length(bin(h & -h))`` — the bit-length of the
+    lowest set bit — because ``floor(log2(x))`` is NOT reliably exact
+    (log2 via log(x)/log(2) can undershoot on exact powers of two);
+    string-length-of-binary is integer-exact in both engines.
+    """
+    group_cols = group_cols or []
+    h = mix32_col(F.col(key_col).cast("long"), seed)
+    bucket = F.pmod(h, F.lit(m)).cast("int")
+    rest = (h / F.lit(m)).cast("long")  # floor-div: drop bucket bits
+    rho = (
+        F.when(rest == 0, F.lit(33))  # all-zero remainder: max rho + 1
+        .otherwise(F.length(F.bin(rest.bitwiseAND(-rest))))
+        .cast("int")
+    )
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").cast("long").alias("register"))
+    )
+
+
+def linear_counting(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    *,
+    m: int = 4096,
+    seed: int = 0,
+) -> DataFrame:
+    """Linear-counting state: per group, how many of the m hash buckets are
+    occupied (estimate = -m * ln(1 - filled/m), left to the caller).
+
+    Exactly one shuffle on (group, bucket) then a count-distinct-free
+    second aggregate; preferable to HLL when cardinality ≲ m.
+    """
+    group_cols = group_cols or []
+    bucket = F.pmod(mix32_col(F.col(key_col).cast("long"), seed), F.lit(m))
+    return (
+        df.select(*group_cols, bucket.alias("bucket"))
+        .distinct()
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_filled"))
+        .withColumn("m", F.lit(m).cast("long"))
+    )
+
+
+def countmin_counters(
+    items: DataFrame,
+    item_col: str,
+    *,
+    d: int = 2,
+    w: int = 1024,
+    weight_col: Column | None = None,
+) -> DataFrame:
+    """Count-min sketch state over a STRING item stream: for each of ``d``
+    hash rows, the total weight landing in each of ``w`` columns.
+
+    Output: (row, col, counter) — d*w rows max, merged with SUM (map-side
+    partial). Point estimate for an item = min over rows of its counter;
+    always an over-estimate, bounded by ||stream||/w per row.
+
+    Row hashes reuse ONE polynomial string hash re-mixed per row with
+    mix32(seed=row) — one string fold per item, d cheap integer mixes.
+    """
+    from assemblagedb_spark.functions.core import strhash_spark_sql
+
+    base = items.select(
+        F.expr(strhash_spark_sql(item_col)).alias("__h"),
+        (weight_col if weight_col is not None else F.lit(1)).alias("__wt"),
+    )
+    # One explode (not a d-way union, which would re-run the string fold
+    # once per branch): each item emits its d (row, col) cells inline.
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    F.pmod(mix32_col(F.col("__h"), seed=r), F.lit(w))
+                    .cast("int")
+                    .alias("col"),
+                )
+                for r in range(d)
+            ]
+        )
+    )
+    return (
+        base.select(cells.alias("cell"), F.col("__wt"))
+        .groupBy(F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
+        .agg(F.sum("__wt").cast("long").alias("counter"))
+    )

@@ -410,3 +410,52 @@ def repetition_stats(
         .na.fill(0, ["n_top_grams", "top_gram_count", "top_gram_chars",
                      "n_dup_grams", "dup_gram_instances"])
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` most distinctive terms per document: rank by term
+    frequency DESC, document frequency ASC, term ASC.
+
+    The integer-lexicographic rank is the deterministic core of tf-idf
+    ordering (a document-local frequent term that is corpus-rare wins)
+    without a float idf whose ``ln`` differs across engines in the last
+    ulp. Output: (doc_id, term, tf, df, rnk ≤ k).
+
+    Plan: ONE tokenize+explode → (doc, term, tf) groupBy; df falls out of
+    that counts table (each row is one containing document) with a second
+    small groupBy; a window per doc picks the top k. Shuffles are on
+    (doc, term), term, and doc — all linear, no joins bigger than the
+    counts table itself.
+    """
+    from pyspark.sql import Window
+
+    from assemblagedb_spark.operators.decontam import tokens_expr
+
+    counts = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("__w"))
+        .select("doc_id", F.explode("__w").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()  # feeds both the df aggregate and the ranked join
+    )
+    df_tbl = counts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        counts.join(df_tbl, "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "doc_id", "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -67,6 +67,12 @@ BENCH_QUERIES = [
     "select_budget",
     "training_order",
     "text_boilerplate",
+    "embedding_centroids",
+    "embedding_assign",
+    "distinct_hll",
+    "sketch_countmin",
+    "text_tfidf",
+    "layout_zorder",
 ]
 
 

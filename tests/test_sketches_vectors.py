@@ -1,0 +1,203 @@
+"""Sketches (HLL / linear counting / count-min), vector centroids,
+tf-idf ranking, Z-order keys — python-replay parity + merge properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from assemblagedb_spark.functions.core import (
+    KNUTH_MULT,
+    MIX32_MOD,
+    MIX32_MULT,
+    STRHASH_BASE,
+    STRHASH_MOD,
+)
+from assemblagedb_spark.operators.sketches import (
+    countmin_counters,
+    hll_registers,
+    linear_counting,
+)
+from assemblagedb_spark.operators.textstats import tfidf_top_terms
+from assemblagedb_spark.operators.vectors import centroid_assign, label_centroids
+from assemblagedb_spark.sources.layout import zorder_key_col, zorder_key_sql
+
+
+def mix32_py(x: int, seed: int = 0) -> int:
+    h = (x * KNUTH_MULT + seed) % MIX32_MOD
+    for _ in range(2):
+        h = ((h ^ (h >> 16)) * MIX32_MULT) % MIX32_MOD
+    return h ^ (h >> 16)
+
+
+def strhash_py(s: str) -> int:
+    h = 0
+    for c in s:
+        h = (h * STRHASH_BASE + ord(c)) % STRHASH_MOD
+    return h
+
+
+# ---------------------------------------------------------------------------
+# HLL registers
+# ---------------------------------------------------------------------------
+
+def _hll_py(keys, m=64):
+    regs = {}
+    for k in keys:
+        h = mix32_py(k)
+        b, rest = h % m, h // m
+        rho = 33 if rest == 0 else (rest & -rest).bit_length()
+        regs[b] = max(regs.get(b, 0), rho)
+    return regs
+
+
+def test_hll_registers_replay_and_merge(spark):
+    keys = [i * 37 for i in range(500)]
+    df = spark.createDataFrame([(k,) for k in keys], "user_id long")
+    got = {r["bucket"]: r["register"]
+           for r in hll_registers(df, "user_id", m=64).collect()}
+    assert got == _hll_py(keys, 64)
+    # merge property: registers over the union == elementwise max of halves
+    a = _hll_py(keys[:250], 64)
+    b = _hll_py(keys[250:], 64)
+    merged = {k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)}
+    assert got == merged
+
+
+def test_hll_duplicate_keys_dont_move_registers(spark):
+    df1 = spark.createDataFrame([(i % 50,) for i in range(1000)], "k long")
+    df2 = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    r1 = sorted(hll_registers(df1, "k", m=32).collect())
+    r2 = sorted(hll_registers(df2, "k", m=32).collect())
+    assert r1 == r2
+
+
+def test_linear_counting_occupancy(spark):
+    keys = list(range(300))
+    df = spark.createDataFrame([("a", k) for k in keys], "g string, k long")
+    row = linear_counting(df, "k", ["g"], m=512).first()
+    assert row["n_filled"] == len({mix32_py(k) % 512 for k in keys})
+    assert row["m"] == 512
+
+
+# ---------------------------------------------------------------------------
+# count-min
+# ---------------------------------------------------------------------------
+
+def test_countmin_point_estimates_upper_bound(spark):
+    stream = ["apple"] * 40 + ["pear"] * 7 + [f"t{i}" for i in range(100)]
+    df = spark.createDataFrame([(t,) for t in stream], "term string")
+    sk = countmin_counters(df, "term", d=2, w=64)
+    rows = {(r["row"], r["col"]): r["counter"] for r in sk.collect()}
+    # each row's counters sum to the stream size
+    for r in (0, 1):
+        assert sum(v for (rr, _), v in rows.items() if rr == r) == len(stream)
+    # point estimate (min over rows) >= true count
+    for term, true in [("apple", 40), ("pear", 7), ("t3", 1)]:
+        h = strhash_py(term)
+        est = min(rows[(r, mix32_py(h, r) % 64)] for r in (0, 1))
+        assert est >= true
+    # heavy hitter dominates its cells: estimate is exactly 40 unless a
+    # collision inflated it, never below
+    h = strhash_py("apple")
+    assert min(rows[(r, mix32_py(h, r) % 64)] for r in (0, 1)) >= 40
+
+
+# ---------------------------------------------------------------------------
+# centroids
+# ---------------------------------------------------------------------------
+
+def test_label_centroids_quantized_sums(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (1, [3.0, 4.0]), (2, [10.0, -1.5])],
+        "label int, embedding array<float>",
+    )
+    got = {(r["label"], r["pos"]): (r["sum_q"], r["n_vecs"])
+           for r in label_centroids(df, scale=1000).collect()}
+    assert got == {
+        (1, 0): (4000, 2), (1, 1): (6000, 2),
+        (2, 0): (10000, 1), (2, 1): (-1500, 1),
+    }
+
+
+def test_centroid_assign_recovers_separated_labels(spark):
+    rows = []
+    vid = 0
+    for label, base in [(0, 0.0), (1, 10.0), (2, -10.0)]:
+        for j in range(5):
+            rows.append((vid, [base + j * 0.01, base - j * 0.01], label))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    cents = label_centroids(emb)
+    out = centroid_assign(emb, cents).collect()
+    truth = {r[0]: r[2] for r in rows}
+    for r in out:
+        assert r["label"] == truth[r["vec_id"]]
+
+
+# ---------------------------------------------------------------------------
+# tf-idf ranking
+# ---------------------------------------------------------------------------
+
+def test_tfidf_rank_prefers_rare_frequent_terms(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common zebra zebra zebra common"),
+            (2, "common plain words only"),
+            (3, "common plain other things"),
+        ],
+        "doc_id long, text string",
+    )
+    top = {r["doc_id"]: r["term"]
+           for r in tfidf_top_terms(docs, k=1).collect()}
+    # doc 1: zebra (tf=3, df=1) beats common (tf=2, df=3)
+    assert top[1] == "zebra"
+    # doc 2: plain (df=2) beats common (df=3) at equal tf; "only"/"words"
+    # also df=1 — tf all 1, so lowest df wins: "only" (df=1) vs "words"
+    # (df=1): term ASC picks "only"
+    assert top[2] == "only"
+
+
+# ---------------------------------------------------------------------------
+# z-order keys
+# ---------------------------------------------------------------------------
+
+def _z_py(x: int, y: int, bits: int = 10) -> int:
+    z = 0
+    for k in range(bits):
+        z |= ((x >> k) & 1) << (2 * k)
+        z |= ((y >> k) & 1) << (2 * k + 1)
+    return z
+
+
+def test_zorder_key_matches_python_and_sql(spark):
+    import duckdb
+
+    pts = [(x, y) for x in range(0, 64, 7) for y in range(0, 64, 5)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {(r["x"], r["y"]): r["z"]
+           for r in df.select("x", "y",
+                              zorder_key_col(F.col("x"), F.col("y"), 6)
+                              .alias("z")).collect()}
+    for (x, y), z in got.items():
+        assert z == _z_py(x, y, 6)
+    sql = zorder_key_sql("x", "y", 6)
+    con = duckdb.connect()
+    for x, y in pts[:20]:
+        assert con.execute(
+            f"SELECT {sql} FROM (SELECT {x} AS x, {y} AS y)"
+        ).fetchone()[0] == _z_py(x, y, 6)
+
+
+def test_zorder_locality(spark):
+    # a 2^k-aligned quadrant of the plane is one contiguous z-range
+    df = spark.createDataFrame(
+        [(x, y) for x in range(32) for y in range(32)], "x long, y long"
+    )
+    z = df.select("x", "y",
+                  zorder_key_col(F.col("x"), F.col("y"), 5).alias("z"))
+    quad = z.filter((F.col("x") < 8) & (F.col("y") < 8)).agg(
+        F.min("z").alias("lo"), F.max("z").alias("hi"), F.count("*").alias("n")
+    ).first()
+    assert (quad["lo"], quad["hi"], quad["n"]) == (0, 63, 64)
