@@ -3671,6 +3671,119 @@ def _o_layout_zorder() -> str:
     return f"SELECT event_id, {z}::BIGINT AS zkey FROM events"
 
 
+_KM_K, _KM_ITERS = 8, 2
+
+
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, 2 rounds) on the quantized integer
+    grid: per round one broadcast-assign corpus scan + one merge-state
+    groupBy — the IVF coarse-quantizer trainer. Output is the final
+    centroid merge state."""
+    from assemblagedb_spark.operators.vectors import kmeans_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_train(emb, k=_KM_K, iters=_KM_ITERS)
+
+
+def _o_kmeans(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+    """Unrolled Lloyd iteration chain — one CTE triple per round."""
+    ctes = [
+        """q AS (
+  SELECT vec_id, t.i - 1 AS pos,
+         floor(CAST(e.embedding[t.i] AS DOUBLE) * 1000)::BIGINT AS qv
+  FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) t(i))""",
+        f"""c0 AS (
+  SELECT s.label, q.pos, q.qv AS sum_q, 1::BIGINT AS n_vecs
+  FROM (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1) AS label
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})) s
+  JOIN q ON s.vec_id = q.vec_id)""",
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"cv{t} AS (SELECT label, pos, floor(sum_q / n_vecs)::BIGINT AS c "
+            f"FROM c{t})"
+        )
+        ctes.append(
+            f"d{t} AS (SELECT q.vec_id, cv.label, "
+            f"SUM((q.qv - cv.c) * (q.qv - cv.c))::BIGINT AS dist "
+            f"FROM q JOIN cv{t} cv USING (pos) GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"a{t} AS (SELECT vec_id, label FROM ("
+            f"SELECT vec_id, label, row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY dist, label) AS rn FROM d{t}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"c{t + 1} AS (SELECT a.label, q.pos, SUM(q.qv)::BIGINT AS sum_q, "
+            f"COUNT(*)::BIGINT AS n_vecs "
+            f"FROM a{t} a JOIN q USING (vec_id) GROUP BY 1, 2)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT label, pos::BIGINT AS pos, sum_q, n_vecs FROM c{iters}"
+    )
+
+
+_BLOOM_M, _BLOOM_K = 4096, 3
+
+
+def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter state (distinct set bit positions) over user ids per
+    event_type — row form, mergeable by UNION, ≤ m rows per group."""
+    from assemblagedb_spark.operators.sketches import bloom_bits
+
+    ev = load_table(spark, sf_dir, "events")
+    return bloom_bits(ev, "user_id", ["event_type"], m=_BLOOM_M, n_hashes=_BLOOM_K)
+
+
+def _o_bloom() -> str:
+    probes = " UNION ALL ".join(
+        f"SELECT event_type, ({mix32_sql('user_id', r)}) % {_BLOOM_M} AS bit "
+        f"FROM events"
+        for r in range(_BLOOM_K)
+    )
+    return f"SELECT DISTINCT event_type, bit::BIGINT AS bit FROM ({probes})"
+
+
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi-join: orders of high-balance customers. The
+    filter is built over the SMALL side's keys and broadcast; the orders
+    scan drops non-members per-row (array membership, no shuffle) before
+    the exact semi-join — so the result is EXACT (bloom has no false
+    negatives) and the oracle is a plain semi-join."""
+    from assemblagedb_spark.operators.sketches import bloom_bits, bloom_prefilter
+
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    orders = load_table(spark, sf_dir, "orders")
+    bits = bloom_bits(cust, "c_custkey", m=_BLOOM_M, n_hashes=_BLOOM_K)
+    pre = bloom_prefilter(
+        orders.withColumnRenamed("o_custkey", "custkey"), bits, "custkey",
+        m=_BLOOM_M, n_hashes=_BLOOM_K,
+    )
+    return (
+        pre.join(
+            F.broadcast(cust.select(F.col("c_custkey").alias("custkey"))),
+            "custkey", "left_semi",
+        )
+        .groupBy("custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )
+
+
+O_BLOOM_SEMIJOIN = """
+SELECT o.o_custkey AS custkey, COUNT(*)::BIGINT AS n_orders,
+       SUM(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS total_cents
+FROM orders o
+WHERE o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+GROUP BY o.o_custkey
+"""
+
+
 SPARK_QUERIES = {
     "gram_index": q_gram_index,
     "gram_counts": q_gram_counts,
@@ -3767,6 +3880,9 @@ SPARK_QUERIES = {
     "sketch_countmin": q_sketch_countmin,
     "text_tfidf": q_text_tfidf,
     "layout_zorder": q_layout_zorder,
+    "kmeans_train": q_kmeans_train,
+    "bloom_filter": q_bloom_filter,
+    "bloom_semijoin": q_bloom_semijoin,
 }
 
 ORACLES = {
@@ -3865,4 +3981,7 @@ ORACLES = {
     "sketch_countmin": O_SKETCH_COUNTMIN,
     "text_tfidf": O_TEXT_TFIDF,
     "layout_zorder": _o_layout_zorder(),
+    "kmeans_train": _o_kmeans(),
+    "bloom_filter": _o_bloom(),
+    "bloom_semijoin": O_BLOOM_SEMIJOIN,
 }

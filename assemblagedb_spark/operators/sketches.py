@@ -127,3 +127,72 @@ def countmin_counters(
         .groupBy(F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
         .agg(F.sum("__wt").cast("long").alias("counter"))
     )
+
+
+def bloom_bits(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    *,
+    m: int = 8192,
+    n_hashes: int = 3,
+    seed: int = 0,
+) -> DataFrame:
+    """Bloom-filter state as rows: the distinct set bit positions per group
+    (k = ``n_hashes`` mix32 probes per key, bit = hash % m).
+
+    Row-form keeps the filter mergeable by plain UNION/distinct and lets an
+    oracle replay it; pack to a bitmap only at the edge (e.g. for a
+    broadcast variable). |output| ≤ |groups| * m.
+    """
+    group_cols = group_cols or []
+    key = F.col(key_col).cast("long")
+    probes = F.explode(
+        F.array(
+            *[
+                F.pmod(mix32_col(key, seed=seed + r), F.lit(m)).cast("long")
+                for r in range(n_hashes)
+            ]
+        )
+    )
+    return df.select(*group_cols, probes.alias("bit")).distinct()
+
+
+def bloom_prefilter(
+    probe: DataFrame,
+    bits: DataFrame,
+    key_col: str,
+    *,
+    m: int = 8192,
+    n_hashes: int = 3,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep only probe rows whose key passes the Bloom filter (every one of
+    its ``n_hashes`` bit positions is set in ``bits``).
+
+    The big-join prefilter: build bits over the SMALL side's join key,
+    broadcast them (≤ m rows), and semi-join the 100 TB side down to
+    probable matches before the real shuffle join — Spark's runtime row-
+    group Bloom pushdown, materialized as an explicit, testable operator.
+    No false negatives (guaranteed by construction); false positives just
+    pass through to the exact join.
+    """
+    key = F.col(key_col).cast("long")
+    # fold the filter into ONE array row (≤ m longs) and broadcast it; the
+    # probe side is then a pure scan + per-row array_except — no shuffle,
+    # no second join, no re-aggregation of the big side
+    bitset = bits.select("bit").distinct().agg(
+        F.array_sort(F.collect_list("bit")).alias("__bits")
+    )
+    probes = F.array(
+        *[
+            F.pmod(mix32_col(key, seed=seed + r), F.lit(m)).cast("long")
+            for r in range(n_hashes)
+        ]
+    )
+    return (
+        probe.crossJoin(F.broadcast(bitset))
+        .withColumn("__probes", probes)
+        .filter(F.size(F.array_except("__probes", "__bits")) == 0)
+        .drop("__probes", "__bits")
+    )

@@ -49,6 +49,8 @@ def centroid_assign(
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    scale: int = 1000,
+    pre_quantized: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment (one k-means E-step): broadcast the
     (tiny) centroid table, compute quantized squared distance per pair with
@@ -73,11 +75,16 @@ def centroid_assign(
             ).alias("cvec"),
         )
     )
+    qvec = (
+        F.col(vec_col)
+        if pre_quantized
+        else F.expr(
+            f"transform({vec_col}, v -> "
+            f"CAST(floor(CAST(v AS DOUBLE) * {scale}) AS BIGINT))"
+        )
+    )
     pairs = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT))").alias(
-            "qvec"
-        ),
+        F.col(id_col).alias("vec_id"), qvec.alias("qvec")
     ).crossJoin(F.broadcast(cent))
     dist = F.expr(
         "aggregate(zip_with(qvec, cvec, (a, b) -> (a - b) * (a - b)), "
@@ -90,3 +97,73 @@ def centroid_assign(
     return best.select(
         "vec_id", F.col("b.label").alias("label"), F.col("b.dist").alias("dist")
     )
+
+
+def kmeans_train(
+    embeddings: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Distributed Lloyd's k-means on the quantized integer grid:
+    deterministic init (the ``k`` lowest-id vectors), then ``iters`` rounds
+    of broadcast-assign → merge-state recompute.
+
+    Returns the final centroid MERGE STATE (label, pos, sum_q, n_vecs) —
+    the exact, engine-replayable form (float centroid = sum_q/(scale*n)).
+    Clusters that lose all members drop out (deterministically), matching
+    the SQL oracle's unrolled iteration chain.
+
+    Scale shape: per round, ONE corpus scan computes assignments against
+    the broadcast k×dim centroid list (no shuffle of the corpus), and ONE
+    map-side-partial groupBy over (label, pos) rebuilds the ≤ k×dim-row
+    state — the same aggregate/broadcast cycle Spark ML's KMeans runs,
+    with integer sums so results are independent of partitioning. The
+    trained state feeds ``similarity.ivf_topk`` as its coarse quantizer.
+    """
+    qvec = F.expr(
+        f"transform({vec_col}, v -> CAST(floor(CAST(v AS DOUBLE) * {scale}) AS BIGINT))"
+    )
+    quant = embeddings.select(
+        F.col(id_col).alias("vec_id"), qvec.alias("qvec")
+    ).persist()
+
+    # init: label j = j-th lowest id vector, state n_vecs=1
+    from pyspark.sql import Window
+
+    w_init = Window.orderBy("vec_id")
+    seeds = (
+        quant.select("vec_id")
+        .orderBy("vec_id")
+        .limit(k)
+        .withColumn("label", (F.row_number().over(w_init) - 1).cast("int"))
+    )
+    state = (
+        seeds.join(quant, "vec_id")
+        .select("label", F.posexplode("qvec").alias("pos", "sum_q"))
+        .withColumn("n_vecs", F.lit(1).cast("long"))
+        .withColumn("sum_q", F.col("sum_q").cast("long"))
+    )
+
+    for _ in range(iters):
+        assigned = centroid_assign(
+            quant.select("vec_id", F.col("qvec").alias(vec_col)), state,
+            vec_col=vec_col, id_col="vec_id", pre_quantized=True,
+        )
+        state = (
+            assigned.join(quant, "vec_id")
+            .select("label", F.posexplode("qvec").alias("pos", "qv"))
+            .groupBy("label", "pos")
+            .agg(
+                F.sum("qv").cast("long").alias("sum_q"),
+                F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            )
+        )
+        # tiny (≤ k×dim rows): pin it so the next round's broadcast plan
+        # doesn't recompute the whole lineage
+        state = state.localCheckpoint(eager=True)
+    return state.select("label", F.col("pos").cast("long").alias("pos"),
+                        "sum_q", "n_vecs")

@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "sketch_countmin",
     "text_tfidf",
     "layout_zorder",
+    "kmeans_train",
+    "bloom_semijoin",
 ]
 
 

@@ -201,3 +201,94 @@ def test_zorder_locality(spark):
         F.min("z").alias("lo"), F.max("z").alias("hi"), F.count("*").alias("n")
     ).first()
     assert (quad["lo"], quad["hi"], quad["n"]) == (0, 63, 64)
+
+
+# ---------------------------------------------------------------------------
+# k-means training
+# ---------------------------------------------------------------------------
+
+def test_kmeans_train_separated_clusters(spark):
+    from assemblagedb_spark.operators.vectors import kmeans_train
+
+    rows = []
+    vid = 0
+    for base in (0.0, 50.0, -50.0):
+        for j in range(6):
+            rows.append((vid, [base + j * 0.001, base]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    state = kmeans_train(emb, k=3, iters=3).collect()
+    # seeds 0,1,2 all start inside cluster A; after Lloyd rounds the three
+    # surviving centroids must land near 0 / 50 / -50 (x1000 quantized)
+    cents = {}
+    for r in state:
+        cents.setdefault(r["label"], {})[r["pos"]] = r["sum_q"] / r["n_vecs"]
+    means = sorted(round(c[0] / 1000) for c in cents.values())
+    # k-means from same-cluster seeds may keep fewer than 3 centroids, but
+    # the one centroid that captured a far cluster must sit at its mean
+    assert means[0] == -50 or -50 in means or 50 in means
+    # total membership conserved
+    n_by_pos0 = sum(r["n_vecs"] for r in state if r["pos"] == 0)
+    assert n_by_pos0 == len(rows)
+
+
+def test_kmeans_train_matches_python_replay(spark):
+    from assemblagedb_spark.operators.vectors import kmeans_train
+
+    vecs = {i: [((i * 7) % 13) * 1.0, ((i * 5) % 11) * 1.0] for i in range(30)}
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    got = {(r["label"], r["pos"]): (r["sum_q"], r["n_vecs"])
+           for r in kmeans_train(emb, k=4, iters=2).collect()}
+
+    q = {i: [int(v[0] * 1000 // 1), int(v[1] * 1000 // 1)] for i, v in vecs.items()}
+    state = {j: (q[j], 1) for j in range(4)}  # label -> (sum vec, n)
+
+    def centroid(s):
+        return {j: [x // n if x >= 0 else -((-x + n - 1) // n)  # floor div
+                    for x in vec] for j, (vec, n) in s.items()}
+
+    for _ in range(2):
+        cv = {j: [int(v // 1) for v in
+                  [sv / n for sv, n in zip(vec, [nn] * 2)]]
+              for j, (vec, nn) in state.items() for n in [nn]}
+        assign = {}
+        for i, qv in q.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(qv, cv[j])), j) for j in cv
+            )
+            assign[i] = best[1]
+        new = {}
+        for i, j in assign.items():
+            vec, n = new.get(j, ([0, 0], 0))
+            new[j] = ([vec[0] + q[i][0], vec[1] + q[i][1]], n + 1)
+        state = new
+
+    want = {}
+    for j, (vec, n) in state.items():
+        for pos, sv in enumerate(vec):
+            want[(j, pos)] = (sv, n)
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# bloom filter
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_prefilter_exact(spark):
+    from assemblagedb_spark.operators.sketches import bloom_bits, bloom_prefilter
+
+    members = spark.createDataFrame([(i * 3,) for i in range(200)], "k long")
+    probes = spark.createDataFrame([(i,) for i in range(700)], "k long")
+    bits = bloom_bits(members, "k", m=512, n_hashes=3)
+    passed = {r["k"] for r in
+              bloom_prefilter(probes, bits, "k", m=512, n_hashes=3).collect()}
+    member_set = {i * 3 for i in range(200)}
+    # every true member < 700 passes (no false negatives)
+    assert member_set & set(range(700)) <= passed
+    # prefilter + exact semi-join == plain semi-join
+    exact = {r["k"] for r in
+             probes.join(members, "k", "left_semi").collect()}
+    refined = passed & member_set
+    assert refined == exact
