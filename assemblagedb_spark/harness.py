@@ -3784,6 +3784,25 @@ GROUP BY o.o_custkey
 """
 
 
+_TOPN_N = 100
+
+
+def q_sample_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size sample: the 100 lowest-mixed-hash docs.
+    Compiles to TakeOrderedAndProject — per-partition local top-n, no
+    global sort/shuffle."""
+    from assemblagedb_spark.operators.sampling import fixed_size_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return fixed_size_sample(docs, _TOPN_N, key_col="doc_id")
+
+
+O_SAMPLE_TOPN = f"""
+SELECT doc_id, lang FROM documents
+ORDER BY ({mix32_sql("doc_id")}), doc_id LIMIT {_TOPN_N}
+"""
+
+
 SPARK_QUERIES = {
     "gram_index": q_gram_index,
     "gram_counts": q_gram_counts,
@@ -3883,6 +3902,7 @@ SPARK_QUERIES = {
     "kmeans_train": q_kmeans_train,
     "bloom_filter": q_bloom_filter,
     "bloom_semijoin": q_bloom_semijoin,
+    "sample_topn": q_sample_topn,
 }
 
 ORACLES = {
@@ -3984,4 +4004,5 @@ ORACLES = {
     "kmeans_train": _o_kmeans(),
     "bloom_filter": _o_bloom(),
     "bloom_semijoin": O_BLOOM_SEMIJOIN,
+    "sample_topn": O_SAMPLE_TOPN,
 }

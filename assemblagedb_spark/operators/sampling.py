@@ -64,3 +64,31 @@ def stratified_sample(
     for value, permille in sorted(rates_permille.items()):
         rate = F.when(F.col(strata_col) == value, F.lit(permille)).otherwise(rate)
     return df.filter(sample_bucket(key_col, seed) < rate)
+
+
+def fixed_size_sample(
+    df: DataFrame,
+    n: int,
+    *,
+    key_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic fixed-SIZE sample: the ``n`` rows whose mixed key hash
+    is lowest (ties impossible for distinct keys; key breaks any residual
+    tie).
+
+    The reservoir-sample replacement for exact-count draws: rate-based
+    sampling can't hit "give me exactly 10k docs", and a true reservoir
+    depends on encounter order. ``orderBy(hash).limit(n)`` compiles to
+    TakeOrderedAndProject — each partition keeps its local top-n and only
+    n*partitions candidate rows reach the driver-side merge; no global
+    sort, no full shuffle. Same seed → same sample, any partitioning.
+    """
+    from assemblagedb_spark.functions.core import mix32_col
+
+    return (
+        df.withColumn("__sk", mix32_col(F.col(key_col).cast("long"), seed))
+        .orderBy(F.col("__sk").asc(), F.col(key_col).asc())
+        .limit(n)
+        .drop("__sk")
+    )

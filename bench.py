@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "layout_zorder",
     "kmeans_train",
     "bloom_semijoin",
+    "sample_topn",
 ]
 
 

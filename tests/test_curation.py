@@ -192,3 +192,27 @@ def test_boilerplate_ngram_stats(spark):
     # each doc has 4 word-4-grams; only the footer gram is in >= 3 docs
     assert out[1]["n_grams"] == 4 and out[1]["n_boiler_grams"] == 1
     assert out[4]["n_boiler_grams"] == 0
+
+
+def test_fixed_size_sample_deterministic_and_layout_invariant(spark):
+    from assemblagedb_spark.operators.sampling import fixed_size_sample
+
+    base = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    a = sorted(r["doc_id"] for r in
+               fixed_size_sample(base.repartition(3), 50, key_col="doc_id").collect())
+    b = sorted(r["doc_id"] for r in
+               fixed_size_sample(base.repartition(17), 50, key_col="doc_id").collect())
+    assert a == b and len(a) == 50
+    c = sorted(r["doc_id"] for r in
+               fixed_size_sample(base, 50, key_col="doc_id", seed=5).collect())
+    assert a != c
+    # plan is TakeOrderedAndProject (local top-n), not a global sort
+    plan = fixed_size_sample(base, 50, key_col="doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_two_phase_prefix_empty_and_single_row(spark):
+    empty = spark.createDataFrame([], "k long, v long")
+    assert global_running_sum(empty, [F.col("k")], F.col("v"), "rs").count() == 0
+    one = spark.createDataFrame([(1, 42)], "k long, v long")
+    assert global_running_sum(one, [F.col("k")], F.col("v"), "rs").first()["rs"] == 42
