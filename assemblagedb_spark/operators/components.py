@@ -200,3 +200,90 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
     e.unpersist()
     return out
+
+
+def star_components(
+    edges: DataFrame,
+    *,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): converges in O(log^2 n) rounds REGARDLESS of diameter, where
+    min-label propagation needs diameter rounds — a path graph of length
+    10^6 takes ~20 star rounds vs 10^6 propagation rounds.
+
+    - large-star: every node u links each strictly-larger neighbor to the
+      minimum of its closed neighborhood m(u);
+    - small-star: every node u re-links its ≤-neighbors (its parents in
+      the forming forest) to m over that subset.
+
+    Both are ONE groupBy + generate per round over the current edge set;
+    the edge set only shrinks toward the final star forest (one hub = the
+    component's min node). Output: (node_id, component), identical to
+    :func:`label_propagation_components`'s converged labels.
+    """
+    # symmetrize, drop self-loops, orient as unordered pairs
+    fwd = edges.select(
+        F.col("parent_id").alias("u"), F.col("child_id").alias("v")
+    )
+    e = (
+        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = e.select(F.col("u").alias("node_id")).distinct().localCheckpoint(
+        eager=True
+    )
+
+    def _star(cur: DataFrame, large: bool) -> DataFrame:
+        # group the symmetric neighbor lists once per round
+        neigh = cur.groupBy("u").agg(
+            F.min("v").alias("mn"), F.collect_set("v").alias("nbrs")
+        )
+        m = F.least("u", "mn")
+        # large-star re-links the strictly-larger neighbors; small-star
+        # re-links the ≤-neighbors AND u itself (dropping u here loses the
+        # u—m edge and disconnects the forming star)
+        side = (
+            F.expr("filter(nbrs, x -> x > u)")
+            if large
+            else F.expr("array_union(filter(nbrs, x -> x <= u), array(u))")
+        )
+        out = (
+            neigh.select(m.alias("m"), F.explode(side).alias("v"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # keep symmetry for the next grouping pass
+        return (
+            out.unionByName(
+                out.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    for _ in range(max_rounds):
+        nxt = _star(_star(e, large=True), large=False)
+        # fixed point: identical symmetric edge sets
+        if (
+            nxt.count() == e.count()
+            and nxt.exceptAll(e).limit(1).count() == 0
+        ):
+            e = nxt
+            break
+        e = nxt
+
+    # converged: each component is a star around its min node; a node's
+    # component is its min neighbor (or itself if it IS the hub / isolated)
+    comp = (
+        e.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(F.col("u").alias("node_id"), F.least("u", "mn").alias("component"))
+    )
+    return all_nodes.join(comp, "node_id", "left").select(
+        "node_id", F.coalesce("component", "node_id").alias("component")
+    )

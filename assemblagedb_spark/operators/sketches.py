@@ -178,11 +178,34 @@ def bloom_prefilter(
     pass through to the exact join.
     """
     key = F.col(key_col).cast("long")
-    # fold the filter into ONE array row (≤ m longs) and broadcast it; the
-    # probe side is then a pure scan + per-row array_except — no shuffle,
-    # no second join, no re-aggregation of the big side
-    bitset = bits.select("bit").distinct().agg(
-        F.array_sort(F.collect_list("bit")).alias("__bits")
+    # Pack the filter into ONE dense bitmap row (m/64 longs) and broadcast
+    # it; the probe side is then a pure scan whose membership test is
+    # n_hashes O(1) element_at lookups. (A sorted-array + array_except
+    # variant costs O(m) PER ROW inside the join condition — measured 20×
+    # slower at m=4096 — and expression-collapsing would re-inline the hash
+    # chain into the condition, so probe positions are projected BEFORE the
+    # join.)
+    nwords = (m + 63) // 64
+    bitmap = (
+        bits.select(
+            F.shiftright(F.col("bit"), 6).cast("int").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(bit & 63 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("mask"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("w"), F.col("mask")))
+            ).alias("bm")
+        )
+        .select(
+            F.expr(
+                f"transform(sequence(0, {nwords - 1}), "
+                f"i -> coalesce(element_at(bm, i), CAST(0 AS BIGINT)))"
+            ).alias("__bitmap")
+        )
     )
     probes = F.array(
         *[
@@ -190,9 +213,15 @@ def bloom_prefilter(
             for r in range(n_hashes)
         ]
     )
+    with_probes = probe.withColumn("__probes", probes)
+    hit = " AND ".join(
+        f"(shiftright(element_at(__bitmap, "
+        f"CAST(shiftright(element_at(__probes, {r + 1}), 6) AS INT) + 1), "
+        f"CAST(element_at(__probes, {r + 1}) & 63 AS INT)) & 1) = 1"
+        for r in range(n_hashes)
+    )
     return (
-        probe.crossJoin(F.broadcast(bitset))
-        .withColumn("__probes", probes)
-        .filter(F.size(F.array_except("__probes", "__bits")) == 0)
-        .drop("__probes", "__bits")
+        with_probes.crossJoin(F.broadcast(bitmap))
+        .filter(F.expr(hit))
+        .drop("__probes", "__bitmap")
     )

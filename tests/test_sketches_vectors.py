@@ -292,3 +292,26 @@ def test_bloom_no_false_negatives_and_prefilter_exact(spark):
              probes.join(members, "k", "left_semi").collect()}
     refined = passed & member_set
     assert refined == exact
+
+
+# ---------------------------------------------------------------------------
+# large-star/small-star components (log-round convergence)
+# ---------------------------------------------------------------------------
+
+def test_star_components_long_chain_and_parity(spark):
+    from assemblagedb_spark.operators.components import (
+        label_propagation_components,
+        star_components,
+    )
+
+    # chain longer than any reasonable fixed round budget + triangle + pair
+    rows = ([(i, i + 1) for i in range(80)]
+            + [(500, 501), (501, 502), (502, 500), (900, 901)])
+    e = spark.createDataFrame(rows, "parent_id long, child_id long")
+    star = sorted((r["node_id"], r["component"])
+                  for r in star_components(e).collect())
+    prop = sorted((r["node_id"], r["component"])
+                  for r in label_propagation_components(
+                      e, rounds=None, max_rounds=200).collect())
+    assert star == prop
+    assert {c for _, c in star} == {0, 500, 900}
