@@ -3803,6 +3803,46 @@ ORDER BY ({mix32_sql("doc_id")}), doc_id LIMIT {_TOPN_N}
 """
 
 
+_MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.3}
+
+
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture resampling (DoReMi-style static mix):
+    down-sample over-represented languages toward 50/20/30 en/de/fr; the
+    binding domain keeps 100%, membership is the permille hash gate. One
+    tiny count aggregate; the corpus scans once, never shuffles."""
+    from assemblagedb_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return mixture_sample(docs, _MIX_WEIGHTS, domain_col="lang")
+
+
+def _o_mixture() -> str:
+    from assemblagedb_spark.operators.sampling import SAMPLE_A, SAMPLE_B
+    from assemblagedb_spark.functions.core import MINHASH_PRIME
+
+    w_case = "CASE lang " + " ".join(
+        f"WHEN '{d}' THEN {w}" for d, w in _MIX_WEIGHTS.items()
+    ) + " END"
+    langs = ", ".join(f"'{d}'" for d in _MIX_WEIGHTS)
+    # mirrors mixture_sample arithmetic step for step: C = min(n_d / w_d),
+    # permille_d = floor(((C * w_d) / n_d) * 1000), gate = permille bucket
+    return f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n, {w_case} AS w
+  FROM documents WHERE lang IN ({langs}) GROUP BY lang
+),
+c AS (SELECT MIN(n / w) AS c FROM counts),
+perm AS (
+  SELECT lang, LEAST(1000, floor(((c.c * w) / n) * 1000))::BIGINT AS p
+  FROM counts, c
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN perm USING (lang)
+WHERE ((d.doc_id * {SAMPLE_A} + {SAMPLE_B}) % {MINHASH_PRIME}) % 1000 < perm.p
+"""
+
+
 SPARK_QUERIES = {
     "gram_index": q_gram_index,
     "gram_counts": q_gram_counts,
@@ -3903,6 +3943,7 @@ SPARK_QUERIES = {
     "bloom_filter": q_bloom_filter,
     "bloom_semijoin": q_bloom_semijoin,
     "sample_topn": q_sample_topn,
+    "sample_mixture": q_sample_mixture,
 }
 
 ORACLES = {
@@ -4005,4 +4046,5 @@ ORACLES = {
     "bloom_filter": _o_bloom(),
     "bloom_semijoin": O_BLOOM_SEMIJOIN,
     "sample_topn": O_SAMPLE_TOPN,
+    "sample_mixture": _o_mixture(),
 }

@@ -92,3 +92,48 @@ def fixed_size_sample(
         .limit(n)
         .drop("__sk")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 1,
+) -> DataFrame:
+    """Deterministic resampling to a target DOMAIN MIXTURE (DoReMi-style
+    static mixing): given target proportions per domain, down-sample
+    over-represented domains so the output approaches the target mix while
+    keeping 100% of the most-constrained domain.
+
+    Acceptance rate per domain d:  r_d = C * w_d / n_d  with C chosen so
+    max(r_d) = 1 (the binding domain keeps everything; nothing is ever
+    up-sampled — duplication is a separate, explicit op). Membership is the
+    permille hash gate (:func:`sample_bucket`), so the SAME documents are
+    kept on every run and on any partitioning.
+
+    Scale: one count aggregate over the domain column (tiny result), rates
+    broadcast back as a literal map — the corpus itself is scanned once and
+    never shuffled. Domains absent from ``weights`` are dropped.
+    """
+    counts = {
+        r[domain_col]: r["n"]
+        for r in df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        if r[domain_col] in weights
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    # C = min over represented domains of n_d / w_d  -> max rate hits 1
+    c = min(counts[d] / weights[d] for d in counts if weights[d] > 0)
+    # permille thresholds, floored: rate becomes exact integer permille so
+    # the hash gate (bucket < threshold) is engine-replayable
+    permille = {
+        d: min(1000, int(c * weights[d] / counts[d] * 1000)) for d in counts
+    }
+    gate = None
+    bucket = sample_bucket(key_col, seed)
+    for d, p in permille.items():
+        cond = (F.col(domain_col) == d) & (bucket < p)
+        gate = cond if gate is None else (gate | cond)
+    return df.filter(gate)

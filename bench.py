@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "kmeans_train",
     "bloom_semijoin",
     "sample_topn",
+    "sample_mixture",
 ]
 
 

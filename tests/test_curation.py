@@ -216,3 +216,28 @@ def test_two_phase_prefix_empty_and_single_row(spark):
     assert global_running_sum(empty, [F.col("k")], F.col("v"), "rs").count() == 0
     one = spark.createDataFrame([(1, 42)], "k long, v long")
     assert global_running_sum(one, [F.col("k")], F.col("v"), "rs").first()["rs"] == 42
+
+
+def test_mixture_sample_targets_and_determinism(spark):
+    from assemblagedb_spark.operators.sampling import mixture_sample
+
+    rows = ([(i, "en") for i in range(800)]
+            + [(1000 + i, "de") for i in range(100)]
+            + [(2000 + i, "fr") for i in range(100)]
+            + [(3000 + i, "zh") for i in range(50)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_sample(df, {"en": 0.4, "de": 0.3, "fr": 0.3}, key_col="doc_id")
+    got = {r["source"]: 0 for r in out.collect()}
+    for r in out.collect():
+        got[r["source"]] += 1
+    # de and fr are binding (100 docs vs target 0.3): both keep ~100%,
+    # en (800 docs, target 0.4) downsamples to ~133
+    assert got["de"] >= 95 and got["fr"] >= 95
+    assert 100 <= got["en"] <= 170
+    assert "zh" not in got  # unlisted domain dropped
+    # deterministic under repartitioning
+    again = sorted(r["doc_id"] for r in
+                   mixture_sample(df.repartition(17),
+                                  {"en": 0.4, "de": 0.3, "fr": 0.3},
+                                  key_col="doc_id").collect())
+    assert again == sorted(r["doc_id"] for r in out.collect())
