@@ -3803,6 +3803,34 @@ ORDER BY ({mix32_sql("doc_id")}), doc_id LIMIT {_TOPN_N}
 """
 
 
+O_DEDUP_INCREMENTAL = (
+    f"WITH {_DOC_SHINGLES_CTE}, {_MINHASH_CTE.format(coeffs=_coeff_values_sql())}, "
+    f"bands AS (SELECT doc_id, j // {_LSH_ROWS} AS band, "
+    "string_agg(minhash, ',' ORDER BY j) AS band_sig "
+    f"FROM mh GROUP BY doc_id, j // {_LSH_ROWS}) "
+    "SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id "
+    "FROM bands n JOIN bands c ON n.band = c.band AND n.band_sig = c.band_sig "
+    "WHERE n.doc_id % 10 = 7 AND c.doc_id % 10 <> 7"
+)
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingest: docs with doc_id % 10 == 7 arrive as a
+    new batch; their bands broadcast-join the STORED corpus band table
+    (corpus never reshuffled, work proportional to the batch)."""
+    from assemblagedb_spark.operators.dedup import band_split, lsh_incremental_pairs
+
+    sig = _doc_minhash_sigs(spark, sf_dir).localCheckpoint(eager=True)
+    corpus_bands = band_split(
+        sig.filter(F.col("doc_id") % 10 != 7),
+        bands=_LSH_BANDS, rows_per_band=_LSH_ROWS,
+    )
+    return lsh_incremental_pairs(
+        sig.filter(F.col("doc_id") % 10 == 7), corpus_bands,
+        bands=_LSH_BANDS, rows_per_band=_LSH_ROWS,
+    )
+
+
 _MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.3}
 
 
@@ -3944,6 +3972,7 @@ SPARK_QUERIES = {
     "bloom_semijoin": q_bloom_semijoin,
     "sample_topn": q_sample_topn,
     "sample_mixture": q_sample_mixture,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 ORACLES = {
@@ -4047,4 +4076,5 @@ ORACLES = {
     "bloom_semijoin": O_BLOOM_SEMIJOIN,
     "sample_topn": O_SAMPLE_TOPN,
     "sample_mixture": _o_mixture(),
+    "dedup_incremental": O_DEDUP_INCREMENTAL,
 }

@@ -291,3 +291,56 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def band_split(
+    signatures: DataFrame,
+    *,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(doc_id, band, band_sig) — the stored LSH band table of a signature
+    set (the index half of :func:`lsh_candidate_pairs`, reusable across
+    ingest batches). Persist/bucket this by (band, band_sig) at scale."""
+    return signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("sig", b * rows_per_band + 1, rows_per_band).cast("string")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_sig"),
+    )
+
+
+def lsh_incremental_pairs(
+    new_signatures: DataFrame,
+    corpus_bands: DataFrame,
+    *,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Incremental near-dup ingest: candidate (new_id, corpus_id) pairs
+    between a NEW batch and the stored corpus band table, without touching
+    the corpus signatures.
+
+    The steady-state shape of a 100 TB dedup pipeline: the corpus index is
+    built once (:func:`band_split`, bucketed by band key); each arriving
+    batch explodes its own bands (tiny) and broadcast-joins them against
+    the stored table — the corpus is scanned but never shuffled, and work
+    is proportional to the batch, not the corpus. Feed the pairs to
+    ``minhash_jaccard_estimate`` / ``ngram_jaccard(candidates=...)`` to
+    verify, then to the components keeper to merge into clusters.
+    """
+    nb = band_split(
+        new_signatures, bands=bands, rows_per_band=rows_per_band
+    ).select(F.col("doc_id").alias("new_id"), "band", "band_sig")
+    return (
+        F.broadcast(nb)
+        .join(corpus_bands, ["band", "band_sig"])
+        .filter(F.col("new_id") != F.col("doc_id"))
+        .select("new_id", F.col("doc_id").alias("corpus_id"))
+        .distinct()
+    )

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "bloom_semijoin",
     "sample_topn",
     "sample_mixture",
+    "dedup_incremental",
 ]
 
 

@@ -241,3 +241,36 @@ def test_mixture_sample_targets_and_determinism(spark):
                                   {"en": 0.4, "de": 0.3, "fr": 0.3},
                                   key_col="doc_id").collect())
     assert again == sorted(r["doc_id"] for r in out.collect())
+
+
+def test_lsh_incremental_pairs_finds_cross_batch_dups(spark):
+    from assemblagedb_spark.operators.dedup import (
+        band_split,
+        lsh_candidate_pairs,
+        lsh_incremental_pairs,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [(i, f"totally different text number {i} with words {i * 17}")
+            for i in range(10)]
+    docs += [(100, base), (101, base + " x")]  # near-dups across batches
+    corpus = spark.createDataFrame(
+        [d for d in docs if d[0] != 101], "doc_id long, text string"
+    )
+    new = spark.createDataFrame([(101, base + " x")], "doc_id long, text string")
+
+    sig_c = minhash_signatures(corpus)
+    sig_n = minhash_signatures(new)
+    inc = {(r["new_id"], r["corpus_id"])
+           for r in lsh_incremental_pairs(sig_n, band_split(sig_c)).collect()}
+    assert (101, 100) in inc
+    # incremental pairs == full-batch pairs restricted to the new ids
+    sig_all = minhash_signatures(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    )
+    full = {(b, a) for r in lsh_candidate_pairs(sig_all).collect()
+            for a, b in [(r["id_a"], r["id_b"])]
+            if b == 101} | {(a, b) for r in lsh_candidate_pairs(sig_all).collect()
+                            for a, b in [(r["id_a"], r["id_b"])] if a == 101}
+    assert inc == full
