@@ -3871,6 +3871,101 @@ WHERE ((d.doc_id * {SAMPLE_A} + {SAMPLE_B}) % {MINHASH_PRIME}) % 1000 < perm.p
 """
 
 
+# ---------------------------------------------------------------------------
+# Profiling, funnels, cohort retention
+# ---------------------------------------------------------------------------
+
+# lineitem column kinds for the profile oracle (mirrors profile.table_profile)
+_LI_COLS = [
+    ("l_orderkey", "num"), ("l_partkey", "num"), ("l_suppkey", "num"),
+    ("l_linenumber", "num"), ("l_quantity", "num"), ("l_extendedprice", "num"),
+    ("l_discount", "num"), ("l_tax", "num"), ("l_returnflag", "str"),
+    ("l_linestatus", "str"), ("l_shipdate", "ts"),
+]
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler over lineitem: row/null/exact-distinct
+    counts + scaled-integer extremes per column (the audit step before any
+    large job; single scan, one grouping-sets shuffle)."""
+    from assemblagedb_spark.operators.profile import table_profile
+
+    return table_profile(load_table(spark, sf_dir, "lineitem"))
+
+
+def _o_profile() -> str:
+    parts = []
+    for name, kind in _LI_COLS:
+        if kind == "num":
+            mn = f"MIN(floor(CAST({name} AS DOUBLE) * 100))::BIGINT"
+            mx = f"MAX(floor(CAST({name} AS DOUBLE) * 100))::BIGINT"
+            ms, xs = "NULL::VARCHAR", "NULL::VARCHAR"
+        elif kind == "ts":
+            mn = f"MIN(epoch_us({name}))::BIGINT"
+            mx = f"MAX(epoch_us({name}))::BIGINT"
+            ms, xs = "NULL::VARCHAR", "NULL::VARCHAR"
+        else:
+            mn, mx = "NULL::BIGINT", "NULL::BIGINT"
+            ms, xs = f"MIN({name})", f"MAX({name})"
+        parts.append(
+            f"SELECT '{name}' AS col_name, COUNT(*)::BIGINT AS n_rows, "
+            f"SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls, "
+            f"COUNT(DISTINCT {name})::BIGINT AS n_distinct, "
+            f"{mn} AS min_num, {mx} AS max_num, "
+            f"{ms} AS min_str, {xs} AS max_str FROM lineitem"
+        )
+    return " UNION ALL ".join(parts)
+
+
+_FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: per user, earliest time each
+    stage is reached after the previous one; k conditional aggregates over
+    one cached scan, no global window."""
+    from assemblagedb_spark.operators.funnel import funnel_stages
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_stages(ev, _FUNNEL_STAGES)
+
+
+O_EVENTS_FUNNEL = """
+WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
+s1 AS (SELECT user_id, MIN(ts)::BIGINT AS t_1 FROM e
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(e.ts)::BIGINT AS t_2 FROM e
+       JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t_1 GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(e.ts)::BIGINT AS t_3 FROM e
+       JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t_2 GROUP BY 1)
+SELECT s1.user_id, t_1, t_2, t_3,
+       (1 + CASE WHEN t_2 IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN t_3 IS NULL THEN 0 ELSE 1 END)::BIGINT AS funnel_stage
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-cohort retention matrix: first-active day per user, distinct
+    return days counted by offset — two groupBys + one user-keyed join."""
+    from assemblagedb_spark.operators.funnel import cohort_retention
+
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+O_EVENTS_RETENTION = """
+WITH d AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+           FROM events),
+f AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1)
+SELECT f.cohort_day, (d.day - f.cohort_day) AS day_offset,
+       COUNT(*)::BIGINT AS n_users
+FROM d JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 SPARK_QUERIES = {
     "gram_index": q_gram_index,
     "gram_counts": q_gram_counts,
@@ -3973,6 +4068,9 @@ SPARK_QUERIES = {
     "sample_topn": q_sample_topn,
     "sample_mixture": q_sample_mixture,
     "dedup_incremental": q_dedup_incremental,
+    "table_profile": q_table_profile,
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
 }
 
 ORACLES = {
@@ -4077,4 +4175,7 @@ ORACLES = {
     "sample_topn": O_SAMPLE_TOPN,
     "sample_mixture": _o_mixture(),
     "dedup_incremental": O_DEDUP_INCREMENTAL,
+    "table_profile": _o_profile(),
+    "events_funnel": O_EVENTS_FUNNEL,
+    "events_retention": O_EVENTS_RETENTION,
 }

@@ -1,0 +1,79 @@
+"""Table profiling: one-pass per-column data-quality statistics.
+
+The audit step before any 100 TB job: row count, null count, exact
+distinct count, and min/max per column, computed in a SINGLE aggregate
+over one scan (Spark expands the multi-count-distinct into one
+grouping-sets shuffle — still one pass over the data), then unpivoted to
+one row per column.
+
+Output schema is type-stable so profiles of different tables union
+cleanly: numeric min/max are emitted as scaled-integer cents (exact,
+engine-portable — float-to-string formatting is NOT portable), strings as
+themselves, timestamps as epoch microseconds folded into the numeric
+columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+NUMERIC = (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+           T.DoubleType, T.FloatType, T.DecimalType)
+
+
+def table_profile(df: DataFrame, *, scale: int = 100) -> DataFrame:
+    """(col_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str,
+    max_str): numeric/timestamp extremes as floor-scaled BIGINT (value *
+    scale for numerics, epoch microseconds for timestamps), string extremes
+    verbatim, NULL for the non-applicable pair."""
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("__n")]
+    cols = []
+    for f in df.schema.fields:
+        c, name = F.col(f.name), f.name
+        aggs.append(F.sum(c.isNull().cast("long")).alias(f"{name}__nulls"))
+        aggs.append(F.count_distinct(c).alias(f"{name}__dist"))
+        if isinstance(f.dataType, NUMERIC):
+            num = F.floor(c.cast("double") * scale).cast("long")
+            kind = "num"
+        elif isinstance(f.dataType, T.TimestampType):
+            num = F.unix_micros(c)
+            kind = "num"
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            # tz-free epoch µs: unix_micros rejects NTZ, and a cast to LTZ
+            # would silently re-interpret in the session timezone
+            num = F.expr(
+                f"timestampdiff(MICROSECOND, "
+                f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {f.name})"
+            )
+            kind = "num"
+        elif isinstance(f.dataType, T.StringType):
+            num, kind = c, "str"
+        else:  # arrays/structs/binary: counts only
+            num, kind = None, "none"
+        if kind == "num":
+            aggs.append(F.min(num).alias(f"{name}__min"))
+            aggs.append(F.max(num).alias(f"{name}__max"))
+        elif kind == "str":
+            aggs.append(F.min(num).alias(f"{name}__min"))
+            aggs.append(F.max(num).alias(f"{name}__max"))
+        cols.append((name, kind))
+
+    one = df.agg(*aggs)
+    rows = []
+    for name, kind in cols:
+        mn = F.col(f"{name}__min") if kind != "none" else F.lit(None)
+        mx = F.col(f"{name}__max") if kind != "none" else F.lit(None)
+        rows.append(
+            F.struct(
+                F.lit(name).alias("col_name"),
+                F.col("__n").cast("long").alias("n_rows"),
+                F.col(f"{name}__nulls").cast("long").alias("n_nulls"),
+                F.col(f"{name}__dist").cast("long").alias("n_distinct"),
+                (mn if kind == "num" else F.lit(None)).cast("long").alias("min_num"),
+                (mx if kind == "num" else F.lit(None)).cast("long").alias("max_num"),
+                (mn if kind == "str" else F.lit(None)).cast("string").alias("min_str"),
+                (mx if kind == "str" else F.lit(None)).cast("string").alias("max_str"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")

@@ -78,6 +78,9 @@ BENCH_QUERIES = [
     "sample_topn",
     "sample_mixture",
     "dedup_incremental",
+    "table_profile",
+    "events_funnel",
+    "events_retention",
 ]
 
 

@@ -1,0 +1,66 @@
+"""Table profiler, funnel stages, cohort retention."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from assemblagedb_spark.operators.funnel import cohort_retention, funnel_stages
+from assemblagedb_spark.operators.profile import table_profile
+
+
+def test_table_profile_counts_and_extremes(spark):
+    df = spark.createDataFrame(
+        [(1, 2.5, "b", None), (2, None, "a", None), (None, 0.1, "a", None)],
+        "k long, v double, s string, ts timestamp",
+    )
+    p = {r["col_name"]: r for r in table_profile(df).collect()}
+    assert p["k"]["n_rows"] == 3
+    assert p["k"]["n_nulls"] == 1 and p["k"]["n_distinct"] == 2
+    assert (p["k"]["min_num"], p["k"]["max_num"]) == (100, 200)
+    assert (p["v"]["min_num"], p["v"]["max_num"]) == (10, 250)  # floor(x*100)
+    assert (p["s"]["min_str"], p["s"]["max_str"]) == ("a", "b")
+    assert p["s"]["min_num"] is None
+    assert p["ts"]["n_nulls"] == 3 and p["ts"]["min_num"] is None
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+
+
+def test_funnel_stages_strict_ordering(spark):
+    ev = _ev(spark, [
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),   # full
+        (2, "click", 5), (2, "view", 10), (2, "purchase", 20),    # click BEFORE view
+        (3, "view", 10),                                          # stalls at 1
+        (4, "purchase", 1), (4, "view", 2), (4, "click", 3),      # purchase too early
+    ])
+    out = {r["user_id"]: r for r in
+           funnel_stages(ev, ["view", "click", "purchase"]).collect()}
+    assert out[1]["funnel_stage"] == 3 and (out[1]["t_1"], out[1]["t_2"], out[1]["t_3"]) == (10, 20, 30)
+    assert out[2]["funnel_stage"] == 1  # only click precedes the first view
+    assert out[3]["funnel_stage"] == 1 and out[3]["t_2"] is None
+    assert out[4]["funnel_stage"] == 2 and out[4]["t_3"] is None
+
+
+def test_funnel_user2_click_before_view_blocks_stage2(spark):
+    ev = _ev(spark, [(2, "click", 5), (2, "view", 10), (2, "purchase", 20)])
+    r = funnel_stages(ev, ["view", "click", "purchase"]).first()
+    # the only click precedes the first view -> stage 2 never reached
+    assert r["funnel_stage"] == 1 and r["t_2"] is None
+
+
+def test_cohort_retention_matrix(spark):
+    day = 86_400_000_000_000
+    ev = spark.createDataFrame(
+        [(1, 0 * day), (1, 1 * day), (1, 3 * day),
+         (2, 0 * day), (2, 0 * day + 5),          # same-day dup collapses
+         (3, 1 * day), (3, 2 * day)],
+        "user_id long, ts long",
+    )
+    got = {(r["cohort_day"], r["day_offset"]): r["n_users"]
+           for r in cohort_retention(ev).collect()}
+    assert got == {
+        (0, 0): 2,  # users 1, 2
+        (0, 1): 1, (0, 3): 1,  # user 1 returns
+        (1, 0): 1, (1, 1): 1,  # user 3
+    }
