@@ -1272,6 +1272,37 @@ SELECT doc_id, unnest(fps) AS fingerprint FROM sel
 """
 
 
+_WP_SHARED, _WP_DF_FRAC = 8, 0.06
+
+
+def q_text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-overlap candidate pairs (MOSS): documents sharing ≥ 8
+    winnowing fingerprints, ubiquitous fingerprints (df > 6% of the
+    corpus) dropped before the self-join so no hub bucket goes quadratic
+    and the cap tracks corpus size across SFs."""
+    from assemblagedb_spark.operators.dedup import fingerprint_near_pairs
+    from assemblagedb_spark.operators.textstats import winnowing_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    max_df = int(docs.count() * _WP_DF_FRAC)
+    fps = winnowing_fingerprints(docs)
+    return fingerprint_near_pairs(fps, min_shared=_WP_SHARED, max_df=max_df)
+
+
+O_TEXT_WINNOW_PAIRS = f"""
+WITH fp0 AS ({{winnow}}),
+fp AS (SELECT DISTINCT doc_id, fingerprint FROM fp0),
+keep AS (SELECT fingerprint FROM fp GROUP BY fingerprint
+         HAVING COUNT(*) <= (SELECT floor(COUNT(*) * {_WP_DF_FRAC})
+                             FROM documents)),
+f2 AS (SELECT fp.doc_id, fp.fingerprint FROM fp JOIN keep USING (fingerprint))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS n_shared
+FROM f2 a JOIN f2 b USING (fingerprint)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= {_WP_SHARED}
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from assemblagedb_spark.operators.textstats import fingerprints
 
@@ -4071,6 +4102,7 @@ SPARK_QUERIES = {
     "table_profile": q_table_profile,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
+    "text_winnow_pairs": q_text_winnow_pairs,
 }
 
 ORACLES = {
@@ -4178,4 +4210,7 @@ ORACLES = {
     "table_profile": _o_profile(),
     "events_funnel": O_EVENTS_FUNNEL,
     "events_retention": O_EVENTS_RETENTION,
+    "text_winnow_pairs": O_TEXT_WINNOW_PAIRS.format(
+        winnow=O_TEXT_WINNOWING.strip()
+    ),
 }

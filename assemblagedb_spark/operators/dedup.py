@@ -344,3 +344,44 @@ def lsh_incremental_pairs(
         .select("new_id", F.col("doc_id").alias("corpus_id"))
         .distinct()
     )
+
+
+def fingerprint_near_pairs(
+    fingerprints: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    fp_col: str = "fingerprint",
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Substring-overlap candidate pairs from winnowing fingerprints (the
+    pair half of MOSS: documents sharing ≥ ``min_shared`` selected window
+    hashes overlap in actual substrings, Schleimer et al. 2003) — the
+    scalable stand-in for exact substring dedup (Lee et al. 2022): shared
+    fingerprints ⇒ shared ≥ k-char spans, with no suffix array built.
+
+    ``max_df`` drops fingerprints present in more than that many documents
+    BEFORE the self-join — ubiquitous substrings (headers, license
+    boilerplate) would otherwise create quadratic hub buckets; they carry
+    no discriminating signal and are the classic MOSS df-cap. The join is
+    then an equi-join on fingerprint with bucket sizes ≤ max_df.
+    """
+    fps = fingerprints.select(
+        F.col(id_col).alias("doc_id"), F.col(fp_col).alias("fp")
+    ).distinct()
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fp")
+    )
+    f2 = fps.join(keep, "fp")
+    a = f2.select(F.col("doc_id").alias("id_a"), "fp")
+    b = f2.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

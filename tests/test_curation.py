@@ -274,3 +274,33 @@ def test_lsh_incremental_pairs_finds_cross_batch_dups(spark):
             if b == 101} | {(a, b) for r in lsh_candidate_pairs(sig_all).collect()
                             for a, b in [(r["id_a"], r["id_b"])] if a == 101}
     assert inc == full
+
+
+def test_fingerprint_near_pairs_shared_substrings(spark):
+    from assemblagedb_spark.operators.dedup import fingerprint_near_pairs
+    from assemblagedb_spark.operators.textstats import winnowing_fingerprints
+
+    shared = "a very long shared passage that both documents quote verbatim here"
+    docs = _docs(spark, [
+        (1, f"intro one {shared} outro xx"),
+        (2, f"different preamble {shared} closing words"),
+        (3, "entirely unrelated content with zero overlap at all in text"),
+    ])
+    fps = winnowing_fingerprints(docs)
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"]
+             for r in fingerprint_near_pairs(fps, min_shared=2, max_df=10).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all(3 not in p for p in pairs)
+
+
+def test_fingerprint_near_pairs_df_cap_drops_hubs(spark):
+    from assemblagedb_spark.operators.dedup import fingerprint_near_pairs
+    from assemblagedb_spark.operators.textstats import winnowing_fingerprints
+
+    boiler = "the same universal footer appears everywhere in this corpus now"
+    docs = _docs(spark, [(i, f"doc number {i} body {boiler}") for i in range(8)])
+    fps = winnowing_fingerprints(docs)
+    # cap below corpus size: footer fingerprints (df=8) are dropped, so no
+    # pair survives on boilerplate alone
+    none = fingerprint_near_pairs(fps, min_shared=2, max_df=4).collect()
+    assert none == []
