@@ -3997,6 +3997,49 @@ GROUP BY 1, 2
 """
 
 
+_SNAPSHOT2_NS = SNAPSHOT_NS + 7 * 86_400 * 1_000_000_000
+
+
+def q_mvcc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visible-state delta between two snapshots a week apart: keys added /
+    removed / updated, from version history alone (the export_since
+    question answered relationally; two rank passes + one key join)."""
+    ev = _events_versioned(spark, sf_dir)
+    return mvcc.snapshot_diff(
+        ev, SNAPSHOT_NS, _SNAPSHOT2_NS, ["user_id"],
+        ts="ts", tiebreak=["event_id"],
+    ).select(
+        "user_id", "change",
+        F.expr("old_ts div 1000").alias("old_ts"),
+        F.expr("new_ts div 1000").alias("new_ts"),
+    )
+
+
+O_MVCC_DIFF = f"""
+WITH va AS (
+  SELECT user_id, epoch_us(ts)::BIGINT AS v FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE epoch_ns(ts) <= {SNAPSHOT_NS}
+  ) WHERE rn = 1 AND event_type <> 'error'
+),
+vb AS (
+  SELECT user_id, epoch_us(ts)::BIGINT AS v FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE epoch_ns(ts) <= {_SNAPSHOT2_NS}
+  ) WHERE rn = 1 AND event_type <> 'error'
+)
+SELECT coalesce(va.user_id, vb.user_id) AS user_id,
+       CASE WHEN va.user_id IS NULL THEN 'added'
+            WHEN vb.user_id IS NULL THEN 'removed'
+            ELSE 'updated' END AS change,
+       va.v AS old_ts, vb.v AS new_ts
+FROM va FULL OUTER JOIN vb ON va.user_id = vb.user_id
+WHERE va.user_id IS NULL OR vb.user_id IS NULL OR va.v <> vb.v
+"""
+
+
 SPARK_QUERIES = {
     "gram_index": q_gram_index,
     "gram_counts": q_gram_counts,
@@ -4103,6 +4146,7 @@ SPARK_QUERIES = {
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "text_winnow_pairs": q_text_winnow_pairs,
+    "mvcc_diff": q_mvcc_diff,
 }
 
 ORACLES = {
@@ -4213,4 +4257,5 @@ ORACLES = {
     "text_winnow_pairs": O_TEXT_WINNOW_PAIRS.format(
         winnow=O_TEXT_WINNOWING.strip()
     ),
+    "mvcc_diff": O_MVCC_DIFF,
 }

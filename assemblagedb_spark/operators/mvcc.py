@@ -139,3 +139,51 @@ def restore_candidates(
         .drop("__rn")
     )
     return live.join(F.broadcast(trashed), list(keys))
+
+
+def snapshot_diff(
+    df: DataFrame,
+    t1,
+    t2,
+    keys: Sequence[str],
+    ts: str = "ts",
+    removed: str = "is_removed",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Visible-state delta between two snapshots (the replication question
+    "what changed since t1?" answered from version history alone — the
+    as-of read pair the reference answers via export_since episodes,
+    assemblage_db/src/broadcasts.rs, re-expressed relationally).
+
+    Output: keys + ``change`` ('added' | 'removed' | 'updated') + the old
+    and new version timestamps (NULL where absent). Keys whose visible
+    version is identical at both snapshots are excluded. Both sides are
+    one rank-per-key pass; the comparison is a single full-outer key join.
+    """
+    a = as_of(df, t1, keys, ts, removed, tiebreak).select(
+        *keys, F.col(ts).alias("__ts_a"),
+        *[F.col(c).alias(f"__tb_a_{c}") for c in tiebreak],
+    )
+    b = as_of(df, t2, keys, ts, removed, tiebreak).select(
+        *keys, F.col(ts).alias("__ts_b"),
+        *[F.col(c).alias(f"__tb_b_{c}") for c in tiebreak],
+    )
+    joined = a.join(b, list(keys), "full_outer")
+    same = F.col("__ts_a") == F.col("__ts_b")
+    for c in tiebreak:
+        same = same & (F.col(f"__tb_a_{c}") == F.col(f"__tb_b_{c}"))
+    change = (
+        F.when(F.col("__ts_a").isNull(), F.lit("added"))
+        .when(F.col("__ts_b").isNull(), F.lit("removed"))
+        .when(same, F.lit(None))
+        .otherwise(F.lit("updated"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            *keys, "change",
+            F.col("__ts_a").cast("long").alias("old_ts"),
+            F.col("__ts_b").cast("long").alias("new_ts"),
+        )
+    )

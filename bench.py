@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "table_profile",
     "events_funnel",
     "events_retention",
+    "mvcc_diff",
 ]
 
 

@@ -254,3 +254,27 @@ def test_from_tables_row_guard(spark):
         AssemblageDb.from_tables(spark, nodes_df, edges_df, max_rows=1)
     # within the limit everything still works
     assert AssemblageDb.from_tables(spark, nodes_df, edges_df).get is not None
+
+
+def test_snapshot_diff_added_removed_updated(spark):
+    from assemblagedb_spark.operators.mvcc import snapshot_diff
+
+    rows = [
+        # key 1: v1 at t=10, updated at t=25
+        (1, 10, 100, False), (1, 25, 101, False),
+        # key 2: live at t=10, tombstoned at t=20
+        (2, 10, 200, False), (2, 20, 201, True),
+        # key 3: appears at t=22
+        (3, 22, 300, False),
+        # key 4: unchanged across both snapshots
+        (4, 5, 400, False),
+        # key 5: tombstoned before t1 -> absent both sides
+        (5, 1, 500, False), (5, 2, 501, True),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, is_removed boolean"
+    )
+    out = {r["user_id"]: r["change"]
+           for r in snapshot_diff(df, 15, 30, ["user_id"],
+                                  tiebreak=["event_id"]).collect()}
+    assert out == {1: "updated", 2: "removed", 3: "added"}
