@@ -167,8 +167,16 @@ KNUTH_MULT = 2654435761  # floor(2^32 / phi)
 
 def mix32_sql(x: str, seed: int = 0) -> str:
     """SQL text of the mixer over an int expression — valid in BOTH Spark
-    SQL and DuckDB (xor() spelled per dialect by the caller via {xor})."""
-    h = f"(({x}) * {KNUTH_MULT} + {seed}) % {MIX32_MOD}"
+    SQL and DuckDB.
+
+    The input is masked to its low 31 bits first: full-range int64 keys
+    (e.g. xxhash64 content ids) would overflow ``x * KNUTH`` in int64
+    (2^32 * KNUTH > int64 max; 2^31 * KNUTH fits), and DuckDB's ``%`` is
+    negative-signed where Spark's pmod is not — after the mask every
+    intermediate is non-negative and in-range, so plain ``%`` agrees
+    across engines. For x in [0, 2^31) the mask is the identity (hash
+    values unchanged for every driver-table id)."""
+    h = f"((({x}) & 2147483647) * {KNUTH_MULT} + {seed}) % {MIX32_MOD}"
     for _ in range(2):
         h = f"(({_xor_sql(h)}) * {MIX32_MULT}) % {MIX32_MOD}"
     return _xor_sql(h)
@@ -179,10 +187,14 @@ def _xor_sql(h: str) -> str:
 
 
 def mix32_col(x, seed: int = 0):
-    """Column form of the mixer (Spark side)."""
+    """Column form of the mixer (Spark side). Input masked to 32 bits —
+    see :func:`mix32_sql` for why."""
     from pyspark.sql import functions as F
 
-    h = F.pmod(x * F.lit(KNUTH_MULT) + F.lit(seed), F.lit(MIX32_MOD))
+    h = F.pmod(
+        x.bitwiseAND(F.lit(2147483647)) * F.lit(KNUTH_MULT) + F.lit(seed),
+        F.lit(MIX32_MOD),
+    )
     for _ in range(2):
         h = F.pmod(
             h.bitwiseXOR(F.shiftright(h, 16)) * F.lit(MIX32_MULT), F.lit(MIX32_MOD)

@@ -509,3 +509,68 @@ def test_hash_sampling_determinism_and_consistency(spark):
     ).collect()
     assert {r["grp"] for r in out} == {"keep"}
     assert len(out) == 1000
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=40
+    ),
+    st.integers(min_value=0, max_value=5),
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_mix32_spark_duckdb_python_agree(spark, keys, seed):
+    """The portable mixer must agree across Spark (Column), DuckDB (SQL
+    text), and python — including negative and full-range int64 inputs
+    (the 32-bit input mask prevents int64 overflow / signed-% drift)."""
+    import duckdb
+
+    from assemblagedb_spark.functions.core import (
+        KNUTH_MULT, MIX32_MOD, MIX32_MULT, mix32_col, mix32_sql,
+    )
+    from pyspark.sql import functions as F
+
+    def py(x):
+        h = ((x & 0x7FFFFFFF) * KNUTH_MULT + seed) % MIX32_MOD
+        for _ in range(2):
+            h = ((h ^ (h >> 16)) * MIX32_MULT) % MIX32_MOD
+        return h ^ (h >> 16)
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got_spark = {r["k"]: r["h"] for r in
+                 df.select("k", mix32_col(F.col("k"), seed).alias("h")).collect()}
+    con = duckdb.connect()
+    got_duck = dict(con.execute(
+        f"SELECT k, {mix32_sql('k', seed)} FROM (SELECT unnest(?) AS k)", [keys]
+    ).fetchall())
+    for k in keys:
+        assert got_spark[k] == py(k) == got_duck[k]
+
+
+@given(st.lists(st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0, max_size=30), min_size=1, max_size=20))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_strhash_spark_duckdb_agree(spark, terms):
+    import duckdb
+
+    from assemblagedb_spark.functions.core import (
+        STRHASH_BASE, STRHASH_MOD, strhash_duckdb_sql, strhash_spark_sql,
+    )
+    from pyspark.sql import functions as F
+
+    def py(s):
+        h = 0
+        for c in s:
+            h = (h * STRHASH_BASE + ord(c)) % STRHASH_MOD
+        return h
+
+    df = spark.createDataFrame([(t,) for t in terms], "t string")
+    got_spark = [r["h"] for r in
+                 df.select(F.expr(strhash_spark_sql("t")).alias("h")).collect()]
+    con = duckdb.connect()
+    got_duck = [con.execute(
+        f"SELECT {strhash_duckdb_sql('t')} FROM (SELECT ? AS t)", [t]
+    ).fetchone()[0] for t in terms]
+    assert sorted(got_spark) == sorted(py(t) for t in terms) == sorted(got_duck)

@@ -23,7 +23,7 @@ from assemblagedb_spark.sources.layout import zorder_key_col, zorder_key_sql
 
 
 def mix32_py(x: int, seed: int = 0) -> int:
-    h = (x * KNUTH_MULT + seed) % MIX32_MOD
+    h = ((x & 0x7FFFFFFF) * KNUTH_MULT + seed) % MIX32_MOD
     for _ in range(2):
         h = ((h ^ (h >> 16)) * MIX32_MULT) % MIX32_MOD
     return h ^ (h >> 16)
