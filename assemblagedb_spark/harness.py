@@ -2635,6 +2635,56 @@ def _o_pagerank(rounds: int, scale: int = 1_000_000, damping_pct: int = 85) -> s
 O_GRAPH_PAGERANK = _o_pagerank(3)
 
 
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the region nodes (random walk with
+    restart to seeds): 'which suppliers/nations does a walk from THESE
+    hubs keep reaching' — integer fixed-point, 3 rounds, seed set
+    broadcast."""
+    from assemblagedb_spark.operators.components import personalized_pagerank
+
+    e = _cyclic_graph_edges(spark, sf_dir)
+    seeds = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_regionkey") < 3)
+        .select(F.concat(F.lit("R"), F.col("r_regionkey")).alias("node_id"))
+    )
+    return personalized_pagerank(e, seeds, rounds=3)
+
+
+def _o_ppr(rounds: int, scale: int = 1_000_000, damping_pct: int = 85) -> str:
+    base = (100 - damping_pct) * scale // 100
+    ctes = [
+        """e0 AS (
+  SELECT DISTINCT * FROM (
+    SELECT 'S' || s_suppkey AS src, 'N' || s_nationkey AS dst FROM supplier
+    UNION ALL SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+    UNION ALL SELECT 'R' || n_regionkey, 'N' || n_nationkey FROM nation WHERE n_regionkey < 3
+  ))""",
+        "nodes AS (SELECT DISTINCT node_id, (node_id IN ('R0','R1','R2')) AS is_seed "
+        "FROM (SELECT src AS node_id FROM e0 UNION ALL SELECT dst FROM e0))",
+        "outdeg AS (SELECT src, COUNT(*)::BIGINT AS outdeg FROM e0 GROUP BY src)",
+        f"r0 AS MATERIALIZED (SELECT node_id, is_seed, "
+        f"(CASE WHEN is_seed THEN {scale} ELSE 0 END)::BIGINT AS rank FROM nodes)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT n.node_id, n.is_seed,
+         ((CASE WHEN n.is_seed THEN {base} ELSE 0 END)
+          + ({damping_pct} * COALESCE(s.in_sum, 0)) // 100)::BIGINT AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node_id, SUM(r.rank // o.outdeg)::BIGINT AS in_sum
+    FROM e0 e JOIN r{k - 1} r ON r.node_id = e.src JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node_id = n.node_id
+)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node_id, rank FROM r{rounds}"
+
+
+O_GRAPH_PPR = _o_ppr(3)
+
+
 def q_graph_cyclic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """is_cyclic per sampled supplier root (lib.rs:424-442): revisit iff
     in-closure edge instances >= closure size."""
@@ -4147,6 +4197,7 @@ SPARK_QUERIES = {
     "events_retention": q_events_retention,
     "text_winnow_pairs": q_text_winnow_pairs,
     "mvcc_diff": q_mvcc_diff,
+    "graph_ppr": q_graph_ppr,
 }
 
 ORACLES = {
@@ -4258,4 +4309,5 @@ ORACLES = {
         winnow=O_TEXT_WINNOWING.strip()
     ),
     "mvcc_diff": O_MVCC_DIFF,
+    "graph_ppr": O_GRAPH_PPR,
 }

@@ -205,3 +205,31 @@ def boilerplate_ngram_stats(
             ).cast("long").alias("n_boiler_grams"),
         )
     )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    *,
+    shard_size: int,
+    order_col: str = "order_idx",
+) -> None:
+    """Materialize a training order (:func:`training_order` output) as
+    contiguous parquet shards: shard k holds order positions
+    [k*shard_size+1, (k+1)*shard_size], rows sorted within the shard.
+
+    A trainer then streams shard directories in shard-number order and
+    gets the exact epoch permutation without any runtime sort; shards are
+    the unit of resume/checkpoint. One range-shuffle on the shard id; each
+    shard is written by the task that owns it.
+    """
+    sharded = docs.withColumn(
+        "shard", ((F.col(order_col) - 1) / F.lit(shard_size)).cast("long")
+    )
+    (
+        sharded.repartition("shard")
+        .sortWithinPartitions("shard", order_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "events_funnel",
     "events_retention",
     "mvcc_diff",
+    "graph_ppr",
 ]
 
 

@@ -315,3 +315,38 @@ def test_star_components_long_chain_and_parity(spark):
                       e, rounds=None, max_rounds=200).collect())
     assert star == prop
     assert {c for _, c in star} == {0, 500, 900}
+
+
+def test_personalized_pagerank_mass_concentrates_near_seeds(spark):
+    from assemblagedb_spark.operators.components import personalized_pagerank
+
+    # two disjoint cycles; seed only the first
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)],
+        "parent_id long, child_id long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node_id long")
+    r = {row["node_id"]: row["rank"]
+         for row in personalized_pagerank(e, seeds, rounds=6).collect()}
+    # unreachable component gets zero mass; seed's component is positive
+    assert r[10] == r[11] == r[12] == 0
+    assert r[1] > 0 and r[2] > 0 and r[3] > 0
+    # the seed holds the most mass (restart lands there)
+    assert r[1] == max(r.values())
+
+
+def test_write_training_shards_contiguous(spark, tmp_path):
+    from assemblagedb_spark.operators.selection import (
+        training_order,
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    ordered = training_order(docs, num_partitions=4)
+    out = str(tmp_path / "shards")
+    write_training_shards(ordered, out, shard_size=25)
+    back = spark.read.parquet(out)
+    rows = back.select("shard", "order_idx").collect()
+    assert sorted(r["order_idx"] for r in rows) == list(range(1, 101))
+    for r in rows:
+        assert r["shard"] == (r["order_idx"] - 1) // 25
