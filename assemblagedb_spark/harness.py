@@ -4090,6 +4090,30 @@ WHERE va.user_id IS NULL OR vb.user_id IS NULL OR va.v <> vb.v
 """
 
 
+_GTOPN_N = 20
+
+
+def q_sample_group_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-language fixed-size sample: the 20 lowest-mixed-hash
+    docs per lang (one shuffle on the group key, per-group rank window)."""
+    from assemblagedb_spark.operators.sampling import group_fixed_size_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return group_fixed_size_sample(
+        docs, _GTOPN_N, group_cols=["lang"], key_col="doc_id"
+    )
+
+
+O_SAMPLE_GROUP_TOPN = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY ({mix32_sql("doc_id")}), doc_id) AS rn
+  FROM documents
+) WHERE rn <= {_GTOPN_N}
+"""
+
+
 SPARK_QUERIES = {
     "gram_index": q_gram_index,
     "gram_counts": q_gram_counts,
@@ -4198,6 +4222,7 @@ SPARK_QUERIES = {
     "text_winnow_pairs": q_text_winnow_pairs,
     "mvcc_diff": q_mvcc_diff,
     "graph_ppr": q_graph_ppr,
+    "sample_group_topn": q_sample_group_topn,
 }
 
 ORACLES = {
@@ -4310,4 +4335,5 @@ ORACLES = {
     ),
     "mvcc_diff": O_MVCC_DIFF,
     "graph_ppr": O_GRAPH_PPR,
+    "sample_group_topn": O_SAMPLE_GROUP_TOPN,
 }

@@ -137,3 +137,34 @@ def mixture_sample(
         cond = (F.col(domain_col) == d) & (bucket < p)
         gate = cond if gate is None else (gate | cond)
     return df.filter(gate)
+
+
+def group_fixed_size_sample(
+    df: DataFrame,
+    n_per_group: int,
+    *,
+    group_cols: list[str],
+    key_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic fixed-size sample PER GROUP: the ``n_per_group``
+    lowest-mixed-hash keys within each group (a balanced per-domain /
+    per-language draw — the fixed-size companion to rate-based
+    ``stratified_sample``).
+
+    One shuffle on the group key; the rank window sorts only within each
+    group's partition. Same seed → same rows, any layout.
+    """
+    from pyspark.sql import Window
+
+    from assemblagedb_spark.functions.core import mix32_col
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__sk").asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__sk", mix32_col(F.col(key_col).cast("long"), seed))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__sk", "__rn")
+    )

@@ -165,5 +165,8 @@ def kmeans_train(
         # tiny (≤ k×dim rows): pin it so the next round's broadcast plan
         # doesn't recompute the whole lineage
         state = state.localCheckpoint(eager=True)
+    # the final state is checkpointed — the quantized corpus cache is no
+    # longer reachable from the result, so release it
+    quant.unpersist()
     return state.select("label", F.col("pos").cast("long").alias("pos"),
                         "sum_q", "n_vecs")

@@ -304,3 +304,19 @@ def test_fingerprint_near_pairs_df_cap_drops_hubs(spark):
     # pair survives on boilerplate alone
     none = fingerprint_near_pairs(fps, min_shared=2, max_df=4).collect()
     assert none == []
+
+
+def test_group_fixed_size_sample_balanced_and_stable(spark):
+    from assemblagedb_spark.operators.sampling import group_fixed_size_sample
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = group_fixed_size_sample(df, 10, group_cols=["grp"], key_col="doc_id")
+    counts = {}
+    for r in out.collect():
+        counts[r["grp"]] = counts.get(r["grp"], 0) + 1
+    assert counts == {"a": 10, "b": 10}
+    again = group_fixed_size_sample(
+        df.repartition(13), 10, group_cols=["grp"], key_col="doc_id"
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
