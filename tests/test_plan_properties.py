@@ -122,3 +122,53 @@ def test_neardup_gates_have_no_cartesian(spark, sf_dir):
         plan = formatted_plan(q(spark, sf_dir))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round2_gates_no_cartesian_no_python(spark, sf_dir):
+    # the curation/sketch/analytics additions must stay JVM-side and free
+    # of CartesianProduct (BroadcastNestedLoop against a folded one-row /
+    # k-row broadcast is fine and intended for bloom/centroid plans)
+    for q in (
+        h.q_text_decontam,
+        h.q_pii_scrub,
+        h.q_text_repetition,
+        h.q_text_boilerplate,
+        h.q_distinct_hll,
+        h.q_sketch_countmin,
+        h.q_embedding_centroids,
+        h.q_text_tfidf,
+        h.q_layout_zorder,
+        h.q_events_funnel,
+        h.q_events_retention,
+        h.q_mvcc_diff,
+    ):
+        df = q(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, q.__name__
+        assert python_stages(df) == [], q.__name__
+
+
+def test_decontam_broadcasts_benchmark_grams(spark, sf_dir):
+    assert uses_broadcast_join(h.q_text_decontam(spark, sf_dir))
+
+
+def test_select_budget_avoids_single_partition_sort(spark, sf_dir):
+    # the two-phase prefix must range-partition, never collapse the
+    # relation into one task the way a global Window.orderBy would
+    plan = formatted_plan(h.q_select_budget(spark, sf_dir))
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_bloom_semijoin_broadcasts_folded_filter(spark, sf_dir):
+    plan = formatted_plan(h.q_bloom_semijoin(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_layout_zorder_is_pure_projection(spark, sf_dir):
+    assert count_exchanges(h.q_layout_zorder(spark, sf_dir)) == 0
+
+
+def test_sample_topn_uses_local_topk(spark, sf_dir):
+    plan = formatted_plan(h.q_sample_topn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
