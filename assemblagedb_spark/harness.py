@@ -4114,6 +4114,70 @@ SELECT doc_id, lang FROM (
 """
 
 
+_IVT_K, _IVT_PROBE = 8, 2
+
+
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end trained-quantizer ANN: Lloyd's k-means (k=8, 2 rounds)
+    trains the coarse cells, then IVF top-10 probes the 2 nearest trained
+    cells per query — the full index-train → assign → probe pipeline."""
+    from assemblagedb_spark.operators.similarity import ivf_topk
+    from assemblagedb_spark.operators.vectors import kmeans_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    state = kmeans_train(emb, k=_IVT_K, iters=2)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(
+        emb, queries, k=10, nprobe=_IVT_PROBE, centroids=state
+    ).select("query_id", "neighbor_id", F.col("rank").cast("long"))
+
+
+def _o_ivf_trained() -> str:
+    km = _o_kmeans(k=_IVT_K, iters=2)
+    # reuse the kmeans CTE chain (strip its WITH + final SELECT)
+    km_ctes = km[len("WITH "):km.rindex("\nSELECT")]
+    return f"""
+WITH {km_ctes},
+cvec2 AS (
+  SELECT label AS cell,
+         list(floor(sum_q / n_vecs) / 1000.0 ORDER BY pos) AS vec_cent
+  FROM c2 GROUP BY label
+),
+cellscore AS (
+  SELECT e.vec_id, ct.cell,
+         list_dot_product(e.embedding::DOUBLE[], ct.vec_cent::DOUBLE[]) /
+         (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(ct.vec_cent::DOUBLE[], ct.vec_cent::DOUBLE[]))) AS cos_c
+  FROM embeddings e CROSS JOIN cvec2 ct
+),
+rankedc AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cell) AS r
+  FROM cellscore
+),
+assign2 AS (SELECT vec_id AS c_id, cell FROM rankedc WHERE r = 1),
+probes2 AS (SELECT vec_id AS q_id, cell FROM rankedc
+            WHERE r <= {_IVT_PROBE} AND vec_id % 50 = 0),
+cand2 AS (
+  SELECT DISTINCT p.q_id, a.c_id
+  FROM probes2 p JOIN assign2 a ON a.cell = p.cell
+  WHERE p.q_id <> a.c_id
+),
+s2 AS (
+  SELECT cand2.q_id, cand2.c_id,
+         list_dot_product(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(qe.embedding::DOUBLE[], qe.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(ce.embedding::DOUBLE[], ce.embedding::DOUBLE[]))) AS cos
+  FROM cand2 JOIN embeddings qe ON qe.vec_id = cand2.q_id
+  JOIN embeddings ce ON ce.vec_id = cand2.c_id
+)
+SELECT q_id AS query_id, c_id AS neighbor_id, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+  FROM s2
+) WHERE rank <= 10
+"""
+
+
 SPARK_QUERIES = {
     "gram_index": q_gram_index,
     "gram_counts": q_gram_counts,
@@ -4223,6 +4287,7 @@ SPARK_QUERIES = {
     "mvcc_diff": q_mvcc_diff,
     "graph_ppr": q_graph_ppr,
     "sample_group_topn": q_sample_group_topn,
+    "ann_ivf_trained": q_ann_ivf_trained,
 }
 
 ORACLES = {
@@ -4336,4 +4401,5 @@ ORACLES = {
     "mvcc_diff": O_MVCC_DIFF,
     "graph_ppr": O_GRAPH_PPR,
     "sample_group_topn": O_SAMPLE_GROUP_TOPN,
+    "ann_ivf_trained": _o_ivf_trained(),
 }

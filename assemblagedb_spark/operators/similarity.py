@@ -234,6 +234,28 @@ def _ivf_centroids(corpus: DataFrame, nlist: int, id_col: str, vec_col: str):
     return cent_ids, CM, np.sqrt((CM * CM).sum(1))
 
 
+
+
+def centroid_matrix(state, *, scale: int = 1000):
+    """Convert a k-means centroid MERGE STATE (label, pos, sum_q, n_vecs —
+    :func:`assemblagedb_spark.operators.vectors.kmeans_train` output) into
+    the (ids, matrix, norms) triple the IVF probe kernels ride: component =
+    floor(sum_q / n_vecs) / scale, the same quantized value the trainer's
+    oracle replays. k x dim rows — driver-side by design."""
+    import math
+
+    by_label: dict[int, dict[int, float]] = {}
+    for r in state.collect():
+        by_label.setdefault(r["label"], {})[r["pos"]] = (
+            math.floor(r["sum_q"] / r["n_vecs"]) / scale
+        )
+    ids = np.array(sorted(by_label))
+    CM = np.array([
+        [by_label[l][p] for p in sorted(by_label[l])] for l in ids
+    ], dtype=np.float64)
+    return ids, CM, np.sqrt((CM * CM).sum(1))
+
+
 def _nearest_cells(
     df: DataFrame, side: str, n: int, cents, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -282,6 +304,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_assign: DataFrame | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: a coarse quantizer partitions the corpus
     into ``nlist`` cells; each query exactly re-ranks only the vectors in its
@@ -294,9 +317,15 @@ def ivf_topk(
     table is precomputed once and bucketed by cell so queries shuffle
     nothing but their probe list. ``corpus_assign``: that precomputed
     (c_id, cell) assignment (from :func:`ivf_assign` with the same nlist) —
-    skips re-assigning the corpus per query batch.
+    skips re-assigning the corpus per query batch. ``centroids``: a
+    TRAINED quantizer state (kmeans_train output) — replaces the
+    deterministic lowest-id quantizer; ``nlist`` is then ignored.
     """
-    cents = _ivf_centroids(corpus, nlist, id_col, vec_col)
+    cents = (
+        centroid_matrix(centroids)
+        if centroids is not None
+        else _ivf_centroids(corpus, nlist, id_col, vec_col)
+    )
 
     def nearest_cells(df: DataFrame, side: str, n: int) -> DataFrame:
         return _nearest_cells(df, side, n, cents, id_col, vec_col)

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "events_retention",
     "mvcc_diff",
     "graph_ppr",
+    "ann_ivf_trained",
 ]
 
 
