@@ -4178,6 +4178,34 @@ SELECT q_id AS query_id, c_id AS neighbor_id, rank FROM (
 """
 
 
+def q_text_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence length outliers on EXACT discrete quartiles of the
+    token count (two-phase global rank — no single-node sort, no
+    percentile_approx error feeding the cut)."""
+    from assemblagedb_spark.operators.selection import iqr_outliers
+    from assemblagedb_spark.operators.textstats import token_stats
+
+    stats = token_stats(load_table(spark, sf_dir, "documents"))
+    return iqr_outliers(stats, F.col("n_tokens"))
+
+
+O_TEXT_OUTLIERS = f"""
+WITH {_O_WORDS},
+t AS (SELECT doc_id, len(w)::BIGINT AS v FROM words),
+n AS (SELECT COUNT(*) AS n FROM t),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM t),
+q AS (SELECT
+  (SELECT v FROM r, n WHERE rn = GREATEST(1, ceil(0.25 * n.n))) AS q1,
+  (SELECT v FROM r, n WHERE rn = GREATEST(1, ceil(0.75 * n.n))) AS q3)
+SELECT t.doc_id, t.v AS metric,
+       (t.v < q.q1 - 3 * (q.q3 - q.q1) OR t.v > q.q3 + 3 * (q.q3 - q.q1))::BIGINT
+           AS is_outlier,
+       (q.q1 - 3 * (q.q3 - q.q1))::BIGINT AS fence_lo,
+       (q.q3 + 3 * (q.q3 - q.q1))::BIGINT AS fence_hi
+FROM t, q
+"""
+
+
 SPARK_QUERIES = {
     "gram_index": q_gram_index,
     "gram_counts": q_gram_counts,
@@ -4288,6 +4316,7 @@ SPARK_QUERIES = {
     "graph_ppr": q_graph_ppr,
     "sample_group_topn": q_sample_group_topn,
     "ann_ivf_trained": q_ann_ivf_trained,
+    "text_outliers": q_text_outliers,
 }
 
 ORACLES = {
@@ -4402,4 +4431,5 @@ ORACLES = {
     "graph_ppr": O_GRAPH_PPR,
     "sample_group_topn": O_SAMPLE_GROUP_TOPN,
     "ann_ivf_trained": _o_ivf_trained(),
+    "text_outliers": O_TEXT_OUTLIERS,
 }

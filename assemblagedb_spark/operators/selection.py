@@ -233,3 +233,68 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value: Column,
+    qs: Sequence[float],
+    *,
+    tiebreak: Sequence[Column] = (),
+    num_partitions: int | None = None,
+) -> list[int]:
+    """EXACT discrete quantiles of ``value`` at 100 TB: global rank via the
+    two-phase range-partitioned row number (no single-node sort), then one
+    tiny lookup of the order-statistic positions ceil(q * n).
+
+    ``percentile_approx`` trades error for speed; when the quantile FEEDS A
+    FILTER (outlier fences, budget cuts) the error compounds downstream —
+    this is the exact path. Returns driver-side values (len(qs) numbers).
+    """
+    projected = df.select(
+        value.alias("__v"), *[c.alias(f"__t{i}") for i, c in enumerate(tiebreak)]
+    )
+    order = [F.col("__v").asc()] + [
+        F.col(f"__t{i}").asc() for i in range(len(tiebreak))
+    ]
+    ranked = global_row_number(projected, order, "__r", num_partitions).persist()
+    n = ranked.count()
+    if n == 0:
+        return [None for _ in qs]
+    import math
+
+    positions = {max(1, math.ceil(q * n)) for q in qs}
+    vals = {
+        r["__r"]: r["__v"]
+        for r in ranked.filter(F.col("__r").isin(list(positions))).collect()
+    }
+    return [vals[max(1, math.ceil(q * n))] for q in qs]
+
+
+def iqr_outliers(
+    docs: DataFrame,
+    value: Column,
+    *,
+    id_col: str = "doc_id",
+    whisker: int = 3,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Tukey-fence outlier flags on an integer metric: rows outside
+    [q1 - whisker*IQR, q3 + whisker*IQR] of the EXACT discrete quartiles.
+
+    The quantile pass costs one two-phase rank; the flag pass is a pure
+    scan with the fences as literals — the standard length/garbage filter
+    in a curation pipeline, with no approximation in the cut.
+    """
+    q1, q3 = exact_quantiles(
+        docs, value, [0.25, 0.75], num_partitions=num_partitions
+    )
+    iqr = q3 - q1
+    lo, hi = q1 - whisker * iqr, q3 + whisker * iqr
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        value.cast("long").alias("metric"),
+        ((value < lo) | (value > hi)).cast("long").alias("is_outlier"),
+        F.lit(lo).cast("long").alias("fence_lo"),
+        F.lit(hi).cast("long").alias("fence_hi"),
+    )

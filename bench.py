@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "mvcc_diff",
     "graph_ppr",
     "ann_ivf_trained",
+    "text_outliers",
 ]
 
 

@@ -320,3 +320,23 @@ def test_group_fixed_size_sample_balanced_and_stable(spark):
         df.repartition(13), 10, group_cols=["grp"], key_col="doc_id"
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_exact_quantiles_and_iqr_flags(spark):
+    from assemblagedb_spark.operators.selection import exact_quantiles, iqr_outliers
+
+    vals = list(range(1, 101)) + [1000]  # one extreme outlier
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "doc_id long, v long")
+    q1, q2, q3 = exact_quantiles(df, F.col("v"), [0.25, 0.5, 0.75],
+                                 num_partitions=4)
+    import math
+    n = len(vals)
+    s = sorted(vals)
+    assert (q1, q2, q3) == (s[math.ceil(0.25 * n) - 1],
+                            s[math.ceil(0.5 * n) - 1],
+                            s[math.ceil(0.75 * n) - 1])
+    out = {r["doc_id"]: r["is_outlier"]
+           for r in iqr_outliers(df, F.col("v"), whisker=3).collect()}
+    assert out[100] == 1                 # the 1000 value
+    assert sum(out.values()) == 1        # nothing else flagged
