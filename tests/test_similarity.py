@@ -68,3 +68,25 @@ def test_lsh_ranks_dense_and_self_excluded(spark):
         by_q.setdefault(r.query_id, []).append(r.rank)
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ivf_topk_with_trained_centroids(spark):
+    from assemblagedb_spark.operators.similarity import cosine_topk, ivf_topk
+    from assemblagedb_spark.operators.vectors import kmeans_train
+
+    # three well-separated direction clusters; within-cluster neighbors are
+    # the true top-k, so a trained quantizer with nprobe=1 gets exact recall
+    rows = []
+    vid = 0
+    for base in ((10.0, 0.1), (0.1, 10.0), (-10.0, -10.0)):
+        for j in range(8):
+            rows.append((vid, [base[0] + j * 0.01, base[1] + j * 0.01]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    state = kmeans_train(emb, k=3, iters=3)
+    queries = emb.filter("vec_id % 8 = 0")
+    ivf = ivf_topk(emb, queries, k=3, nprobe=1, centroids=state)
+    exact = cosine_topk(emb, queries, k=3)
+    got = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in ivf.collect()}
+    want = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in exact.collect()}
+    assert got == want
