@@ -4206,6 +4206,49 @@ FROM t, q
 """
 
 
+def q_sketch_join_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from two count-min sketches (AMS inner
+    product): |events ⋈ orders on user key| bounded above per sketch row —
+    the broadcast-vs-shuffle-vs-salt decision for a 100 TB join priced at
+    two single-pass sketches instead of the join itself."""
+    from assemblagedb_spark.operators.sketches import (
+        countmin_counters,
+        countmin_join_estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("item")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("item")
+    )
+    cm_a = countmin_counters(ev, "item", d=_CM_D, w=_CM_W)
+    cm_b = countmin_counters(orders, "item", d=_CM_D, w=_CM_W)
+    return countmin_join_estimate(cm_a, cm_b).select(
+        F.col("row").cast("long").alias("cm_row"), "inner_product"
+    )
+
+
+def _o_join_est() -> str:
+    def sketch(src: str, key: str) -> str:
+        h = strhash_duckdb_sql("CAST(" + key + " AS VARCHAR)")
+        cells = " UNION ALL ".join(
+            f"SELECT {r} AS r, ({mix32_sql('h', r)}) % {_CM_W} AS c FROM hh"
+            for r in range(_CM_D)
+        )
+        return (
+            f"(WITH hh AS (SELECT {h} AS h FROM {src}) "
+            f"SELECT r, c, COUNT(*)::BIGINT AS ct FROM ({cells}) GROUP BY 1, 2)"
+        )
+
+    return f"""
+WITH sa AS {sketch("events", "user_id")},
+sb AS {sketch("orders", "o_custkey")}
+SELECT sa.r::BIGINT AS cm_row, SUM(sa.ct * sb.ct)::BIGINT AS inner_product
+FROM sa JOIN sb ON sa.r = sb.r AND sa.c = sb.c GROUP BY sa.r
+"""
+
+
 SPARK_QUERIES = {
     "gram_index": q_gram_index,
     "gram_counts": q_gram_counts,
@@ -4317,6 +4360,7 @@ SPARK_QUERIES = {
     "sample_group_topn": q_sample_group_topn,
     "ann_ivf_trained": q_ann_ivf_trained,
     "text_outliers": q_text_outliers,
+    "sketch_join_est": q_sketch_join_est,
 }
 
 ORACLES = {
@@ -4432,4 +4476,5 @@ ORACLES = {
     "sample_group_topn": O_SAMPLE_GROUP_TOPN,
     "ann_ivf_trained": _o_ivf_trained(),
     "text_outliers": O_TEXT_OUTLIERS,
+    "sketch_join_est": _o_join_est(),
 }

@@ -225,3 +225,22 @@ def bloom_prefilter(
         .filter(F.expr(hit))
         .drop("__probes", "__bitmap")
     )
+
+
+def countmin_join_estimate(cm_a: DataFrame, cm_b: DataFrame) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min sketches built
+    with the SAME (d, w, hash family): per row, the inner product
+    Σ_col counterA·counterB over-estimates |A ⋈ B| (AMS/count-min inner
+    product); the caller takes the MIN over rows as the estimate.
+
+    The query-optimizer primitive: deciding broadcast vs shuffle vs salted
+    join for a 100 TB join costs two d×w sketches (one pass each) instead
+    of running the join. Output: (row, inner_product) — d tiny rows.
+    """
+    a = cm_a.select("row", "col", F.col("counter").alias("ca"))
+    b = cm_b.select("row", "col", F.col("counter").alias("cb"))
+    return (
+        a.join(b, ["row", "col"])
+        .groupBy("row")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("inner_product"))
+    )

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "graph_ppr",
     "ann_ivf_trained",
     "text_outliers",
+    "sketch_join_est",
 ]
 
 

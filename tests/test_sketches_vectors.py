@@ -350,3 +350,23 @@ def test_write_training_shards_contiguous(spark, tmp_path):
     assert sorted(r["order_idx"] for r in rows) == list(range(1, 101))
     for r in rows:
         assert r["shard"] == (r["order_idx"] - 1) // 25
+
+
+def test_countmin_join_estimate_upper_bounds_true_size(spark):
+    from assemblagedb_spark.operators.sketches import (
+        countmin_counters,
+        countmin_join_estimate,
+    )
+
+    a_keys = ["k1"] * 5 + ["k2"] * 2 + [f"a{i}" for i in range(30)]
+    b_keys = ["k1"] * 4 + ["k2"] * 3 + [f"b{i}" for i in range(20)]
+    a = spark.createDataFrame([(k,) for k in a_keys], "item string")
+    b = spark.createDataFrame([(k,) for k in b_keys], "item string")
+    est = countmin_join_estimate(
+        countmin_counters(a, "item", d=2, w=128),
+        countmin_counters(b, "item", d=2, w=128),
+    )
+    true_join = 5 * 4 + 2 * 3  # only k1/k2 shared
+    ips = [r["inner_product"] for r in est.collect()]
+    assert len(ips) == 2
+    assert min(ips) >= true_join  # inner product never under-estimates
