@@ -4249,6 +4249,38 @@ FROM sa JOIN sb ON sa.r = sb.r AND sa.c = sb.c GROUP BY sa.r
 """
 
 
+def q_crossmodal_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal aggregation: join the text table to its row-aligned
+    embedding table (doc_id = vec_id) and build per-LANGUAGE quantized
+    centroids — the 'mean embedding per metadata slice' audit every
+    multimodal corpus needs. One equi-join + one merge-state groupBy."""
+    from assemblagedb_spark.operators.vectors import label_centroids
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    joined = docs.join(emb, "doc_id").select(
+        F.col("lang").alias("label"), "embedding"
+    )
+    return label_centroids(joined).select(
+        F.col("label").alias("lang"),
+        F.col("pos").cast("long").alias("pos"),
+        "sum_q", "n_vecs",
+    )
+
+
+O_CROSSMODAL_CENTROIDS = """
+SELECT d.lang, (t.i - 1)::BIGINT AS pos,
+       SUM(floor(CAST(e.embedding[t.i] AS DOUBLE) * 1000))::BIGINT AS sum_q,
+       COUNT(*)::BIGINT AS n_vecs
+FROM documents d
+JOIN embeddings e ON e.vec_id = d.doc_id,
+     unnest(range(1, len(e.embedding) + 1)) t(i)
+GROUP BY d.lang, t.i
+"""
+
+
 SPARK_QUERIES = {
     "gram_index": q_gram_index,
     "gram_counts": q_gram_counts,
@@ -4361,6 +4393,7 @@ SPARK_QUERIES = {
     "ann_ivf_trained": q_ann_ivf_trained,
     "text_outliers": q_text_outliers,
     "sketch_join_est": q_sketch_join_est,
+    "crossmodal_centroids": q_crossmodal_centroids,
 }
 
 ORACLES = {
@@ -4477,4 +4510,5 @@ ORACLES = {
     "ann_ivf_trained": _o_ivf_trained(),
     "text_outliers": O_TEXT_OUTLIERS,
     "sketch_join_est": _o_join_est(),
+    "crossmodal_centroids": O_CROSSMODAL_CENTROIDS,
 }

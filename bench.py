@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "ann_ivf_trained",
     "text_outliers",
     "sketch_join_est",
+    "crossmodal_centroids",
 ]
 
 
