@@ -837,9 +837,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     its cluster's canonical keeper (min doc_id); singletons keep themselves.
     This is the operator a 100 TB dedup job actually runs — pair generation
     is candidate-bounded by the bands, clustering is one |E| join + |V|
-    aggregate per round. The oracle unrolls 12 rounds: the sf0.01 pair
-    graph converges by 10 (measured), so both sides agree on the exact
-    component labels with margin."""
+    aggregate per round. The oracle unrolls 24 rounds: the sf0.01 pair
+    graph converges by 10 and the (denser) sf0.001 one by 20 (measured),
+    so both sides agree on the exact component labels with margin."""
     from assemblagedb_spark.operators.components import (
         label_propagation_components,
     )
@@ -900,7 +900,7 @@ FROM documents d LEFT JOIN l{rounds} ON l{rounds}.node_id = d.doc_id"""
     )
 
 
-O_DEDUP_CLUSTERS = _o_dedup_clusters(12)
+O_DEDUP_CLUSTERS = _o_dedup_clusters(24)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
