@@ -4281,6 +4281,81 @@ GROUP BY d.lang, t.i
 """
 
 
+def q_sample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch up-sampling to the 50/20/30 en/de/fr mixture: rows of
+    under-represented languages emitted floor/ceil(rate) times with a
+    hash-gated fractional epoch; the best-represented language repeats
+    once. One count aggregate; per-row local explode."""
+    from assemblagedb_spark.operators.sampling import repeat_to_mixture
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return repeat_to_mixture(docs, _MIX_WEIGHTS, domain_col="lang")
+
+
+def _o_repeat() -> str:
+    from assemblagedb_spark.functions.core import MINHASH_PRIME
+    from assemblagedb_spark.operators.sampling import SAMPLE_A, SAMPLE_B
+
+    w_case = "CASE lang " + " ".join(
+        f"WHEN '{d}' THEN {w}" for d, w in _MIX_WEIGHTS.items()
+    ) + " END"
+    langs = ", ".join(f"'{d}'" for d in _MIX_WEIGHTS)
+    return f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n, {w_case} AS w
+  FROM documents WHERE lang IN ({langs}) GROUP BY lang
+),
+c AS (SELECT MAX(n / w) AS c FROM counts),
+perm AS (
+  SELECT lang, LEAST(10000, floor(((c.c * w) / n) * 1000))::BIGINT AS p
+  FROM counts, c
+),
+r AS (
+  SELECT d.doc_id, d.lang,
+         perm.p // 1000
+         + CASE WHEN ((d.doc_id * {SAMPLE_A} + {SAMPLE_B} * 2)
+                      % {MINHASH_PRIME}) % 1000 < perm.p % 1000
+                THEN 1 ELSE 0 END AS reps
+  FROM documents d JOIN perm USING (lang)
+)
+SELECT doc_id, lang, unnest(range(0, reps))::BIGINT AS epoch
+FROM r WHERE reps > 0
+"""
+
+
+def q_events_outliers_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Tukey fences on exact discrete quartiles of the cent
+    value — per-slice anomaly gating (one shuffle on the group key; window
+    ranks are group-local)."""
+    from assemblagedb_spark.operators.selection import grouped_iqr_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    return grouped_iqr_outliers(
+        ev,
+        F.round(F.col("value") * 100).cast("long"),
+        ["event_type"],
+        id_col="event_id",
+    ).withColumnRenamed("doc_id", "event_id")
+
+
+O_EVENTS_OUTLIERS_GROUPED = """
+WITH t AS (SELECT event_type, event_id, round(value * 100)::BIGINT AS v
+           FROM events),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM t),
+q AS (SELECT event_type, MIN(v) AS q1, MAX(v) AS q3 FROM r
+      WHERE rn = ceil(n * 0.25) OR rn = ceil(n * 0.75)
+      GROUP BY event_type)
+SELECT t.event_type, t.event_id, t.v AS metric,
+       (t.v < q.q1 - 3 * (q.q3 - q.q1) OR t.v > q.q3 + 3 * (q.q3 - q.q1))::BIGINT
+           AS is_outlier,
+       (q.q1 - 3 * (q.q3 - q.q1))::BIGINT AS fence_lo,
+       (q.q3 + 3 * (q.q3 - q.q1))::BIGINT AS fence_hi
+FROM t JOIN q USING (event_type)
+"""
+
+
 SPARK_QUERIES = {
     "gram_index": q_gram_index,
     "gram_counts": q_gram_counts,
@@ -4394,6 +4469,8 @@ SPARK_QUERIES = {
     "text_outliers": q_text_outliers,
     "sketch_join_est": q_sketch_join_est,
     "crossmodal_centroids": q_crossmodal_centroids,
+    "sample_repeat": q_sample_repeat,
+    "events_outliers_grouped": q_events_outliers_grouped,
 }
 
 ORACLES = {
@@ -4511,4 +4588,6 @@ ORACLES = {
     "text_outliers": O_TEXT_OUTLIERS,
     "sketch_join_est": _o_join_est(),
     "crossmodal_centroids": O_CROSSMODAL_CENTROIDS,
+    "sample_repeat": _o_repeat(),
+    "events_outliers_grouped": O_EVENTS_OUTLIERS_GROUPED,
 }

@@ -168,3 +168,53 @@ def group_fixed_size_sample(
         .filter(F.col("__rn") <= n_per_group)
         .drop("__sk", "__rn")
     )
+
+
+def repeat_to_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    max_repeat: int = 10,
+    seed: int = 2,
+) -> DataFrame:
+    """Deterministic UP-sampling to a target mixture: each row of an
+    under-represented domain is emitted ``floor(r_d)`` or ``ceil(r_d)``
+    times (hash-gated fractional part), where r_d = target share / natural
+    share normalized so the LARGEST domain keeps repeat 1 — the epoch-
+    repetition half of data mixing (small high-quality domains are seen
+    multiple times per epoch; nothing is ever dropped).
+
+    Output adds ``epoch`` (0-based repeat index) so downstream shuffling
+    can interleave repeats. Rates are clamped to ``max_repeat`` (beyond
+    ~4 epochs repetition stops helping and starts memorizing). One count
+    aggregate; the corpus scans once, the explode is per-row local.
+    """
+    counts = {
+        r[domain_col]: r["n"]
+        for r in df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        if r[domain_col] in weights and weights[r[domain_col]] > 0
+    }
+    if not counts:
+        return df.filter(F.lit(False)).withColumn("epoch", F.lit(0).cast("long"))
+    # normalize so min(r_d) = 1: the best-represented domain repeats once
+    c = max(counts[d] / weights[d] for d in counts)
+    permille = {
+        d: min(max_repeat * 1000, int(c * weights[d] / counts[d] * 1000))
+        for d in counts
+    }
+    bucket = sample_bucket(key_col, seed)
+    reps = None
+    for d, p in permille.items():
+        r = F.lit(p // 1000) + (bucket < (p % 1000)).cast("int")
+        cond = F.when(F.col(domain_col) == d, r)
+        reps = cond if reps is None else reps.when(F.col(domain_col) == d, r)
+    reps = reps.otherwise(F.lit(0))
+    return (
+        df.withColumn("__reps", reps)
+        .filter(F.col("__reps") > 0)
+        .withColumn("epoch", F.explode(F.expr("sequence(0, __reps - 1)")))
+        .withColumn("epoch", F.col("epoch").cast("long"))
+        .drop("__reps")
+    )

@@ -298,3 +298,55 @@ def iqr_outliers(
         F.lit(lo).cast("long").alias("fence_lo"),
         F.lit(hi).cast("long").alias("fence_hi"),
     )
+
+
+def grouped_iqr_outliers(
+    df: DataFrame,
+    value: Column,
+    group_cols: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    whisker: int = 3,
+) -> DataFrame:
+    """Per-GROUP Tukey fences on exact discrete quartiles: each group's
+    rows ranked within the group (ONE shuffle on the group key — the
+    window sorts group-locally, no global order needed), quartiles read at
+    ceil(q·n_g), fences joined back group-wise.
+
+    The grouped form of :func:`iqr_outliers`: 'flag events whose value is
+    extreme FOR THAT EVENT TYPE' — per-slice anomaly gating where a global
+    fence would drown slices with different scales.
+    """
+    from pyspark.sql import Window
+
+    ranked = df.select(
+        *group_cols, F.col(id_col).alias("doc_id"), value.alias("__v")
+    ).withColumn("__rn", F.row_number().over(
+        Window.partitionBy(*group_cols).orderBy(F.col("__v").asc())
+    )).withColumn("__n", F.count(F.lit(1)).over(
+        Window.partitionBy(*group_cols)
+    ))
+    qs = (
+        ranked.filter(
+            (F.col("__rn") == F.ceil(F.col("__n") * 0.25))
+            | (F.col("__rn") == F.ceil(F.col("__n") * 0.75))
+        )
+        .groupBy(*group_cols)
+        .agg(F.min("__v").alias("q1"), F.max("__v").alias("q3"))
+    )
+    return (
+        ranked.join(qs, list(group_cols))
+        .select(
+            *group_cols,
+            "doc_id",
+            F.col("__v").cast("long").alias("metric"),
+            (
+                (F.col("__v") < F.col("q1") - whisker * (F.col("q3") - F.col("q1")))
+                | (F.col("__v") > F.col("q3") + whisker * (F.col("q3") - F.col("q1")))
+            ).cast("long").alias("is_outlier"),
+            (F.col("q1") - whisker * (F.col("q3") - F.col("q1")))
+            .cast("long").alias("fence_lo"),
+            (F.col("q3") + whisker * (F.col("q3") - F.col("q1")))
+            .cast("long").alias("fence_hi"),
+        )
+    )

@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "text_outliers",
     "sketch_join_est",
     "crossmodal_centroids",
+    "sample_repeat",
+    "events_outliers_grouped",
 ]
 
 

@@ -340,3 +340,40 @@ def test_exact_quantiles_and_iqr_flags(spark):
            for r in iqr_outliers(df, F.col("v"), whisker=3).collect()}
     assert out[100] == 1                 # the 1000 value
     assert sum(out.values()) == 1        # nothing else flagged
+
+
+def test_repeat_to_mixture_upsamples_small_domains(spark):
+    from assemblagedb_spark.operators.sampling import repeat_to_mixture
+
+    rows = ([(i, "big") for i in range(600)]
+            + [(1000 + i, "small") for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = repeat_to_mixture(df, {"big": 0.5, "small": 0.5},
+                            domain_col="src", key_col="doc_id")
+    counts = {}
+    for r in out.collect():
+        counts[r["src"]] = counts.get(r["src"], 0) + 1
+    # big is best represented: exactly one epoch each; small repeats ~6x
+    assert counts["big"] == 600
+    assert 550 <= counts["small"] <= 650
+    # every original row survives (nothing dropped)
+    assert {r["doc_id"] for r in out.collect()} == {r[0] for r in rows}
+    # epochs are dense per row
+    small0 = [r["epoch"] for r in out.collect() if r["doc_id"] == 1000]
+    assert sorted(small0) == list(range(len(small0)))
+
+
+def test_grouped_iqr_outliers_per_slice_fences(spark):
+    from assemblagedb_spark.operators.selection import grouped_iqr_outliers
+
+    rows = ([("a", i, v) for i, v in enumerate(list(range(100)) + [10_000])]
+            + [("b", 200 + i, v) for i, v in
+               enumerate([10_000 + x for x in range(50)])])
+    df = spark.createDataFrame(rows, "grp string, event_id long, v long")
+    out = {r["doc_id"]: r for r in
+           grouped_iqr_outliers(df, F.col("v"), ["grp"],
+                                id_col="event_id").collect()}
+    # group a: the 10_000 value is extreme FOR a
+    assert out[100]["is_outlier"] == 1
+    # group b: 10_000-ish is NORMAL for b — a global fence would flag it
+    assert all(out[200 + i]["is_outlier"] == 0 for i in range(50))
