@@ -166,8 +166,11 @@ KNUTH_MULT = 2654435761  # floor(2^32 / phi)
 
 
 def mix32_sql(x: str, seed: int = 0) -> str:
-    """SQL text of the mixer over an int expression — valid in BOTH Spark
-    SQL and DuckDB.
+    """SQL text of the mixer over an int expression — **DuckDB dialect
+    only**: it emits scalar ``xor(a, b)`` calls, which DuckDB provides but
+    Spark SQL does not (Spark's bitwise xor is the ``^`` operator). Every
+    caller is a DuckDB oracle builder; Spark-side callers must use
+    :func:`mix32_col` (bit-identical results).
 
     The input is masked to its low 31 bits first: full-range int64 keys
     (e.g. xxhash64 content ids) would overflow ``x * KNUTH`` in int64

@@ -227,13 +227,18 @@ def star_components(
     fwd = edges.select(
         F.col("parent_id").alias("u"), F.col("child_id").alias("v")
     )
+    sym = fwd.unionByName(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
     e = (
-        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .filter(F.col("u") != F.col("v"))
+        sym.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    all_nodes = e.select(F.col("u").alias("node_id")).distinct().localCheckpoint(
+    # node universe comes from the PRE-self-loop-filter edge set: a node
+    # whose only edges are self-loops still gets a (node, node) output row,
+    # matching label_propagation_components' converged labels
+    all_nodes = sym.select(F.col("u").alias("node_id")).distinct().localCheckpoint(
         eager=True
     )
 
@@ -350,3 +355,46 @@ def personalized_pagerank(
         )
     e.unpersist()
     return ranks.select("node_id", "rank")
+
+
+def bfs_depth(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    max_depth: int,
+) -> DataFrame:
+    """Multi-source BFS: (node_id, depth) = fewest hops from ANY seed,
+    following edges parent→child, for every node within ``max_depth``.
+
+    The frontier loop is the traversal primitive behind reachability
+    closures (reference `descendants`, assemblage_db/src/lib.rs:695-797)
+    generalized to shortest-hop depth over a seed SET. Per round: one
+    frontier⋈edges equi-join + an anti-join against the settled set
+    (cycle-safe — a revisited node is never re-expanded, ``lib.rs:703-707``
+    visited-set analogue), so round r costs |frontier_r ⋈ E|, never |V|².
+    Seeds report depth 0; a node reachable at several depths reports the
+    minimum (BFS invariant: first visit is shallowest).
+    """
+    fwd = edges.select(
+        F.col("parent_id").alias("src"), F.col("child_id").alias("dst")
+    )
+    settled = seeds.select("node_id").distinct().withColumn(
+        "depth", F.lit(0).cast("long")
+    ).localCheckpoint(eager=True)
+    frontier = settled
+    for d in range(1, max_depth + 1):
+        nxt = (
+            fwd.join(
+                frontier.select(F.col("node_id").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("node_id"))
+            .distinct()
+            .join(settled.select("node_id"), "node_id", "left_anti")
+            .withColumn("depth", F.lit(d).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return settled

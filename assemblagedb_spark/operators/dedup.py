@@ -385,3 +385,55 @@ def fingerprint_near_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact ASYMMETRIC containment over distinct 4-gram shingle sets for
+    the given candidate pairs: ``containment_a = |A∩B| / |A|`` and
+    ``containment_b = |A∩B| / |B|``.
+
+    Jaccard under-scores a small document wholly quoted inside a big one
+    (the intersection is dwarfed by the big doc's union); containment is
+    the sub-document/quotation detector a dedup pipeline runs NEXT TO
+    jaccard (reference score analogue: the asymmetric
+    ``AsymmetricBasedOnSourceOnly`` mode of `find`,
+    assemblage_db/src/index.rs:230-236, where the denominator is one
+    side's gram count).
+
+    Scale shape: candidate-bounded exactly like
+    :func:`ngram_jaccard_pairs` ``candidates=`` — the shingle postings
+    join only materializes rows for candidate pairs, sizes join per side.
+    """
+    shingles = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(grams_array(text_col))).alias("gram"),
+    )
+    sizes = shingles.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = shingles.select(F.col("doc_id").alias("id_a"), "gram")
+    b = shingles.select(F.col("doc_id").alias("id_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+        .join(candidates.select("id_a", "id_b"), ["id_a", "id_b"])
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a", "id_b", "inter", "n_a", "n_b",
+            (F.col("inter") / F.col("n_a")).alias("containment_a"),
+            (F.col("inter") / F.col("n_b")).alias("containment_b"),
+        )
+    )

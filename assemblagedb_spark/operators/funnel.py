@@ -32,11 +32,14 @@ def funnel_stages(
     stage-(i-1) survivors on user_id — k tiny aggregates over one cached
     scan; the event table itself is never windowed or re-sorted.
     """
+    # one scan feeds every stage aggregate; localCheckpoint (not persist)
+    # so the pinned blocks are GC-reclaimed once the result is dropped
+    # rather than accumulating in the CacheManager across calls
     ev = events.select(
         F.col(user_col).alias("user_id"),
         F.col(type_col).alias("etype"),
         F.col(ts_col).cast("long").alias("ts"),
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     cur = (
         ev.filter(F.col("etype") == stages[0])

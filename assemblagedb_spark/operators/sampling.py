@@ -125,11 +125,18 @@ def mixture_sample(
     if not counts:
         return df.filter(F.lit(False))
     # C = min over represented domains of n_d / w_d  -> max rate hits 1
-    c = min(counts[d] / weights[d] for d in counts if weights[d] > 0)
+    ratios = {d: counts[d] / weights[d] for d in counts if weights[d] > 0}
+    c = min(ratios.values())
     # permille thresholds, floored: rate becomes exact integer permille so
-    # the hash gate (bucket < threshold) is engine-replayable
+    # the hash gate (bucket < threshold) is engine-replayable. The binding
+    # domain's permille is PINNED to 1000: the float round-trip
+    # int(c*w/n*1000) can land on 999 for the domain where c*w/n == 1
+    # exactly in the rationals (e.g. n=3, w=0.7), silently dropping ~0.1%
+    # of the domain documented as kept at 100%.
     permille = {
-        d: min(1000, int(c * weights[d] / counts[d] * 1000)) for d in counts
+        d: 1000 if ratios.get(d) == c
+        else min(1000, int(c * weights[d] / counts[d] * 1000))
+        for d in counts
     }
     gate = None
     bucket = sample_bucket(key_col, seed)
@@ -198,10 +205,16 @@ def repeat_to_mixture(
     }
     if not counts:
         return df.filter(F.lit(False)).withColumn("epoch", F.lit(0).cast("long"))
-    # normalize so min(r_d) = 1: the best-represented domain repeats once
-    c = max(counts[d] / weights[d] for d in counts)
+    # normalize so min(r_d) = 1: the best-represented domain repeats once.
+    # Its permille is PINNED to 1000 (exactly one epoch, no fractional
+    # gate): the float round-trip int(c*w/n*1000) can floor the binding
+    # domain to 999, emitting reps=0 for ~0.1% of it and violating the
+    # "nothing is ever dropped" contract.
+    ratios = {d: counts[d] / weights[d] for d in counts}
+    c = max(ratios.values())
     permille = {
-        d: min(max_repeat * 1000, int(c * weights[d] / counts[d] * 1000))
+        d: 1000 if ratios[d] == c
+        else min(max_repeat * 1000, int(c * weights[d] / counts[d] * 1000))
         for d in counts
     }
     bucket = sample_bucket(key_col, seed)
@@ -217,4 +230,29 @@ def repeat_to_mixture(
         .withColumn("epoch", F.explode(F.expr("sequence(0, __reps - 1)")))
         .withColumn("epoch", F.col("epoch").cast("long"))
         .drop("__reps")
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    val_permille: int = 10,
+    test_permille: int = 10,
+    seed: int = 3,
+) -> DataFrame:
+    """Deterministic train/validation/test assignment from the permille
+    hash gate: bucket < val → 'val', < val+test → 'test', else 'train'.
+
+    Content-keyed splits are the only splits that survive re-runs,
+    re-partitioning, and incremental corpus growth — a random() split
+    leaks documents across sets every rerun. Adds a ``split`` column; no
+    shuffle (per-row hash gate), so it composes with any downstream scan.
+    """
+    bucket = sample_bucket(key_col, seed)
+    return df.withColumn(
+        "split",
+        F.when(bucket < val_permille, F.lit("val"))
+        .when(bucket < val_permille + test_permille, F.lit("test"))
+        .otherwise(F.lit("train")),
     )

@@ -29,6 +29,10 @@ _PID = "__pid"
 _LOCAL = "__local"
 _OFFSET = "__offset"
 
+# test hook: plan-property tests flip this off so the range-partitioned
+# prefix stage stays visible in explain() (localCheckpoint truncates it)
+_PIN_LOCAL_PREFIX = True
+
 
 def _two_phase_prefix(
     df: DataFrame,
@@ -48,10 +52,15 @@ def _two_phase_prefix(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # Persist the sorted local prefix: the totals collect below and the
-    # final join both consume it, and without pinning, the range shuffle +
-    # per-partition sort would execute twice.
-    local = ranged.withColumn(_LOCAL, F.sum(value).over(w)).persist()
+    # Pin the sorted local prefix: the totals collect below and the final
+    # join both consume it, and without pinning, the range shuffle +
+    # per-partition sort would execute twice. localCheckpoint (not
+    # persist) so the blocks are ContextCleaner-reclaimed when the result
+    # goes out of scope — persist() registers in the SQL CacheManager and
+    # accumulates forever in a long-lived session.
+    local = ranged.withColumn(_LOCAL, F.sum(value).over(w))
+    if _PIN_LOCAL_PREFIX:
+        local = local.localCheckpoint(eager=True)
     totals = {
         r[_PID]: r["t"]
         for r in local.groupBy(_PID).agg(F.sum(value).alias("t")).collect()
@@ -189,7 +198,10 @@ def boilerplate_ngram_stats(
         exploded_ngrams(docs, id_col=id_col, text_col=text_col, n=n)
         .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()  # consumed twice: doc-frequency derivation + final join
+        # consumed twice (doc-frequency derivation + final join);
+        # localCheckpoint so the blocks self-release on GC instead of
+        # accumulating in the CacheManager across calls
+        .localCheckpoint(eager=True)
     )
     gram_df = counts.groupBy("gram").agg(
         F.count(F.lit(1)).alias("gram_docfreq")
@@ -258,17 +270,22 @@ def exact_quantiles(
         F.col(f"__t{i}").asc() for i in range(len(tiebreak))
     ]
     ranked = global_row_number(projected, order, "__r", num_partitions).persist()
-    n = ranked.count()
-    if n == 0:
-        return [None for _ in qs]
-    import math
+    try:
+        n = ranked.count()
+        if n == 0:
+            return [None for _ in qs]
+        import math
 
-    positions = {max(1, math.ceil(q * n)) for q in qs}
-    vals = {
-        r["__r"]: r["__v"]
-        for r in ranked.filter(F.col("__r").isin(list(positions))).collect()
-    }
-    return [vals[max(1, math.ceil(q * n))] for q in qs]
+        positions = {max(1, math.ceil(q * n)) for q in qs}
+        vals = {
+            r["__r"]: r["__v"]
+            for r in ranked.filter(F.col("__r").isin(list(positions))).collect()
+        }
+        return [vals[max(1, math.ceil(q * n))] for q in qs]
+    finally:
+        # both consuming actions happen inside this function, so the cache
+        # can be released before returning (driver-side values only)
+        ranked.unpersist()
 
 
 def iqr_outliers(
@@ -349,4 +366,29 @@ def grouped_iqr_outliers(
             (F.col("q3") + whisker * (F.col("q3") - F.col("q1")))
             .cast("long").alias("fence_hi"),
         )
+    )
+
+
+def best_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order: Sequence[Column],
+    *,
+    keep: int = 1,
+) -> DataFrame:
+    """The top ``keep`` rows of every group under ``order`` — canonical-
+    representative selection (best-quality document per source/URL/cluster,
+    newest version per key, highest-scoring response per prompt).
+
+    ONE shuffle on the group key; the rank window sorts group-locally
+    (partitioned window — never a global sort). Callers pass a total order
+    (include a unique id as the last key) so the kept set is deterministic.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= keep)
+        .drop("__rk")
     )

@@ -93,6 +93,7 @@ def cosine_topk_arrow(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Exact brute-force cosine top-k, Arrow/numpy execution path.
 
@@ -110,7 +111,18 @@ def cosine_topk_arrow(
     more than ~1e-12 — true for any real embedding corpus (verified ≥ 1e-7
     on the test tables).
     """
-    qrows = queries.select(id_col, vec_col).collect()
+    # the query matrix rides in every task's closure, so it must stay
+    # small; an unbounded collect of a fat query set would fail late with
+    # an opaque >2 GiB task-binary error — cap it with a clear one instead
+    # (same guard discipline as Db.from_tables, db.py:66-91)
+    qrows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_arrow: query side exceeds max_queries="
+            f"{max_queries} rows; it is broadcast into every task closure. "
+            f"Partition the query set, raise max_queries deliberately, or "
+            f"use lsh_topk/ivf_topk for large query sets."
+        )
     id_type = corpus.schema[id_col].dataType.simpleString()
     out_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
     if not qrows:

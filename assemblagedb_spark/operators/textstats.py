@@ -442,7 +442,10 @@ def tfidf_top_terms(
         .select("doc_id", F.explode("__w").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()  # feeds both the df aggregate and the ranked join
+        # feeds both the df aggregate and the ranked join; localCheckpoint
+        # so the blocks self-release on GC instead of accumulating in the
+        # CacheManager across calls in a long-lived session
+        .localCheckpoint(eager=True)
     )
     df_tbl = counts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(

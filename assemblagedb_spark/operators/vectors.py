@@ -131,15 +131,19 @@ def kmeans_train(
         F.col(id_col).alias("vec_id"), qvec.alias("qvec")
     ).persist()
 
-    # init: label j = j-th lowest id vector, state n_vecs=1
-    from pyspark.sql import Window
-
-    w_init = Window.orderBy("vec_id")
-    seeds = (
-        quant.select("vec_id")
-        .orderBy("vec_id")
-        .limit(k)
-        .withColumn("label", (F.row_number().over(w_init) - 1).cast("int"))
+    # init: label j = j-th lowest id vector, state n_vecs=1. The k seed
+    # ids are enumerated DRIVER-side (a bounded k-row collect): a window
+    # would either be partition-less (single-partition WindowExec warning —
+    # Catalyst eliminates foldable partition keys) or need a dummy column;
+    # k rows on the driver is the cleaner exact plan.
+    seed_ids = [
+        r[0]
+        for r in quant.select("vec_id").orderBy("vec_id").limit(k).collect()
+    ]
+    id_type = quant.schema["vec_id"].dataType.simpleString()
+    seeds = quant.sparkSession.createDataFrame(
+        [(v, i) for i, v in enumerate(seed_ids)],
+        f"vec_id {id_type}, label long",
     )
     state = (
         seeds.join(quant, "vec_id")
@@ -168,5 +172,8 @@ def kmeans_train(
     # the final state is checkpointed — the quantized corpus cache is no
     # longer reachable from the result, so release it
     quant.unpersist()
-    return state.select("label", F.col("pos").cast("long").alias("pos"),
+    # label stays BIGINT end to end: the SQL oracle's row_number()-derived
+    # label is int64 and the driver's schema compare is dtype-strict
+    return state.select(F.col("label").cast("long").alias("label"),
+                        F.col("pos").cast("long").alias("pos"),
                         "sum_q", "n_vecs")

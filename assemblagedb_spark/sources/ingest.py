@@ -82,14 +82,26 @@ def read_text_dir(
 ) -> DataFrame:
     """One document per line of every file under ``path``: (doc_id, text,
     source, n_chars) with a content-addressed reproducible id
-    (xxhash64 of file path + line), lang left NULL for a downstream
-    language-ID pass."""
+    (xxhash64 of file path + line + occurrence index), lang left NULL for
+    a downstream language-ID pass.
+
+    ``doc_id`` is unique PER ROW: k identical lines in one file get
+    occurrence indexes 1..k folded into the hash, so downstream per-doc
+    joins/groupBys never silently merge them. Which physical line gets
+    which index is arbitrary (identical lines are indistinguishable), but
+    the emitted ROW SET is deterministic: the same k ids on every run and
+    partitioning. Cost: one shuffle on (file, text) — only duplicate
+    (file, line) pairs ever co-locate more than one row."""
+    from pyspark.sql import Window
+
     raw = spark.read.text(path).select(
         F.col("value").alias("text"),
         F.input_file_name().alias("__file"),
     )
+    w = Window.partitionBy("__file", "text").orderBy(F.lit(0))
+    raw = raw.withColumn("__occ", F.row_number().over(w))
     return raw.select(
-        F.xxhash64("__file", "text").alias("doc_id"),
+        F.xxhash64("__file", "text", "__occ").alias("doc_id"),
         "text",
         F.lit(None).cast("string").alias("lang"),
         (

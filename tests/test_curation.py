@@ -377,3 +377,27 @@ def test_grouped_iqr_outliers_per_slice_fences(spark):
     assert out[100]["is_outlier"] == 1
     # group b: 10_000-ish is NORMAL for b — a global fence would flag it
     assert all(out[200 + i]["is_outlier"] == 0 for i in range(50))
+
+
+def test_mixture_binding_domain_keeps_every_row(spark):
+    from assemblagedb_spark.operators.sampling import mixture_sample
+
+    # n/w chosen so float int(c*w/n*1000) floors to 999 without the
+    # binding-domain pin: (3000/0.7)*0.7/3000*1000 == 999.9999999999999.
+    # 3000 rows ensure some hash bucket == 999 exists, so a regression
+    # would actually drop rows.
+    rows = [(i, "a") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    assert mixture_sample(df, {"a": 0.7}).count() == 3000
+
+
+def test_repeat_binding_domain_exactly_one_epoch(spark):
+    from assemblagedb_spark.operators.sampling import repeat_to_mixture
+
+    rows = [(i, "a") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = repeat_to_mixture(df, {"a": 0.7}).collect()
+    # the best-represented domain repeats exactly once: no row dropped
+    # (permille 999 would emit reps=0 for bucket-999 rows), none doubled
+    assert len(out) == 3000
+    assert all(r["epoch"] == 0 for r in out)

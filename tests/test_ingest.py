@@ -51,3 +51,19 @@ def test_text_dir_ids_are_content_addressed(spark, tmp_path):
     # reproducible ids: second read gives identical id set
     again = read_text_dir(spark, str(d))
     assert {r["doc_id"] for r in rows} == {r["doc_id"] for r in again.collect()}
+
+
+def test_text_dir_duplicate_lines_get_unique_ids(spark, tmp_path):
+    d = tmp_path / "dups"
+    d.mkdir()
+    (d / "a.txt").write_text("same\nsame\nother\nsame\n")
+    docs = read_text_dir(spark, str(d))
+    rows = docs.collect()
+    assert len(rows) == 4
+    # doc_id is unique per ROW: identical lines carry occurrence indexes,
+    # so downstream per-doc joins never silently merge them
+    assert len({r["doc_id"] for r in rows}) == 4
+    # and the id SET is deterministic across re-reads
+    again = read_text_dir(spark, str(d))
+    assert ({r["doc_id"] for r in rows}
+            == {r["doc_id"] for r in again.collect()})

@@ -154,9 +154,20 @@ def test_decontam_broadcasts_benchmark_grams(spark, sf_dir):
 
 def test_select_budget_avoids_single_partition_sort(spark, sf_dir):
     # the two-phase prefix must range-partition, never collapse the
-    # relation into one task the way a global Window.orderBy would
-    plan = formatted_plan(h.q_select_budget(spark, sf_dir))
+    # relation into one task the way a global Window.orderBy would. The
+    # local-prefix stage is normally localCheckpoint-ed (cache-leak fix),
+    # which truncates the visible plan — flip the pin off so the full
+    # two-phase plan is inspectable.
+    import assemblagedb_spark.operators.selection as sel
+
+    old = sel._PIN_LOCAL_PREFIX
+    sel._PIN_LOCAL_PREFIX = False
+    try:
+        plan = formatted_plan(h.q_select_budget(spark, sf_dir))
+    finally:
+        sel._PIN_LOCAL_PREFIX = old
     assert "rangepartitioning" in plan.lower()
+    assert "singlepartition" not in plan.lower()
 
 
 def test_bloom_semijoin_broadcasts_folded_filter(spark, sf_dir):

@@ -90,3 +90,20 @@ def test_ivf_topk_with_trained_centroids(spark):
     got = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in ivf.collect()}
     want = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in exact.collect()}
     assert got == want
+
+
+def test_cosine_topk_arrow_query_cap_raises(spark):
+    import pytest as _pytest
+
+    from assemblagedb_spark.operators.similarity import cosine_topk_arrow
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    # the query matrix rides in every task closure — an over-cap query set
+    # must fail fast with a clear error, not a late task-binary blowup
+    with _pytest.raises(ValueError, match="max_queries"):
+        cosine_topk_arrow(emb, emb, k=2, max_queries=3)
+    # at/below the cap still works
+    assert cosine_topk_arrow(emb, emb.limit(3), k=2, max_queries=3).count() == 6

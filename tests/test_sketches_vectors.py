@@ -305,8 +305,10 @@ def test_star_components_long_chain_and_parity(spark):
     )
 
     # chain longer than any reasonable fixed round budget + triangle + pair
+    # + a node whose ONLY edge is a self-loop (must still get a label row,
+    # matching label propagation)
     rows = ([(i, i + 1) for i in range(80)]
-            + [(500, 501), (501, 502), (502, 500), (900, 901)])
+            + [(500, 501), (501, 502), (502, 500), (900, 901), (950, 950)])
     e = spark.createDataFrame(rows, "parent_id long, child_id long")
     star = sorted((r["node_id"], r["component"])
                   for r in star_components(e).collect())
@@ -314,7 +316,8 @@ def test_star_components_long_chain_and_parity(spark):
                   for r in label_propagation_components(
                       e, rounds=None, max_rounds=200).collect())
     assert star == prop
-    assert {c for _, c in star} == {0, 500, 900}
+    assert {c for _, c in star} == {0, 500, 900, 950}
+    assert (950, 950) in star
 
 
 def test_personalized_pagerank_mass_concentrates_near_seeds(spark):
@@ -370,3 +373,19 @@ def test_countmin_join_estimate_upper_bounds_true_size(spark):
     ips = [r["inner_product"] for r in est.collect()]
     assert len(ips) == 2
     assert min(ips) >= true_join  # inner product never under-estimates
+
+
+def test_kmeans_state_label_is_bigint(spark):
+    from pyspark.sql.types import LongType
+
+    from assemblagedb_spark.operators.vectors import kmeans_train
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5)]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    state = kmeans_train(emb, k=2, iters=1)
+    # the SQL oracle's row_number()-derived label is int64; the driver's
+    # schema compare is dtype-strict, so label must stay BIGINT end to end
+    for c in ("label", "pos", "sum_q", "n_vecs"):
+        assert isinstance(state.schema[c].dataType, LongType), c

@@ -76,15 +76,26 @@ def main() -> int:
             failures.append(name)
             continue
         # Raw-dtype drift (e.g. DuckDB HUGEINT from uncast windowed SUM ->
-        # object/float64) breaks the driver's value hash even when every
-        # value matches after coercion — surface it loudly.
+        # object/float64, or an int32 Spark column vs an int64 oracle)
+        # breaks the driver's value hash / schema compare even when every
+        # value matches after coercion — a drift is a FAILURE, not a
+        # warning. Only datetime64[ns] vs [us] is tolerated (Spark
+        # timestamps arrive as ns, DuckDB as us; both normalize to us and
+        # the driver has graded such rows green).
+        def _dt_ok(a: str, b: str) -> bool:
+            return a == b or (
+                a.startswith("datetime64") and b.startswith("datetime64")
+            )
+
         dty = [
             (c, str(sdf[c].dtype), str(odf[c].dtype))
             for c in sorted(sdf.columns)
-            if str(sdf[c].dtype) != str(odf[c].dtype)
+            if not _dt_ok(str(sdf[c].dtype), str(odf[c].dtype))
         ]
         if dty:
-            print(f"WARN  {name}: raw dtype drift {dty}")
+            print(f"FAIL  {name}: raw dtype drift {dty}")
+            failures.append(name)
+            continue
         a, b = normalize(sdf), normalize(odf)
         try:
             # floats compare with tolerance; everything else EXACTLY — the
