@@ -1011,7 +1011,11 @@ _LSH_ANN_BANDS = 6
 _LSH_ANN_ROWS = _LSH_ANN_BITS // _LSH_ANN_BANDS
 
 
-_NEARDUP_COS = 0.40  # data-relative: the synthetic corpus' max pair cosine
+#  Data-relative near-dup threshold. 0.40 made the gate near-vacuous (3
+#  pairs at sf0.01, 0 at sf0.001 — a sign-flipped dot product could pass);
+#  0.25 emits ~50-60 verified pairs at BOTH graded sfs, so the gate
+#  actually exercises the cosine arithmetic and the cluster stage.
+_NEARDUP_COS = 0.25
 # is ~0.459 (random-ish vectors), so a 0.9 cut would make the gate an empty
 # set; 0.40 keeps real rows flowing through the whole candidate+verify plan.
 # Margins to the cut are >= 6e-4 — far beyond double nondeterminism.
@@ -1146,7 +1150,10 @@ LEFT JOIN l{rounds} ON l{rounds}.node_id = s.vec_id"""
     )
 
 
-O_EMBEDDING_CLUSTERS = _o_embedding_clusters(6)
+# 0.25-threshold pair graph: measured convergence ≤ 12 rounds at sf0.001
+# AND sf0.01; 24 doubles the margin (same budget as the text dedup_clusters
+# oracle — tiny graph, cheap CTE rounds)
+O_EMBEDDING_CLUSTERS = _o_embedding_clusters(24)
 
 
 # ---------------------------------------------------------------------------
@@ -4384,6 +4391,257 @@ FROM t JOIN q USING (event_type)
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-3 additions: verified LSH dedup, containment, splits, per-group
+# selection, multi-source BFS, chunk dedup, corpus-LM surprisal
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup pipeline END TO END: MinHash-LSH candidate
+    pairs -> exact n-gram jaccard verification restricted to those
+    candidates (``ngram_jaccard_pairs(candidates=...)`` — the 100 TB path,
+    previously ungated). Pairs whose shingle sets share no gram (pure
+    minhash collisions) drop out, mirrored by the oracle's inter >= 1
+    join. min_jaccard=0 so the gate pins the verify arithmetic itself,
+    not a threshold."""
+    from assemblagedb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _doc_minhash_sigs(spark, sf_dir)
+    pairs = lsh_candidate_pairs(sig, bands=_LSH_BANDS, rows_per_band=_LSH_ROWS)
+    return ngram_jaccard_pairs(docs, candidates=pairs, min_jaccard=0.0)
+
+
+_O_LSH_CAND_CTE = (
+    f"bands AS (SELECT doc_id, j // {_LSH_ROWS} AS band, "
+    "string_agg(minhash, ',' ORDER BY j) AS band_sig "
+    f"FROM mh GROUP BY doc_id, j // {_LSH_ROWS}), "
+    "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig "
+    "WHERE a.doc_id < b.doc_id)"
+)
+
+O_DEDUP_LSH_VERIFY = (
+    f"WITH {_DOC_SHINGLES_CTE}, {_MINHASH_CTE.format(coeffs=_coeff_values_sql())}, "
+    f"{_O_LSH_CAND_CTE}, "
+    "sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM shingles GROUP BY 1), "
+    "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS inter "
+    "FROM shingles a JOIN shingles b USING (gram) WHERE a.doc_id < b.doc_id "
+    "GROUP BY 1, 2) "
+    "SELECT c.id_a, c.id_b, i.inter, na.n AS n_a, nb.n AS n_b, "
+    "(i.inter / (na.n + nb.n - i.inter)) AS jaccard "
+    "FROM cand c JOIN inter i USING (id_a, id_b) "
+    "JOIN sizes na ON na.doc_id = c.id_a JOIN sizes nb ON nb.doc_id = c.id_b"
+)
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact asymmetric containment (|A∩B|/|A|, |A∩B|/|B|) over the LSH
+    candidate pairs — the sub-document/quotation detector jaccard misses
+    (asymmetric-denominator analogue of the reference's
+    AsymmetricBasedOnSourceOnly find mode, index.rs:230-236)."""
+    from assemblagedb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        ngram_containment_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _doc_minhash_sigs(spark, sf_dir)
+    pairs = lsh_candidate_pairs(sig, bands=_LSH_BANDS, rows_per_band=_LSH_ROWS)
+    return ngram_containment_pairs(docs, pairs)
+
+
+O_DEDUP_CONTAINMENT = (
+    f"WITH {_DOC_SHINGLES_CTE}, {_MINHASH_CTE.format(coeffs=_coeff_values_sql())}, "
+    f"{_O_LSH_CAND_CTE}, "
+    "sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM shingles GROUP BY 1), "
+    "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS inter "
+    "FROM shingles a JOIN shingles b USING (gram) WHERE a.doc_id < b.doc_id "
+    "GROUP BY 1, 2) "
+    "SELECT c.id_a, c.id_b, i.inter, na.n AS n_a, nb.n AS n_b, "
+    "(i.inter / na.n) AS containment_a, (i.inter / nb.n) AS containment_b "
+    "FROM cand c JOIN inter i USING (id_a, id_b) "
+    "JOIN sizes na ON na.doc_id = c.id_a JOIN sizes nb ON nb.doc_id = c.id_b"
+)
+
+
+_SPLIT_VAL_PM, _SPLIT_TEST_PM, _SPLIT_SEED = 10, 10, 3
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-keyed train/val/test assignment (98/1/1 via
+    the permille hash gate) — the split that survives re-runs and corpus
+    growth, where random() leaks documents across sets."""
+    from assemblagedb_spark.operators.sampling import split_assign
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return split_assign(
+        docs,
+        val_permille=_SPLIT_VAL_PM,
+        test_permille=_SPLIT_TEST_PM,
+        seed=_SPLIT_SEED,
+    )
+
+
+def _o_split_assign() -> str:
+    from assemblagedb_spark.operators.sampling import bucket_sql
+
+    b = bucket_sql("doc_id", _SPLIT_SEED)
+    return f"""
+SELECT doc_id, lang,
+       CASE WHEN {b} < {_SPLIT_VAL_PM} THEN 'val'
+            WHEN {b} < {_SPLIT_VAL_PM + _SPLIT_TEST_PM} THEN 'test'
+            ELSE 'train' END AS split
+FROM documents
+"""
+
+
+def q_select_best_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection: the 2 longest documents per
+    language under the total order (n_chars DESC, doc_id ASC) — one
+    shuffle on the group key, group-local rank window (never global)."""
+    from assemblagedb_spark.operators.selection import best_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return best_per_group(
+        docs, ["lang"], [F.col("n_chars").desc(), F.col("doc_id").asc()], keep=2
+    )
+
+
+O_SELECT_BEST_GROUP = """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents)
+WHERE rk <= 2
+"""
+
+
+def q_graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS depth over the multi-parent C→O→L / P→L graph:
+    fewest hops from any seed (sampled customers ∪ sampled part hubs).
+    Shared L nodes are reachable from a P seed at depth 1 AND a C seed at
+    depth 2 — the min-depth (first-visit) invariant is what the gate
+    pins. Round 3 finds nothing and the loop early-exits."""
+    from assemblagedb_spark.operators.components import bfs_depth
+
+    e = _shared_graph_edges(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    seeds = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select(F.concat(F.lit("C"), F.col("c_custkey")).alias("node_id"))
+        .unionByName(
+            li.filter(
+                (F.col("l_partkey") % 3 == 0) & (F.col("l_partkey") % 5 == 0)
+            )
+            .select(
+                F.concat(F.lit("P"), F.col("l_partkey")).alias("node_id")
+            )
+            .distinct()
+        )
+    )
+    return bfs_depth(e, seeds, max_depth=3)
+
+
+O_GRAPH_BFS_DEPTH = f"""
+WITH edges AS ({_SHARED_EDGES_DUCK}),
+seeds AS (
+  SELECT 'C' || c_custkey AS node_id FROM customer WHERE c_custkey % 10 = 0
+  UNION
+  SELECT DISTINCT 'P' || l_partkey FROM lineitem
+  WHERE l_partkey % 3 = 0 AND l_partkey % 5 = 0),
+d0 AS (SELECT DISTINCT node_id FROM seeds),
+d1 AS (SELECT DISTINCT e.child_id AS node_id FROM edges e
+       JOIN d0 ON e.parent_id = d0.node_id
+       WHERE e.child_id NOT IN (SELECT node_id FROM d0)),
+d2 AS (SELECT DISTINCT e.child_id AS node_id FROM edges e
+       JOIN d1 ON e.parent_id = d1.node_id
+       WHERE e.child_id NOT IN (SELECT node_id FROM d0)
+         AND e.child_id NOT IN (SELECT node_id FROM d1))
+SELECT node_id, 0::BIGINT AS depth FROM d0
+UNION ALL SELECT node_id, 1::BIGINT FROM d1
+UNION ALL SELECT node_id, 2::BIGINT FROM d2
+"""
+
+
+_CHUNK_WORDS, _CHUNK_DF = 8, 2
+
+
+def q_text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style repeated-chunk removal: 8-word chunks occurring in ≥2
+    distinct documents corpus-wide are boilerplate; documents are
+    re-assembled without them (stats + cleaned text)."""
+    from assemblagedb_spark.operators.textstats import chunk_dedup
+
+    return chunk_dedup(
+        load_table(spark, sf_dir, "documents"),
+        chunk_words=_CHUNK_WORDS,
+        df_threshold=_CHUNK_DF,
+    )
+
+
+O_TEXT_CHUNK_DEDUP = f"""
+WITH {_O_WORDS},
+ch AS (
+  SELECT doc_id, t.i AS chunk_idx,
+         array_to_string(list_slice(w, t.i * {_CHUNK_WORDS} + 1,
+                                    t.i * {_CHUNK_WORDS} + {_CHUNK_WORDS}), ' ')
+             AS chunk
+  FROM words, unnest(range(0, (len(w) + {_CHUNK_WORDS - 1}) // {_CHUNK_WORDS})) t(i)),
+fr AS (SELECT chunk, COUNT(DISTINCT doc_id) AS cdf FROM ch GROUP BY 1),
+tagged AS (
+  SELECT ch.doc_id, ch.chunk_idx, ch.chunk,
+         (fr.cdf >= {_CHUNK_DF}) AS is_dup
+  FROM ch JOIN fr USING (chunk)),
+agg AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_chunks,
+         SUM(is_dup::INT)::BIGINT AS n_dup_chunks,
+         coalesce(string_agg(CASE WHEN NOT is_dup THEN chunk END,
+                             ' ' ORDER BY chunk_idx), '') AS clean_text
+  FROM tagged GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.n_chunks, 0)::BIGINT AS n_chunks,
+       coalesce(a.n_dup_chunks, 0)::BIGINT AS n_dup_chunks,
+       coalesce(a.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM quality score in exact integer arithmetic: token
+    surprisal proxy = digit count of total_tokens // corpus_freq — the
+    CCNet-perplexity-filter shape, bit-identical in any engine."""
+    from assemblagedb_spark.operators.textstats import unigram_surprisal
+
+    return unigram_surprisal(load_table(spark, sf_dir, "documents"))
+
+
+O_TEXT_SURPRISAL = f"""
+WITH {_O_WORDS},
+tok AS (SELECT doc_id, unnest(w) AS term FROM words),
+fr AS (SELECT term, COUNT(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT SUM(cnt)::BIGINT AS total FROM fr),
+sc AS (SELECT t.doc_id,
+              length(CAST((tot.total // fr.cnt) AS VARCHAR))::BIGINT AS surp
+       FROM tok t JOIN fr USING (term), tot),
+agg AS (SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+               SUM(surp)::BIGINT AS s
+        FROM sc GROUP BY 1)
+SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(a.s, 0)::BIGINT AS surprisal_sum,
+       (CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0
+             ELSE (1000 * a.s) // a.n_tokens END)::BIGINT AS milli_surprisal
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 SPARK_QUERIES = {
     "gram_index": q_gram_index,
     "gram_counts": q_gram_counts,
@@ -4499,6 +4757,13 @@ SPARK_QUERIES = {
     "crossmodal_centroids": q_crossmodal_centroids,
     "sample_repeat": q_sample_repeat,
     "events_outliers_grouped": q_events_outliers_grouped,
+    "dedup_lsh_verify": q_dedup_lsh_verify,
+    "dedup_containment": q_dedup_containment,
+    "split_assign": q_split_assign,
+    "select_best_group": q_select_best_group,
+    "graph_bfs_depth": q_graph_bfs_depth,
+    "text_chunk_dedup": q_text_chunk_dedup,
+    "text_surprisal": q_text_surprisal,
 }
 
 ORACLES = {
@@ -4618,6 +4883,13 @@ ORACLES = {
     "crossmodal_centroids": O_CROSSMODAL_CENTROIDS,
     "sample_repeat": _o_repeat(),
     "events_outliers_grouped": O_EVENTS_OUTLIERS_GROUPED,
+    "dedup_lsh_verify": O_DEDUP_LSH_VERIFY,
+    "dedup_containment": O_DEDUP_CONTAINMENT,
+    "split_assign": _o_split_assign(),
+    "select_best_group": O_SELECT_BEST_GROUP,
+    "graph_bfs_depth": O_GRAPH_BFS_DEPTH,
+    "text_chunk_dedup": O_TEXT_CHUNK_DEDUP,
+    "text_surprisal": O_TEXT_SURPRISAL,
 }
 
 

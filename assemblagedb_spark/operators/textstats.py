@@ -462,3 +462,134 @@ def tfidf_top_terms(
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 8,
+    df_threshold: int = 2,
+) -> DataFrame:
+    """Corpus-level repeated-CHUNK removal (the C4 recipe's repeated-span
+    filter at fixed word granularity): the document is cut into
+    consecutive ``chunk_words``-word chunks, a chunk occurring in ≥
+    ``df_threshold`` DISTINCT documents corpus-wide is boilerplate, and
+    the document is re-assembled without those chunks.
+
+    Output: (doc_id, n_chunks, n_dup_chunks, clean_text) — stats plus the
+    cleaned text ('' when everything was boilerplate). Within-document
+    repeats don't count as boilerplate on their own (frequency is DISTINCT
+    documents, so a doc can't promote its own chunk).
+
+    Scale shape: one tokenize+chunk pass, one (chunk → distinct-doc count)
+    aggregate (map-side partial), one chunk equi-join back — the identical
+    plan as corpus n-gram doc-frequency, with reassembly as a per-doc
+    sorted fold. Skewed mega-chunks are exactly the boilerplate the
+    threshold removes, and AQE splits their join partitions.
+    """
+    from assemblagedb_spark.operators.decontam import tokens_expr
+
+    cw = int(chunk_words)
+    chunks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("__w")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN size(__w) = 0 THEN array() "
+                f"ELSE transform(sequence(0, ((size(__w) + {cw - 1}) div {cw}) - 1), "
+                f"i -> array_join(slice(__w, i * {cw} + 1, {cw}), ' ')) END"
+            ).alias("__chunks"),
+        )
+        .select("doc_id", F.posexplode("__chunks").alias("chunk_idx", "chunk"))
+    )
+    freq = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("chunk_df")
+    )
+    tagged = chunks.join(freq, "chunk").withColumn(
+        "is_dup", (F.col("chunk_df") >= df_threshold).cast("long")
+    )
+    per_doc = tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("is_dup").cast("long").alias("n_dup_chunks"),
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(CASE WHEN is_dup = 0 THEN "
+                "struct(chunk_idx, chunk) END)), s -> s.chunk)"
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    # docs with zero tokens produce zero chunk rows but still belong in the
+    # output (clean_text = '')
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0)).cast("long").alias("n_dup_chunks"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def unigram_surprisal(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-unigram-LM quality score with EXACT integer semantics: each
+    token's surprisal proxy is the decimal digit count of
+    ``total_tokens // corpus_freq(token)`` — a monotone stand-in for
+    log10(1/p) that both engines compute bit-identically (a true float
+    log differs in final ulps between JVM and DuckDB and would break the
+    value-hash gate). Rare tokens score high, stopwords score 1; a
+    document of improbable tokens gets a high mean — the CCNet-style
+    perplexity filter's shape, replayable as integer arithmetic.
+
+    Output: (doc_id, n_tokens, surprisal_sum,
+    milli_surprisal = 1000 * sum // n; 0 for empty docs).
+
+    Scale: one tokenize pass, one (term → count) aggregate, one term
+    equi-join back, one per-doc aggregate. The corpus total rides along as
+    a broadcast single-row cross join (never a driver collect).
+    """
+    from assemblagedb_spark.operators.decontam import tokens_expr
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_expr(text_col)).alias("term"),
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    total = freq.agg(F.sum("cnt").cast("long").alias("total"))
+    scored = (
+        toks.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "surp",
+            F.length(F.expr("CAST(total div cnt AS STRING)")).cast("long"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("surp").cast("long").alias("surprisal_sum"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("surprisal_sum", F.lit(0)).cast("long")
+            .alias("surprisal_sum"),
+            F.expr(
+                "CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0 "
+                "ELSE (1000 * surprisal_sum) div n_tokens END"
+            ).cast("long").alias("milli_surprisal"),
+        )
+    )

@@ -89,6 +89,14 @@ BENCH_QUERIES = [
     "crossmodal_centroids",
     "sample_repeat",
     "events_outliers_grouped",
+    # round-3 additions (BENCH_r03 ⊇ BENCH_r02: keys only ever append)
+    "dedup_lsh_verify",
+    "dedup_containment",
+    "split_assign",
+    "select_best_group",
+    "graph_bfs_depth",
+    "text_chunk_dedup",
+    "text_surprisal",
 ]
 
 

@@ -1,0 +1,57 @@
+"""Non-vacuity guards for the similarity/dedup correctness gates.
+
+A gate that matches the oracle on ZERO rows proves nothing — a sign-flipped
+intersection or a broken cosine would still 'pass'. These tests pin a
+minimum row count at sf0.001 (the suite's fixture scale) for every gate
+whose output size depends on data-relative thresholds, so a future
+threshold/data change that silently re-vacuates a gate fails here instead
+of shipping.
+"""
+
+from __future__ import annotations
+
+from assemblagedb_spark import harness as h
+
+
+def _rows(spark, sf_dir, name):
+    return h.SPARK_QUERIES[name](spark, sf_dir).count()
+
+
+def test_jaccard_gates_exercise_real_pairs(spark, sf_dir):
+    # threshold 0.3 (was 0.5 → 0 rows): ~1.5k scored pairs
+    assert _rows(spark, sf_dir, "dedup_jaccard") >= 1000
+
+
+def test_lsh_verify_gates_exercise_real_pairs(spark, sf_dir):
+    # every LSH candidate pair flows through the exact-jaccard /
+    # containment verification arithmetic
+    assert _rows(spark, sf_dir, "dedup_lsh_verify") >= 500
+    assert _rows(spark, sf_dir, "dedup_containment") >= 500
+    assert _rows(spark, sf_dir, "dedup_minhash_est") >= 500
+
+
+def test_embedding_neardup_not_vacuous(spark, sf_dir):
+    # cosine threshold 0.25 (was 0.40 → 0 rows at sf0.001, 3 at sf0.01)
+    assert _rows(spark, sf_dir, "embedding_neardup") >= 20
+
+
+def test_winnow_pairs_not_vacuous(spark, sf_dir):
+    assert _rows(spark, sf_dir, "text_winnow_pairs") >= 20
+
+
+def test_simhash_candidate_stage_not_vacuous(spark, sf_dir):
+    # the hamming<=4 OUTPUT is structurally tiny (6 rows — pigeonhole-exact
+    # near-identical fingerprints), so pin the CANDIDATE stage instead:
+    # the banded self-join must feed tens of real pairs into the verifier
+    from pyspark.sql import functions as F
+
+    from assemblagedb_spark.operators.dedup import (
+        simhash_band_candidates,
+        simhash_fingerprints,
+    )
+
+    docs = h.load_table(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(docs, bits=32)
+    cand = simhash_band_candidates(fp, bands=5, bits=32)
+    assert cand.count() >= 20
+    assert _rows(spark, sf_dir, "dedup_simhash_pairs") >= 1

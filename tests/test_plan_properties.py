@@ -183,3 +183,33 @@ def test_layout_zorder_is_pure_projection(spark, sf_dir):
 def test_sample_topn_uses_local_topk(spark, sf_dir):
     plan = formatted_plan(h.q_sample_topn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_round3_gates_never_cartesian(spark, sf_dir):
+    # the verified-LSH pipeline and the chunk/surprisal corpus joins are
+    # equi-joins end to end — a cartesian anywhere is a 100 TB non-starter
+    for q in (
+        h.q_dedup_lsh_verify,
+        h.q_dedup_containment,
+        h.q_text_chunk_dedup,
+        h.q_text_surprisal,
+        h.q_select_best_group,
+    ):
+        plan = formatted_plan(q(spark, sf_dir))
+        assert "CartesianProduct" not in plan, q.__name__
+        if q is not h.q_text_surprisal:
+            # surprisal's one BroadcastNestedLoopJoin is the intended
+            # single-row corpus-total broadcast (the sanctioned k-row /
+            # 1-row pattern, like bloom/centroid plans)
+            assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+
+
+def test_split_assign_is_pure_projection(spark, sf_dir):
+    # a per-row hash gate must not shuffle anything
+    assert count_exchanges(h.q_split_assign(spark, sf_dir)) == 0
+
+
+def test_surprisal_total_rides_as_broadcast(spark, sf_dir):
+    # the corpus token total joins in via a broadcast single-row relation,
+    # never a driver collect round-trip
+    assert uses_broadcast_join(h.q_text_surprisal(spark, sf_dir))

@@ -1,0 +1,133 @@
+"""Round-3 operators: verified-LSH dedup companions (containment), splits,
+per-group selection, multi-source BFS, chunk dedup, unigram surprisal —
+hand-computable mini fixtures + the determinism/scale properties each one
+claims.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_split_assign_partitions_and_determinism(spark):
+    from assemblagedb_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(5000)], "doc_id long")
+    out = split_assign(df, val_permille=10, test_permille=10, seed=3)
+    rows = out.collect()
+    counts = {}
+    for r in rows:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    # ~1%/1%/98% with hash variance; every row assigned exactly one split
+    assert sum(counts.values()) == 5000
+    assert 20 <= counts["val"] <= 90 and 20 <= counts["test"] <= 90
+    assert counts["train"] >= 4800
+    # determinism under repartitioning: identical assignment per key
+    again = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(
+            df.repartition(13), val_permille=10, test_permille=10, seed=3
+        ).collect()
+    }
+    assert {r["doc_id"]: r["split"] for r in rows} == again
+
+
+def test_best_per_group_total_order(spark):
+    from assemblagedb_spark.operators.selection import best_per_group
+
+    rows = [
+        ("a", 1, 10), ("a", 2, 30), ("a", 3, 30), ("a", 4, 5),
+        ("b", 5, 7),
+    ]
+    df = spark.createDataFrame(rows, "grp string, doc_id long, score long")
+    out = best_per_group(
+        df, ["grp"], [F.col("score").desc(), F.col("doc_id").asc()], keep=2
+    )
+    got = sorted((r["grp"], r["doc_id"]) for r in out.collect())
+    # group a: the two score-30 rows, tie broken by ascending id
+    assert got == [("a", 2), ("a", 3), ("b", 5)]
+
+
+def test_bfs_depth_min_hop_and_early_exit(spark):
+    from assemblagedb_spark.operators.components import bfs_depth
+
+    #    1 -> 2 -> 3 -> 4         seed {1, 3}: 3 is depth 0, not 2
+    #    plus a cycle 5 <-> 6 reachable from 1 (cycle-safe revisit guard)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 5), (5, 6), (6, 5)],
+        "parent_id long, child_id long",
+    )
+    seeds = spark.createDataFrame([(1,), (3,)], "node_id long")
+    out = {r["node_id"]: r["depth"]
+           for r in bfs_depth(e, seeds, max_depth=10).collect()}
+    assert out == {1: 0, 3: 0, 2: 1, 5: 1, 4: 1, 6: 2}
+
+
+def test_ngram_containment_detects_subdocument(spark):
+    from assemblagedb_spark.operators.dedup import ngram_containment_pairs
+
+    small = "the quick brown fox"
+    big = small + " jumps over the lazy dog and keeps running far away"
+    docs = spark.createDataFrame(
+        [(1, small), (2, big)], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = ngram_containment_pairs(docs, cand).first()
+    # every 4-gram of the small doc except its end-padding boundary grams
+    # appears in the big doc: containment_a is near 1, containment_b is not
+    assert r["containment_a"] > 0.8
+    assert r["containment_b"] < 0.5
+    assert r["inter"] <= r["n_a"] and r["inter"] <= r["n_b"]
+
+
+def test_chunk_dedup_removes_cross_doc_chunks(spark):
+    from assemblagedb_spark.operators.textstats import chunk_dedup
+
+    boiler = "one two three four"  # shared 4-word chunk
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta"),
+            (2, boiler + " epsilon zeta eta theta"),
+            (3, "totally unique words here only once ever"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           chunk_dedup(docs, chunk_words=4, df_threshold=2).collect()}
+    # the shared leading chunk is boilerplate; each doc keeps its tail
+    assert out[1]["n_chunks"] == 2 and out[1]["n_dup_chunks"] == 1
+    assert out[1]["clean_text"] == "alpha beta gamma delta"
+    assert out[2]["clean_text"] == "epsilon zeta eta theta"
+    # unique doc untouched (ceil(7/4) = 2 chunks, none dup)
+    assert out[3]["n_dup_chunks"] == 0
+    assert out[3]["clean_text"] == "totally unique words here only once ever"
+    # empty doc present with zeros
+    assert out[4]["n_chunks"] == 0 and out[4]["clean_text"] == ""
+    # within-doc repetition alone is NOT boilerplate (distinct-doc freq)
+    solo = spark.createDataFrame(
+        [(9, "rep rep rep rep rep rep rep rep")], "doc_id long, text string"
+    )
+    srow = chunk_dedup(solo, chunk_words=4, df_threshold=2).first()
+    assert srow["n_dup_chunks"] == 0  # same chunk twice, but only 1 doc
+    assert srow["clean_text"] == "rep rep rep rep rep rep rep rep"
+
+
+def test_unigram_surprisal_rare_beats_common(spark):
+    from assemblagedb_spark.operators.textstats import unigram_surprisal
+
+    # corpus: 'the' appears 20x, 'zyx' once -> total 21+2=?? build explicit
+    docs = spark.createDataFrame(
+        [(1, " ".join(["the"] * 20)), (2, "zyx the"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_surprisal(docs).collect()}
+    total = 22  # 21x 'the' + 1x 'zyx'
+    # doc1: 20 tokens of freq 21 -> surp digits(22//21=1)=1 each
+    assert out[1]["n_tokens"] == 20 and out[1]["surprisal_sum"] == 20
+    assert out[1]["milli_surprisal"] == 1000
+    # doc2: zyx digits(22//1=22)=2, the=1 -> sum 3, milli=1500
+    assert out[2]["surprisal_sum"] == 3
+    assert out[2]["milli_surprisal"] == 1500
+    # empty doc present with zeros
+    assert out[3]["n_tokens"] == 0 and out[3]["milli_surprisal"] == 0
