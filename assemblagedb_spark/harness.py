@@ -4642,6 +4642,130 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+_CASCADE_LEVELS = [("5m", 300_000_000_000), ("1h", 3_600_000_000_000),
+                   ("1d", 86_400_000_000_000)]
+
+
+def q_events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate cascade (hypertable rollup): the 5-minute level
+    aggregates raw events ONCE; hour re-aggregates the 5-minute merge
+    state; day re-aggregates hour — raw is never rescanned for coarser
+    resolutions. The oracle computes every level DIRECTLY from raw, so the
+    gate proves cascade ≡ direct (additive merge states compose exactly)."""
+    from assemblagedb_spark.operators.rollup import rollup_cascade
+
+    ev = load_table(spark, sf_dir, "events")
+    return rollup_cascade(
+        ev,
+        F.round(F.col("value") * 100).cast("long"),
+        bucket_ns=_CASCADE_LEVELS,
+    )
+
+
+def _o_rollup_cascade() -> str:
+    parts = []
+    for name, ns in _CASCADE_LEVELS:
+        parts.append(
+            f"SELECT '{name}' AS level, "
+            f"(epoch_ns(ts) - epoch_ns(ts) % {ns})::BIGINT AS bucket_start, "
+            "event_type, COUNT(*)::BIGINT AS n, "
+            "SUM(round(value * 100)::BIGINT)::BIGINT AS sum_value "
+            "FROM events GROUP BY 1, 2, 3"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization of the embedding corpus —
+    the 4× memory cut before ANN candidate scoring; a pure map-only
+    projection (zero shuffle) at any scale."""
+    from assemblagedb_spark.operators.vectors import quantize_int8
+
+    return quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+O_EMBEDDING_QUANTIZE = """
+WITH ex AS (
+  SELECT vec_id, t.i - 1 AS pos, e.embedding[t.i]::DOUBLE AS x,
+         list_max(list_transform(e.embedding, y -> abs(y::DOUBLE))) AS amax
+  FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) t(i))
+SELECT vec_id, pos::BIGINT AS pos,
+       (CASE WHEN amax > 0 THEN floor(x * 127 / amax + 0.5) ELSE 0 END)::BIGINT AS q,
+       (CASE WHEN amax > 0 THEN floor(amax * 1000000 + 0.5) ELSE 0 END)::BIGINT
+           AS scale_micro
+FROM ex
+"""
+
+
+_PQ_M, _PQ_SUBDIM, _PQ_K, _PQ_ITERS = 8, 8, 8, 2
+
+
+def q_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes end to end: train m=8 per-subspace
+    k-means codebooks (k=8, 2 Lloyd rounds, quantized integer grid), then
+    encode the corpus in ONE fused scan against the broadcast codebook —
+    (vec_id, subspace, code), the ~16x-compressed ANN index
+    (Jégou et al. TPAMI'11). The oracle unrolls the identical per-subspace
+    Lloyd chains and the final assignment."""
+    from assemblagedb_spark.operators.pq import pq_encode, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = pq_train(
+        emb, m=_PQ_M, sub_dim=_PQ_SUBDIM, k=_PQ_K, iters=_PQ_ITERS
+    ).localCheckpoint(eager=True)
+    return pq_encode(emb, book, m=_PQ_M, sub_dim=_PQ_SUBDIM)
+
+
+def _o_pq_codes() -> str:
+    """Per-subspace unrolled Lloyd chain + final assignment (the PQ twin
+    of _o_kmeans, positions local to each subspace slice)."""
+    m, sd, k, iters = _PQ_M, _PQ_SUBDIM, _PQ_K, _PQ_ITERS
+    ctes = [
+        f"""seeds AS (
+  SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1) AS label
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))"""
+    ]
+    selects = []
+    for sp in range(m):
+        ctes.append(
+            f"""q{sp} AS (
+  SELECT vec_id, t.i - 1 AS pos,
+         floor(CAST(e.embedding[{sp * sd} + t.i] AS DOUBLE) * 1000)::BIGINT AS qv
+  FROM embeddings e, unnest(range(1, {sd} + 1)) t(i))"""
+        )
+        ctes.append(
+            f"""c{sp}_0 AS (
+  SELECT s.label, q.pos, q.qv AS sum_q, 1::BIGINT AS n_vecs
+  FROM seeds s JOIN q{sp} q ON s.vec_id = q.vec_id)"""
+        )
+        for t in range(iters + 1):
+            ctes.append(
+                f"cv{sp}_{t} AS (SELECT label, pos, "
+                f"floor(sum_q / n_vecs)::BIGINT AS c FROM c{sp}_{t})"
+            )
+            ctes.append(
+                f"d{sp}_{t} AS (SELECT q.vec_id, cv.label, "
+                f"SUM((q.qv - cv.c) * (q.qv - cv.c))::BIGINT AS dist "
+                f"FROM q{sp} q JOIN cv{sp}_{t} cv USING (pos) GROUP BY 1, 2)"
+            )
+            ctes.append(
+                f"a{sp}_{t} AS (SELECT vec_id, label FROM ("
+                f"SELECT vec_id, label, row_number() OVER (PARTITION BY vec_id "
+                f"ORDER BY dist, label) AS rn FROM d{sp}_{t}) WHERE rn = 1)"
+            )
+            if t < iters:
+                ctes.append(
+                    f"c{sp}_{t + 1} AS (SELECT a.label, q.pos, "
+                    f"SUM(q.qv)::BIGINT AS sum_q, COUNT(*)::BIGINT AS n_vecs "
+                    f"FROM a{sp}_{t} a JOIN q{sp} q USING (vec_id) GROUP BY 1, 2)"
+                )
+        selects.append(
+            f"SELECT vec_id, {sp}::BIGINT AS subspace, label::BIGINT AS code "
+            f"FROM a{sp}_{iters}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(selects)
+
+
 SPARK_QUERIES = {
     "gram_index": q_gram_index,
     "gram_counts": q_gram_counts,
@@ -4764,6 +4888,9 @@ SPARK_QUERIES = {
     "graph_bfs_depth": q_graph_bfs_depth,
     "text_chunk_dedup": q_text_chunk_dedup,
     "text_surprisal": q_text_surprisal,
+    "events_rollup_cascade": q_events_rollup_cascade,
+    "embedding_quantize": q_embedding_quantize,
+    "ann_pq_codes": q_ann_pq_codes,
 }
 
 ORACLES = {
@@ -4890,6 +5017,9 @@ ORACLES = {
     "graph_bfs_depth": O_GRAPH_BFS_DEPTH,
     "text_chunk_dedup": O_TEXT_CHUNK_DEDUP,
     "text_surprisal": O_TEXT_SURPRISAL,
+    "events_rollup_cascade": _o_rollup_cascade(),
+    "embedding_quantize": O_EMBEDDING_QUANTIZE,
+    "ann_pq_codes": _o_pq_codes(),
 }
 
 

@@ -1,0 +1,243 @@
+"""Product quantization (PQ) for ANN at memory scale.
+
+The third leg of the ANN stack next to LSH buckets and IVF cells
+(similarity.py): split each d-dim vector into ``m`` contiguous subvectors,
+train an independent k-means codebook per subspace (Jégou et al., "Product
+Quantization for Nearest Neighbor Search", TPAMI'11), and store each vector
+as ``m`` one-byte codes — a 16-dim float corpus compresses ~16×, which is
+what lets a 100 TB embedding table's index live in executor memory.
+
+Querying uses asymmetric distance computation (ADC): the query stays
+full-precision, a per-query (m × k) distance table against the codebook is
+precomputed ONCE, and each corpus vector's approximate distance is m table
+lookups — no float math per corpus row.
+
+Scale shape mirrors the rest of the vector stack: training is the
+broadcast-assign/merge-state k-means loop per subspace; encoding is ONE
+corpus scan joined to the broadcast codebook; ADC scoring is one scan of
+the (vec_id, subspace, code) table against a broadcast distance table with
+a (query, vec) partial-sum aggregate. All arithmetic runs on the quantized
+integer grid (floor(v * scale)), so codes and ADC scores are bit-identical
+on any engine/partitioning — the same oracle-parity discipline as
+kmeans_train (vectors.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+def pq_train(
+    embeddings: DataFrame,
+    *,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Train ``m`` independent subspace codebooks: subspace s covers
+    components [s*sub_dim, (s+1)*sub_dim). Returns the union of per-
+    subspace k-means merge states: (subspace, label, pos, sum_q, n_vecs)
+    with pos LOCAL to the subspace.
+
+    All m codebooks train in ONE combined Lloyd loop: the corpus explodes
+    once into (vec_id, subspace, qvec) and every round is a single
+    broadcast-assign scan + a single (subspace, label, pos) merge-state
+    groupBy — per-round cost is independent of m (m sequential kmeans
+    loops would cost m corpus scans per round). Results are identical to
+    independent per-subspace training: subspaces never interact (the
+    argmin is per (vec_id, subspace), the state keys on subspace).
+
+    Seeds mirror kmeans_train (vectors.py): label j = j-th lowest vec_id,
+    the same k seed vectors in every subspace — deterministic and
+    oracle-replayable.
+    """
+    sub = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s -> "
+                f"transform(slice({vec_col}, s * {sub_dim} + 1, {sub_dim}), "
+                f"v -> CAST(floor(CAST(v AS DOUBLE) * {scale}) AS BIGINT)))"
+            )
+        ).alias("subspace", "qvec"),
+    ).withColumn("subspace", F.col("subspace").cast("long")).localCheckpoint(
+        eager=True
+    )
+
+    seed_ids = [
+        r[0]
+        for r in embeddings.select(F.col(id_col).alias("vec_id"))
+        .orderBy("vec_id").limit(k).collect()
+    ]
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    seeds = embeddings.sparkSession.createDataFrame(
+        [(v, i) for i, v in enumerate(seed_ids)],
+        f"vec_id {id_type}, label long",
+    )
+    state = (
+        seeds.join(sub, "vec_id")
+        .select("subspace", "label", F.posexplode("qvec").alias("pos", "sum_q"))
+        .withColumn("n_vecs", F.lit(1).cast("long"))
+        .withColumn("sum_q", F.col("sum_q").cast("long"))
+    )
+
+    dist = F.expr(
+        "aggregate(zip_with(qvec, cvec, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    for _ in range(iters):
+        cent = _codebook_vectors(state)
+        assigned = (
+            sub.join(F.broadcast(cent), "subspace")
+            .select("vec_id", "subspace", "label", dist.alias("dist"))
+            .groupBy("vec_id", "subspace")
+            .agg(F.min(F.struct("dist", "label")).alias("b"))
+            .select("vec_id", "subspace", F.col("b.label").alias("label"))
+        )
+        state = (
+            assigned.join(sub, ["vec_id", "subspace"])
+            .select(
+                "subspace", "label", F.posexplode("qvec").alias("pos", "qv")
+            )
+            .groupBy("subspace", "label", "pos")
+            .agg(
+                F.sum("qv").cast("long").alias("sum_q"),
+                F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            )
+            .localCheckpoint(eager=True)  # ≤ m×k×sub_dim rows
+        )
+    return state.select(
+        "subspace", F.col("label").cast("long").alias("label"),
+        F.col("pos").cast("long").alias("pos"), "sum_q", "n_vecs"
+    )
+
+
+def _codebook_vectors(codebook: DataFrame) -> DataFrame:
+    """(subspace, label, cvec): integer centroid vectors from merge state."""
+    return (
+        codebook.groupBy("subspace", "label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "sum_q", "n_vecs"))
+            ).alias("comps")
+        )
+        .select(
+            "subspace",
+            "label",
+            F.expr(
+                "transform(comps, c -> CAST(floor(c.sum_q / c.n_vecs) AS BIGINT))"
+            ).alias("cvec"),
+        )
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook: DataFrame,
+    *,
+    m: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Encode every vector as ``m`` codes: (vec_id, subspace, code).
+
+    ONE corpus scan: the row explodes into its m quantized subvectors, the
+    (m × k)-row codebook broadcasts, distance is an integer zip_with fold,
+    argmin per (vec_id, subspace) with deterministic label tie-break —
+    the corpus is never shuffled (the aggregate is map-side partial on
+    the scan's own rows)."""
+    sub = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s -> "
+                f"transform(slice({vec_col}, s * {sub_dim} + 1, {sub_dim}), "
+                f"v -> CAST(floor(CAST(v AS DOUBLE) * {scale}) AS BIGINT)))"
+            )
+        ).alias("subspace", "qvec"),
+    ).withColumn("subspace", F.col("subspace").cast("long"))
+    cent = _codebook_vectors(codebook)
+    dist = F.expr(
+        "aggregate(zip_with(qvec, cvec, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    scored = (
+        sub.join(F.broadcast(cent), "subspace")
+        .select("vec_id", "subspace", "label", dist.alias("dist"))
+    )
+    best = scored.groupBy("vec_id", "subspace").agg(
+        F.min(F.struct("dist", "label")).alias("b")
+    )
+    return best.select(
+        "vec_id", "subspace", F.col("b.label").cast("long").alias("code")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    sub_dim: int = 8,
+    scale: int = 1000,
+) -> DataFrame:
+    """Asymmetric-distance top-k: per query, distances to each subspace
+    centroid are computed once (|Q| × m × k rows, broadcast); each corpus
+    vector's approximate squared distance is the sum of its m code lookups.
+
+    Output: (query_id, neighbor_id, adc_dist, rank) — rank 1 = nearest,
+    self excluded, ties broken by ascending neighbor id. The scan of the
+    code table is the only big input; scoring shuffles (query, vec) partial
+    sums, never raw vectors."""
+    from pyspark.sql import Window
+
+    qsub = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s -> "
+                f"transform(slice({vec_col}, s * {sub_dim} + 1, {sub_dim}), "
+                f"v -> CAST(floor(CAST(v AS DOUBLE) * {scale}) AS BIGINT)))"
+            )
+        ).alias("subspace", "qvec"),
+    ).withColumn("subspace", F.col("subspace").cast("long"))
+    cent = _codebook_vectors(codebook)
+    dist = F.expr(
+        "aggregate(zip_with(qvec, cvec, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    dtable = (
+        qsub.join(F.broadcast(cent), "subspace")
+        .select(
+            "query_id", "subspace", F.col("label").alias("code"),
+            dist.alias("d"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(dtable), ["subspace", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").cast("long").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_dist",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

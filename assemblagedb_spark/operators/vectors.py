@@ -177,3 +177,43 @@ def kmeans_train(
     return state.select(F.col("label").cast("long").alias("label"),
                         F.col("pos").cast("long").alias("pos"),
                         "sum_q", "n_vecs")
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 post-training quantization: each vector's
+    scale is its abs-max component, components map to
+    ``floor(x * 127 / amax + 0.5)`` ∈ [-127, 127] (half-up via the floor
+    trick, which both engines compute on the identical IEEE double — a
+    bare round() differs between half-even and half-away engines).
+
+    Output: (vec_id, pos, q, scale_micro) — the exploded code table plus
+    the per-vector scale as integer micro-units (dequant ≈ q * scale /
+    127). 4× memory cut for ANN candidate scoring; zero vectors emit q=0
+    with scale_micro=0.
+
+    Scale shape: pure per-row projection + one posexplode — no shuffle,
+    no Python; quantizing 100 TB of vectors is a map-only job.
+    """
+    amax = F.expr(
+        f"array_max(transform({vec_col}, v -> abs(CAST(v AS DOUBLE))))"
+    )
+    rows = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        amax.alias("__amax"),
+        F.posexplode(vec_col).alias("pos", "__x"),
+    )
+    return rows.select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.when(F.col("__amax") > 0,
+               F.floor(F.col("__x").cast("double") * 127 / F.col("__amax") + 0.5))
+        .otherwise(F.lit(0)).cast("long").alias("q"),
+        F.when(F.col("__amax") > 0,
+               F.floor(F.col("__amax") * 1000000 + 0.5))
+        .otherwise(F.lit(0)).cast("long").alias("scale_micro"),
+    )

@@ -97,6 +97,9 @@ BENCH_QUERIES = [
     "graph_bfs_depth",
     "text_chunk_dedup",
     "text_surprisal",
+    "events_rollup_cascade",
+    "embedding_quantize",
+    "ann_pq_codes",
 ]
 
 

@@ -131,3 +131,54 @@ def test_unigram_surprisal_rare_beats_common(spark):
     assert out[2]["milli_surprisal"] == 1500
     # empty doc present with zeros
     assert out[3]["n_tokens"] == 0 and out[3]["milli_surprisal"] == 0
+
+
+def test_rollup_cascade_matches_direct(spark):
+    from assemblagedb_spark.operators.rollup import rollup_cascade
+
+    rows = [(i, i % 3, (i * 7919) % 100_000_000_000) for i in range(200)]
+    ev = spark.createDataFrame(rows, "event_id long, grp long, ts long")
+    out = rollup_cascade(
+        ev, F.lit(1),
+        bucket_ns=[("10s", 10_000_000_000), ("1m", 60_000_000_000)],
+        group_cols=["grp"],
+    )
+    got = {(r["level"], r["bucket_start"], r["grp"]): r["n"]
+           for r in out.collect()}
+    # direct aggregation at the coarse level must equal the cascaded one
+    direct = {}
+    for _, g, ts in rows:
+        b = ts - ts % 60_000_000_000
+        direct[("1m", b, g)] = direct.get(("1m", b, g), 0) + 1
+    assert {k: v for k, v in got.items() if k[0] == "1m"} == direct
+    # bucket starts nest: every 10s bucket lies inside a 1m bucket total
+    fine_total = sum(v for k, v in got.items() if k[0] == "10s")
+    coarse_total = sum(v for k, v in got.items() if k[0] == "1m")
+    assert fine_total == coarse_total == len(rows)
+    # non-multiple widths rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        rollup_cascade(ev, F.lit(1),
+                       bucket_ns=[("7s", 7_000_000_000), ("10s", 10_000_000_000)],
+                       group_cols=["grp"])
+
+
+def test_quantize_int8_range_and_roundtrip(spark):
+    from assemblagedb_spark.operators.vectors import quantize_int8
+
+    emb = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0]), (3, [2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {(r["vec_id"], r["pos"]): r for r in quantize_int8(emb).collect()}
+    # abs-max component maps to ±127 exactly
+    assert rows[(1, 1)]["q"] == -127
+    assert rows[(1, 0)]["q"] == 64   # 0.5/1.0*127 = 63.5 -> floor(+0.5) = 64
+    assert rows[(1, 2)]["q"] == 32   # 31.75 -> 32
+    assert rows[(3, 0)]["q"] == 127
+    # zero vector: q=0, scale 0
+    assert rows[(2, 0)]["q"] == 0 and rows[(2, 0)]["scale_micro"] == 0
+    # scale is the abs-max in micro units
+    assert rows[(1, 0)]["scale_micro"] == 1_000_000
+    # every q within the symmetric int8 envelope
+    assert all(-127 <= r["q"] <= 127 for r in rows.values())

@@ -107,3 +107,50 @@ def test_cosine_topk_arrow_query_cap_raises(spark):
         cosine_topk_arrow(emb, emb, k=2, max_queries=3)
     # at/below the cap still works
     assert cosine_topk_arrow(emb, emb.limit(3), k=2, max_queries=3).count() == 6
+
+
+def test_pq_adc_recovers_separated_clusters(spark):
+    from assemblagedb_spark.operators.pq import pq_adc_topk, pq_encode, pq_train
+    from assemblagedb_spark.operators.similarity import cosine_topk
+
+    # three well-separated clusters in 8 dims; PQ with 2 subspaces of 4.
+    # ADC top-k within a cluster must match exact cosine top-k: quantization
+    # error is tiny next to the inter-cluster gap. Ids interleave across
+    # clusters so the deterministic lowest-id seeds (0,1,2) land one per
+    # cluster — all-same-cluster seeds give a degenerate codebook, which is
+    # real PQ behavior but not what this recall test probes.
+    bases = ((10.0, 0.1), (0.1, 10.0), (-10.0, -10.0))
+    rows = []
+    for j in range(6):
+        for c, base in enumerate(bases):
+            vid = j * 3 + c
+            v = [base[0] + j * 0.01, base[1] - j * 0.01] * 4
+            rows.append((vid, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    book = pq_train(emb, m=2, sub_dim=4, k=3, iters=3)
+    codes = pq_encode(emb, book, m=2, sub_dim=4)
+    assert codes.count() == len(rows) * 2
+    queries = emb.filter("vec_id < 3")
+    adc = pq_adc_topk(codes, book, queries, k=3, m=2, sub_dim=4)
+    got = {(r["query_id"], r["neighbor_id"]) for r in adc.collect()}
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, queries, k=3).collect()}
+    # same neighbor SETS per query (ADC distance ordering within a cluster
+    # can permute ranks by quantization, membership cannot change)
+    assert got == exact
+
+
+def test_pq_codes_partition_invariant(spark):
+    from assemblagedb_spark.operators.pq import pq_encode, pq_train
+
+    rows = [(i, [float((i * 7 + j * 3) % 13) for j in range(8)])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    book = pq_train(emb, m=2, sub_dim=4, k=4, iters=2)
+    a = sorted(map(tuple, pq_encode(emb, book, m=2, sub_dim=4).collect()))
+    b = sorted(map(tuple, pq_encode(
+        emb.repartition(11), pq_train(emb.repartition(7), m=2, sub_dim=4,
+                                      k=4, iters=2), m=2, sub_dim=4
+    ).collect()))
+    # integer-grid training + encoding: identical codes on any partitioning
+    assert a == b
