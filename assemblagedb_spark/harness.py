@@ -4766,6 +4766,91 @@ def _o_pq_codes() -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(selects)
 
 
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch rollup: the (event_type × day) register table is built
+    from raw ONCE; the per-type and grand-total levels MAX-merge the
+    previous level's registers (Druid-style sketch segments — distinct
+    counts can't re-aggregate, sketch states can). The oracle computes
+    every level directly from raw: MAX-merge associativity makes rolled ≡
+    direct, which is exactly what the gate pins."""
+    from assemblagedb_spark.operators.sketches import hll_rollup
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day_bucket", F.expr("ts div 86400000000000")
+    )
+    return hll_rollup(
+        ev, "user_id",
+        [["event_type", "day_bucket"], ["event_type"], []],
+        m=_HLL_M,
+    ).select(
+        "level", "event_type", "day_bucket",
+        F.col("bucket").cast("long").alias("bucket"), "register",
+    )
+
+
+def _o_sketch_rollup() -> str:
+    base = f"""
+h AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day_bucket,
+             {mix32_sql("user_id")} AS h FROM events),
+r AS (SELECT event_type, day_bucket, (h % {_HLL_M})::BIGINT AS bucket,
+             h // {_HLL_M} AS rest FROM h)"""
+    reg = ("MAX(CASE WHEN rest = 0 THEN 33 "
+           "ELSE length(bin(rest & (-rest))) END)::BIGINT")
+    return f"""
+WITH {base}
+SELECT 0::BIGINT AS level, event_type, day_bucket, bucket,
+       {reg} AS register
+FROM r GROUP BY event_type, day_bucket, bucket
+UNION ALL
+SELECT 1::BIGINT, event_type, NULL::BIGINT, bucket, {reg}
+FROM r GROUP BY event_type, bucket
+UNION ALL
+SELECT 2::BIGINT, NULL::VARCHAR, NULL::BIGINT, bucket, {reg}
+FROM r GROUP BY bucket
+"""
+
+
+_KCORE_K, _KCORE_ORACLE_ROUNDS = 2, 12
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the multi-parent C→O→L / P→L graph: iterative simultaneous
+    peeling of degree-<2 nodes until stable (convergence-probed; measured
+    2 rounds at sf0.001, 5 at sf0.01). Output is each core member with its
+    in-core degree. The oracle unrolls 12 peel rounds — peeling is
+    monotone, so extra rounds past convergence are identity."""
+    from assemblagedb_spark.operators.components import k_core
+
+    return k_core(_shared_graph_edges(spark, sf_dir), k=_KCORE_K)
+
+
+def _o_graph_kcore() -> str:
+    k, rounds = _KCORE_K, _KCORE_ORACLE_ROUNDS
+    ctes = [
+        f"""e0 AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT parent_id AS u, child_id AS v FROM raw
+    UNION SELECT child_id, parent_id FROM raw)
+  WHERE u <> v)"""
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"n{i + 1} AS MATERIALIZED (SELECT u FROM e{i} GROUP BY u "
+            f"HAVING COUNT(*) >= {k})"
+        )
+        ctes.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e{i} e "
+            f"WHERE e.u IN (SELECT u FROM n{i + 1}) "
+            f"AND e.v IN (SELECT u FROM n{i + 1}))"
+        )
+    return (
+        f"WITH raw AS ({_SHARED_EDGES_DUCK}),\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT u AS node_id, COUNT(*)::BIGINT AS degree "
+        f"FROM e{rounds} GROUP BY u"
+    )
+
+
 SPARK_QUERIES = {
     "gram_index": q_gram_index,
     "gram_counts": q_gram_counts,
@@ -4891,6 +4976,8 @@ SPARK_QUERIES = {
     "events_rollup_cascade": q_events_rollup_cascade,
     "embedding_quantize": q_embedding_quantize,
     "ann_pq_codes": q_ann_pq_codes,
+    "sketch_rollup": q_sketch_rollup,
+    "graph_kcore": q_graph_kcore,
 }
 
 ORACLES = {
@@ -5020,6 +5107,8 @@ ORACLES = {
     "events_rollup_cascade": _o_rollup_cascade(),
     "embedding_quantize": O_EMBEDDING_QUANTIZE,
     "ann_pq_codes": _o_pq_codes(),
+    "sketch_rollup": _o_sketch_rollup(),
+    "graph_kcore": _o_graph_kcore(),
 }
 
 

@@ -398,3 +398,48 @@ def bfs_depth(
         settled = settled.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return settled
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    *,
+    max_rounds: int = 100,
+) -> DataFrame:
+    """The k-core of the undirected simple graph: iteratively peel every
+    node whose current degree is below ``k`` (all at once per round) until
+    the surviving subgraph is stable. Output: (node_id, degree) for core
+    members, with degree counted INSIDE the core — the densest-region
+    extractor used for community seeds and hub detection (the GraphX
+    ``connectedComponents``-family analytic Spark itself never shipped).
+
+    Per round: one degree aggregate over the surviving edge set + one
+    semi-join filter — |E| work, no closure materialized. The loop
+    convergence-probes (a round that drops nobody ends it), bounded by
+    ``max_rounds``; the SQL oracle unrolls a fixed round count past
+    measured convergence, which matches because peeling is monotone (once
+    stable, further rounds are identity).
+    """
+    fwd = edges.select(
+        F.col("parent_id").alias("u"), F.col("child_id").alias("v")
+    )
+    e = (
+        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        survivors = deg.filter(F.col("deg") >= k).select("u")
+        nxt = (
+            e.join(survivors, "u", "left_semi")
+            .join(survivors.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == e.count():
+            e = nxt
+            break
+        e = nxt
+    return e.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("degree")) \
+        .withColumnRenamed("u", "node_id")

@@ -244,3 +244,50 @@ def countmin_join_estimate(cm_a: DataFrame, cm_b: DataFrame) -> DataFrame:
         .groupBy("row")
         .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("inner_product"))
     )
+
+
+def hll_rollup(
+    df: DataFrame,
+    key_col: str,
+    levels: list[list[str]],
+    *,
+    m: int = 256,
+    seed: int = 0,
+) -> DataFrame:
+    """Sketch ROLLUP: build the HLL register table once at the finest
+    grouping, then derive every coarser level by MAX-merging the previous
+    level's registers — never rescanning raw rows (the Druid/Theta-sketch
+    rollup pattern; distinct counts can't re-aggregate, sketch states
+    can).
+
+    ``levels`` is finest-first, each a list of group columns that must be
+    a subset of the previous level's columns (a grouping chain, e.g.
+    [["day", "event_type"], ["day"], []]). Output: (level, *finest_cols,
+    bucket, register) with the dropped columns NULL at coarser levels —
+    exactly what a grouping-sets scan of pre-rolled sketch segments serves.
+    """
+    if not levels:
+        raise ValueError("levels must list at least the finest grouping")
+    for prev, cur in zip(levels, levels[1:]):
+        if not set(cur) <= set(prev):
+            raise ValueError("each coarser level must drop columns, not add")
+    finest = levels[0]
+    base = hll_registers(df, key_col, finest, m=m, seed=seed)
+    out = base.withColumn("level", F.lit(0).cast("long"))
+    prev = base
+    for i, cols in enumerate(levels[1:], start=1):
+        prev = (
+            prev.groupBy(*cols, "bucket")
+            .agg(F.max("register").alias("register"))
+        )
+        widened = prev
+        for c in finest:
+            if c not in cols:
+                widened = widened.withColumn(
+                    c, F.lit(None).cast(dict(base.dtypes)[c])
+                )
+        out = out.unionByName(
+            widened.select(*finest, "bucket", "register")
+            .withColumn("level", F.lit(i).cast("long"))
+        )
+    return out.select("level", *finest, "bucket", "register")

@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "events_rollup_cascade",
     "embedding_quantize",
     "ann_pq_codes",
+    "sketch_rollup",
+    "graph_kcore",
 ]
 
 

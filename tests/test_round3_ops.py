@@ -182,3 +182,45 @@ def test_quantize_int8_range_and_roundtrip(spark):
     assert rows[(1, 0)]["scale_micro"] == 1_000_000
     # every q within the symmetric int8 envelope
     assert all(-127 <= r["q"] <= 127 for r in rows.values())
+
+
+def test_hll_rollup_merge_equals_direct(spark):
+    from assemblagedb_spark.operators.sketches import hll_registers, hll_rollup
+
+    rows = [(i % 7, str(i % 3), (i * 31) % 50) for i in range(300)]
+    df = spark.createDataFrame(rows, "day long, typ string, user long")
+    out = hll_rollup(df, "user", [["typ", "day"], ["typ"], []], m=32)
+    # level 1 (per-typ) must equal registers computed directly from raw
+    direct = {(r["typ"], r["bucket"]): r["register"]
+              for r in hll_registers(df, "user", ["typ"], m=32).collect()}
+    lvl1 = {(r["typ"], r["bucket"]): r["register"]
+            for r in out.filter("level = 1").collect()}
+    assert lvl1 == direct
+    # level 2 (grand total): one register set, day/typ NULL
+    lvl2 = out.filter("level = 2").collect()
+    assert all(r["typ"] is None and r["day"] is None for r in lvl2)
+    total = {r["bucket"]: r["register"]
+             for r in hll_registers(df, "user", [], m=32).collect()}
+    assert {r["bucket"]: r["register"] for r in lvl2} == total
+    # level chains must drop columns, never add
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hll_rollup(df, "user", [["typ"], ["typ", "day"]], m=32)
+
+
+def test_k_core_peels_to_stable_core(spark):
+    from assemblagedb_spark.operators.components import k_core
+
+    # triangle 1-2-3 (the 2-core) + a tail 3-4-5-6 that peels away one
+    # node per round (exercises multi-round convergence), + isolated pair
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (10, 11)],
+        "parent_id long, child_id long",
+    )
+    out = {r["node_id"]: r["degree"] for r in k_core(e, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    # k=1 keeps everything with at least one neighbor
+    k1 = {r["node_id"] for r in k_core(e, k=1).collect()}
+    assert k1 == {1, 2, 3, 4, 5, 6, 10, 11}
+    # k high enough empties the graph
+    assert k_core(e, k=3).count() == 0
