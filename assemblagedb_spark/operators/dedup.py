@@ -160,24 +160,41 @@ def ngram_jaccard_pairs(
     """Exact jaccard over distinct 4-gram shingle sets.
 
     Without ``candidates`` this is an all-pairs postings join (harness scale
-    only); with candidates (from LSH) it verifies just those pairs — the
-    100 TB path.
+    only). With candidates (from LSH) the intersection is computed ONLY for
+    those pairs — the candidate join sits BELOW the gram join: the pair
+    list joins each side's shingles on its own id, then the two sides
+    equi-join on gram. Work is Σ over candidate pairs of the pair's gram
+    overlap, never Σ over grams of df(gram)² — joining candidates after a
+    full postings self-join would still execute the quadratic join (an
+    optimizer cannot push a join below an aggregation), which is exactly
+    the all-pairs blowup the LSH stage exists to avoid. That ordering bug
+    is what made the sf0.1 verify gate crawl; this shape is the 100 TB
+    path.
     """
     shingles = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(grams_array(text_col))).alias("gram"),
     )
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    a = shingles.select(F.col("doc_id").alias("id_a"), "gram")
-    b = shingles.select(F.col("doc_id").alias("id_b"), "gram")
-    inter = (
-        a.join(b, "gram")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"])
+        cand = candidates.select("id_a", "id_b")
+        ga = shingles.select(F.col("doc_id").alias("id_a"), "gram")
+        gb = shingles.select(F.col("doc_id").alias("id_b"), "gram")
+        inter = (
+            cand.join(ga, "id_a")
+            .join(gb, ["id_b", "gram"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+        )
+    else:
+        a = shingles.select(F.col("doc_id").alias("id_a"), "gram")
+        b = shingles.select(F.col("doc_id").alias("id_b"), "gram")
+        inter = (
+            a.join(b, "gram")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+        )
     na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
     return (
@@ -407,8 +424,10 @@ def ngram_containment_pairs(
     side's gram count).
 
     Scale shape: candidate-bounded exactly like
-    :func:`ngram_jaccard_pairs` ``candidates=`` — the shingle postings
-    join only materializes rows for candidate pairs, sizes join per side.
+    :func:`ngram_jaccard_pairs` ``candidates=`` — the candidate pair list
+    joins each side's shingles on its own id BELOW the gram equi-join, so
+    work is Σ over candidate pairs of the pair's gram overlap (never the
+    quadratic postings self-join).
     """
     shingles = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -417,14 +436,14 @@ def ngram_containment_pairs(
     sizes = shingles.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    a = shingles.select(F.col("doc_id").alias("id_a"), "gram")
-    b = shingles.select(F.col("doc_id").alias("id_b"), "gram")
+    ga = shingles.select(F.col("doc_id").alias("id_a"), "gram")
+    gb = shingles.select(F.col("doc_id").alias("id_b"), "gram")
     inter = (
-        a.join(b, "gram")
-        .filter(F.col("id_a") < F.col("id_b"))
+        candidates.select("id_a", "id_b")
+        .join(ga, "id_a")
+        .join(gb, ["id_b", "gram"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("inter"))
-        .join(candidates.select("id_a", "id_b"), ["id_a", "id_b"])
     )
     na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
