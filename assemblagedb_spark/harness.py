@@ -4821,7 +4821,11 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone, so extra rounds past convergence are identity."""
     from assemblagedb_spark.operators.components import k_core
 
-    return k_core(_shared_graph_edges(spark, sf_dir), k=_KCORE_K)
+    # the shared hierarchy's edge rows are distinct and typed (C/O/L/P id
+    # prefixes — a reverse duplicate cannot exist), so the symmetrized
+    # distinct is skipped
+    return k_core(_shared_graph_edges(spark, sf_dir), k=_KCORE_K,
+                  assume_distinct=True)
 
 
 def _o_graph_kcore() -> str:

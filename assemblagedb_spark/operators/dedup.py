@@ -170,6 +170,11 @@ def ngram_jaccard_pairs(
     the all-pairs blowup the LSH stage exists to avoid. That ordering bug
     is what made the sf0.1 verify gate crawl; this shape is the 100 TB
     path.
+
+    ``candidates`` must be DISTINCT (id_a, id_b) pairs (LSH generators
+    here emit distinct pairs by construction): a duplicated candidate row
+    would double-count its gram matches rather than duplicate an output
+    row, silently inflating ``inter``.
     """
     shingles = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -427,7 +432,8 @@ def ngram_containment_pairs(
     :func:`ngram_jaccard_pairs` ``candidates=`` — the candidate pair list
     joins each side's shingles on its own id BELOW the gram equi-join, so
     work is Σ over candidate pairs of the pair's gram overlap (never the
-    quadratic postings self-join).
+    quadratic postings self-join). ``candidates`` must be DISTINCT pairs —
+    a duplicate row would inflate ``inter``, not duplicate output.
     """
     shingles = docs.select(
         F.col(id_col).alias("doc_id"),
