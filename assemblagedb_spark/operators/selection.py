@@ -194,6 +194,14 @@ def boilerplate_ngram_stats(
     """
     from assemblagedb_spark.operators.decontam import exploded_ngrams
 
+    # a corpus file small relative to its gram expansion can land the
+    # whole scan in ONE task (split sizing is byte-based); spread the rows
+    # before the CPU-heavy tokenize+explode. Guarded on the actual scan
+    # parallelism: a genuinely large input already has plenty of
+    # partitions and must NOT eat a full shuffle of its raw text.
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism // 2:
+        docs = docs.repartition(parallelism, id_col)
     counts = (
         exploded_ngrams(docs, id_col=id_col, text_col=text_col, n=n)
         .groupBy("doc_id", "gram")

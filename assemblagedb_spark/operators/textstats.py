@@ -437,6 +437,12 @@ def tfidf_top_terms(
 
     from assemblagedb_spark.operators.decontam import tokens_expr
 
+    # spread the scan before the tokenize+explode (see
+    # selection.boilerplate_ngram_stats); guarded so a large input never
+    # pays a raw-text shuffle for it
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism // 2:
+        docs = docs.repartition(parallelism, id_col)
     counts = (
         docs.select(F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("__w"))
         .select("doc_id", F.explode("__w").alias("term"))
