@@ -4855,6 +4855,29 @@ def _o_graph_kcore() -> str:
     )
 
 
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row weighted sampling: each document's keep probability is its
+    own length-derived quality permille (clamped n_chars); deterministic
+    hash gate, zero shuffle — importance downsampling where the rate
+    column rides with the row."""
+    from assemblagedb_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return weighted_sample(docs, F.col("n_chars") * 4, seed=4)
+
+
+def _o_sample_weighted() -> str:
+    from assemblagedb_spark.operators.sampling import bucket_sql
+
+    b = bucket_sql("doc_id", 4)
+    return f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {b} < GREATEST(0, LEAST(1000, n_chars * 4))
+"""
+
+
 SPARK_QUERIES = {
     "gram_index": q_gram_index,
     "gram_counts": q_gram_counts,
@@ -4982,6 +5005,7 @@ SPARK_QUERIES = {
     "ann_pq_codes": q_ann_pq_codes,
     "sketch_rollup": q_sketch_rollup,
     "graph_kcore": q_graph_kcore,
+    "sample_weighted": q_sample_weighted,
 }
 
 ORACLES = {
@@ -5113,6 +5137,7 @@ ORACLES = {
     "ann_pq_codes": _o_pq_codes(),
     "sketch_rollup": _o_sketch_rollup(),
     "graph_kcore": _o_graph_kcore(),
+    "sample_weighted": _o_sample_weighted(),
 }
 
 

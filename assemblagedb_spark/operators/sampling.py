@@ -256,3 +256,24 @@ def split_assign(
         .when(bucket < val_permille + test_permille, F.lit("test"))
         .otherwise(F.lit("train")),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_permille: F.Column,
+    *,
+    key_col: str = "doc_id",
+    seed: int = 4,
+) -> DataFrame:
+    """Deterministic PER-ROW weighted sampling: keep a row iff its permille
+    hash bucket falls below its own ``weight_permille`` column (0..1000,
+    clamped) — importance downsampling where each document carries its own
+    keep probability (e.g. a quality score), the per-row generalization of
+    :func:`stratified_sample`'s per-stratum rates.
+
+    Same key + seed → same decision on any partitioning or engine; rows
+    with weight ≥ 1000 are always kept, ≤ 0 never. Pure per-row gate — no
+    shuffle, composes with any scan.
+    """
+    w = F.greatest(F.lit(0), F.least(F.lit(1000), weight_permille.cast("long")))
+    return df.filter(sample_bucket(key_col, seed) < w)

@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "ann_pq_codes",
     "sketch_rollup",
     "graph_kcore",
+    "sample_weighted",
 ]
 
 

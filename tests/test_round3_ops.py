@@ -224,3 +224,30 @@ def test_k_core_peels_to_stable_core(spark):
     assert k1 == {1, 2, 3, 4, 5, 6, 10, 11}
     # k high enough empties the graph
     assert k_core(e, k=3).count() == 0
+
+
+def test_weighted_sample_per_row_rates(spark):
+    from assemblagedb_spark.operators.sampling import weighted_sample
+
+    rows = ([(i, 1000) for i in range(100)]          # always kept
+            + [(1000 + i, 0) for i in range(100)]    # never kept
+            + [(2000 + i, 500) for i in range(2000)])  # ~half kept
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = weighted_sample(df, F.col("w"), key_col="doc_id")
+    kept = {r["doc_id"] for r in out.collect()}
+    assert all(i in kept for i in range(100))
+    assert not any(1000 + i in kept for i in range(100))
+    mid = sum(1 for k in kept if k >= 2000)
+    assert 850 <= mid <= 1150
+    # deterministic under repartitioning
+    again = {r["doc_id"] for r in
+             weighted_sample(df.repartition(9), F.col("w"),
+                             key_col="doc_id").collect()}
+    assert kept == again
+    # clamping: weights beyond [0, 1000] behave as the bounds
+    wild = spark.createDataFrame(
+        [(1, 99999), (2, -50)], "doc_id long, w long"
+    )
+    got = {r["doc_id"] for r in
+           weighted_sample(wild, F.col("w"), key_col="doc_id").collect()}
+    assert got == {1}
