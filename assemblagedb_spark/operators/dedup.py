@@ -176,6 +176,13 @@ def ngram_jaccard_pairs(
     would double-count its gram matches rather than duplicate an output
     row, silently inflating ``inter``.
     """
+    # spread the scan before the shingle explode: a corpus file small in
+    # bytes but large in gram expansion can land the whole explode (and
+    # the candidate joins above it) in ONE task; guarded so a large input
+    # never pays a raw-text shuffle
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism // 2:
+        docs = docs.repartition(parallelism, id_col)
     shingles = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(grams_array(text_col))).alias("gram"),
@@ -435,6 +442,13 @@ def ngram_containment_pairs(
     quadratic postings self-join). ``candidates`` must be DISTINCT pairs —
     a duplicate row would inflate ``inter``, not duplicate output.
     """
+    # spread the scan before the shingle explode: a corpus file small in
+    # bytes but large in gram expansion can land the whole explode (and
+    # the candidate joins above it) in ONE task; guarded so a large input
+    # never pays a raw-text shuffle
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism // 2:
+        docs = docs.repartition(parallelism, id_col)
     shingles = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(grams_array(text_col))).alias("gram"),
