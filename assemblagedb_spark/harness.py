@@ -4716,9 +4716,10 @@ def q_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode(emb, book, m=_PQ_M, sub_dim=_PQ_SUBDIM)
 
 
-def _o_pq_codes() -> str:
-    """Per-subspace unrolled Lloyd chain + final assignment (the PQ twin
-    of _o_kmeans, positions local to each subspace slice)."""
+def _pq_chain_ctes() -> tuple[list, int]:
+    """The shared per-subspace unrolled Lloyd CTE chain; returns (ctes,
+    iters) — a{sp}_{iters} holds subspace sp's final assignment (and
+    d{sp}_{iters} every vector's distance to every final centroid)."""
     m, sd, k, iters = _PQ_M, _PQ_SUBDIM, _PQ_K, _PQ_ITERS
     ctes = [
         f"""seeds AS (
@@ -4763,7 +4764,15 @@ def _o_pq_codes() -> str:
             f"SELECT vec_id, {sp}::BIGINT AS subspace, label::BIGINT AS code "
             f"FROM a{sp}_{iters}"
         )
-    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(selects)
+    ctes.append("codes AS (" + " UNION ALL ".join(selects) + ")")
+    return ctes, iters
+
+
+def _o_pq_codes() -> str:
+    """Per-subspace unrolled Lloyd chain + final assignment (the PQ twin
+    of _o_kmeans, positions local to each subspace slice)."""
+    ctes, _ = _pq_chain_ctes()
+    return "WITH " + ",\n".join(ctes) + "\nSELECT * FROM codes"
 
 
 def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4876,6 +4885,57 @@ def _o_sample_weighted() -> str:
 SELECT doc_id, lang, n_chars FROM documents
 WHERE {b} < GREATEST(0, LEAST(1000, n_chars * 4))
 """
+
+
+_PQ_QUERY_MOD, _PQ_TOPK = 50, 10
+
+
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ SERVING path end to end: train codebooks, encode the corpus,
+    then answer top-10 neighbors for the query set (vec_id % 50 == 0) by
+    asymmetric distance computation — per query, one (m × k) integer
+    distance table against the codebook; each corpus vector scores as m
+    code lookups summed. Exact integer arithmetic throughout, so the
+    oracle replays the identical chains: a neighbor's ADC distance is the
+    sum over subspaces of the query's distance to the neighbor's assigned
+    centroid (d{sp} ⋈ a{sp} per subspace)."""
+    from assemblagedb_spark.operators.pq import pq_adc_topk, pq_encode, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = pq_train(
+        emb, m=_PQ_M, sub_dim=_PQ_SUBDIM, k=_PQ_K, iters=_PQ_ITERS
+    ).localCheckpoint(eager=True)
+    codes = pq_encode(emb, book, m=_PQ_M, sub_dim=_PQ_SUBDIM)
+    queries = emb.filter(F.col("vec_id") % _PQ_QUERY_MOD == 0)
+    return pq_adc_topk(
+        codes, book, queries, k=_PQ_TOPK, m=_PQ_M, sub_dim=_PQ_SUBDIM
+    )
+
+
+def _o_pq_adc() -> str:
+    ctes, iters = _pq_chain_ctes()
+    m = _PQ_M
+    contribs = " UNION ALL ".join(
+        f"SELECT d.vec_id AS query_id, a.vec_id AS neighbor_id, d.dist "
+        f"FROM a{sp}_{iters} a JOIN d{sp}_{iters} d ON d.label = a.label "
+        f"WHERE d.vec_id % {_PQ_QUERY_MOD} = 0"
+        for sp in range(m)
+    )
+    ctes.append(f"contrib AS MATERIALIZED ({contribs})")
+    ctes.append(
+        "adc AS (SELECT query_id, neighbor_id, SUM(dist)::BIGINT AS adc_dist "
+        "FROM contrib WHERE query_id <> neighbor_id GROUP BY 1, 2)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS rank
+  FROM adc)
+WHERE rank <= {_PQ_TOPK}"""
+    )
 
 
 SPARK_QUERIES = {
@@ -5006,6 +5066,7 @@ SPARK_QUERIES = {
     "sketch_rollup": q_sketch_rollup,
     "graph_kcore": q_graph_kcore,
     "sample_weighted": q_sample_weighted,
+    "ann_pq_adc": q_ann_pq_adc,
 }
 
 ORACLES = {
@@ -5138,6 +5199,7 @@ ORACLES = {
     "sketch_rollup": _o_sketch_rollup(),
     "graph_kcore": _o_graph_kcore(),
     "sample_weighted": _o_sample_weighted(),
+    "ann_pq_adc": _o_pq_adc(),
 }
 
 

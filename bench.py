@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "sketch_rollup",
     "graph_kcore",
     "sample_weighted",
+    "ann_pq_adc",
 ]
 
 
