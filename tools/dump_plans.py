@@ -52,6 +52,9 @@ PICKS = [
     ("ann_pq_codes", "one exploded corpus scan joined to the broadcast m x k codebook; integer zip_with distances; corpus never shuffled"),
     ("events_rollup_cascade", "raw scanned once at the finest bucket; coarser levels re-aggregate the previous level's merge state"),
     ("embedding_quantize", "map-only int8 PTQ: per-row abs-max + posexplode, zero exchanges"),
+    ("ann_pq_adc", "ADC serving: per-query distance table broadcast against the code table; corpus scored by m integer lookups, partial-sum aggregate"),
+    ("graph_kcore", "static edge set pinned once (hash-partitioned on u); rounds are broadcast semi-joins on the shrinking alive set"),
+    ("dedup_lsh_verify", "candidate pair list joins each side's shingles BELOW the gram join — work bounded by candidate overlap, not df(gram)^2"),
 ]
 
 
