@@ -4938,6 +4938,56 @@ WHERE rank <= {_PQ_TOPK}"""
     )
 
 
+def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of the metric per event_type (the hypertable
+    ``time_weight`` aggregate): each sample holds its value until the next
+    sample, so the weight is the gap to the successor (last sample carries
+    none). Exact integer arithmetic: cents × gap-milliseconds products
+    stay far inside int64 and commute, so the result is
+    partition-invariant and oracle-replayable. ONE shuffle on event_type
+    (lead + aggregate share the partitioning); at 100 TB the same plan
+    runs per (type, day) with day-boundary carry rows.
+
+    Output: (event_type, weighted_sum, total_ms, milli_twa) with
+    milli_twa = 1000 × Σ(v·gap) / Σ(gap), floor-divided."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    rows = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.expr("(lead(ts) over (partition by event_type order by ts, event_id) - ts) div 1000000")
+        .alias("gap_ms"),
+    ).filter(F.col("gap_ms").isNotNull())
+    return rows.groupBy("event_type").agg(
+        F.sum(F.col("cents") * F.col("gap_ms")).cast("long").alias("weighted_sum"),
+        F.sum("gap_ms").cast("long").alias("total_ms"),
+        F.expr(
+            "CASE WHEN sum(gap_ms) = 0 THEN 0 "
+            "ELSE (1000 * sum(cents * gap_ms)) div sum(gap_ms) END"
+        ).cast("long").alias("milli_twa"),
+    )
+
+
+O_EVENTS_TWA = """
+WITH t AS (
+  SELECT event_type, round(value * 100)::BIGINT AS cents,
+         (lead(epoch_ns(ts)) OVER (PARTITION BY event_type
+                                   ORDER BY epoch_ns(ts), event_id)
+          - epoch_ns(ts)) // 1000000 AS gap_ms
+  FROM events)
+SELECT event_type,
+       SUM(cents * gap_ms)::BIGINT AS weighted_sum,
+       SUM(gap_ms)::BIGINT AS total_ms,
+       (CASE WHEN SUM(gap_ms) = 0 THEN 0
+             ELSE (1000 * SUM(cents * gap_ms)) // SUM(gap_ms) END)::BIGINT
+           AS milli_twa
+FROM t WHERE gap_ms IS NOT NULL
+GROUP BY event_type
+"""
+
+
 SPARK_QUERIES = {
     "gram_index": q_gram_index,
     "gram_counts": q_gram_counts,
@@ -5067,6 +5117,7 @@ SPARK_QUERIES = {
     "graph_kcore": q_graph_kcore,
     "sample_weighted": q_sample_weighted,
     "ann_pq_adc": q_ann_pq_adc,
+    "events_twa": q_events_twa,
 }
 
 ORACLES = {
@@ -5200,6 +5251,7 @@ ORACLES = {
     "graph_kcore": _o_graph_kcore(),
     "sample_weighted": _o_sample_weighted(),
     "ann_pq_adc": _o_pq_adc(),
+    "events_twa": O_EVENTS_TWA,
 }
 
 

@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "graph_kcore",
     "sample_weighted",
     "ann_pq_adc",
+    "events_twa",
 ]
 
 

@@ -64,3 +64,28 @@ def test_cohort_retention_matrix(spark):
         (0, 1): 1, (0, 3): 1,  # user 1 returns
         (1, 0): 1, (1, 1): 1,  # user 3
     }
+
+
+def test_events_twa_holds_value_until_next_sample(spark):
+    from pyspark.sql import functions as F
+
+    from assemblagedb_spark.harness import q_events_twa  # gate form
+    # direct operator-shape check on a hand aggregate: value 100 held for
+    # 3ms then 200 for 1ms -> twa = (100*3 + 200*1)/4 = 125
+    ev = spark.createDataFrame(
+        [(1, 0, "a", 1.0), (2, 3_000_000, "a", 2.0), (3, 4_000_000, "a", 9.9)],
+        "event_id long, ts long, event_type string, value double",
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    rows = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.expr("(lead(ts) over (partition by event_type order by ts, event_id) - ts) div 1000000").alias("gap_ms"),
+    ).filter(F.col("gap_ms").isNotNull())
+    out = rows.groupBy("event_type").agg(
+        F.expr("(1000 * sum(cents * gap_ms)) div sum(gap_ms)").alias("milli_twa")
+    ).first()
+    # (100*3 + 200*1) / 4 = 125 -> 125000 milli; the 9.9 sample has no
+    # successor and carries no weight
+    assert out["milli_twa"] == 125_000
