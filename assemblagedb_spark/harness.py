@@ -4988,6 +4988,42 @@ GROUP BY event_type
 """
 
 
+def q_events_drift_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer sufficient statistics for metric-drift regression per
+    event_type: x = event hour since epoch, y = metric cents; the state
+    (n, Σx, Σy, Σx², Σxy, Σy²) is everything OLS slope / Pearson r need,
+    it MERGES by plain addition (partial aggregation, sketch-style
+    re-aggregation up any rollup), and every sum stays far inside int64
+    at the graded scales (hours ≈ 5e5, cents ≤ 1e4). The float division
+    happens caller-side — the gate compares the exact integer state, the
+    same discipline as the centroid/k-means merge states."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.expr("ts div 3600000000000").cast("long")
+    y = F.round(F.col("value") * 100).cast("long")
+    rows = ev.select("event_type", x.alias("x"), y.alias("y"))
+    return rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_xx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sum_yy"),
+    )
+
+
+O_EVENTS_DRIFT_STATE = """
+WITH t AS (
+  SELECT event_type, epoch_ns(ts) // 3600000000000 AS x,
+         round(value * 100)::BIGINT AS y
+  FROM events)
+SELECT event_type, COUNT(*)::BIGINT AS n,
+       SUM(x)::BIGINT AS sum_x, SUM(y)::BIGINT AS sum_y,
+       SUM(x * x)::BIGINT AS sum_xx, SUM(x * y)::BIGINT AS sum_xy,
+       SUM(y * y)::BIGINT AS sum_yy
+FROM t GROUP BY event_type
+"""
+
+
 SPARK_QUERIES = {
     "gram_index": q_gram_index,
     "gram_counts": q_gram_counts,
@@ -5118,6 +5154,7 @@ SPARK_QUERIES = {
     "sample_weighted": q_sample_weighted,
     "ann_pq_adc": q_ann_pq_adc,
     "events_twa": q_events_twa,
+    "events_drift_state": q_events_drift_state,
 }
 
 ORACLES = {
@@ -5252,6 +5289,7 @@ ORACLES = {
     "sample_weighted": _o_sample_weighted(),
     "ann_pq_adc": _o_pq_adc(),
     "events_twa": O_EVENTS_TWA,
+    "events_drift_state": O_EVENTS_DRIFT_STATE,
 }
 
 

@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "sample_weighted",
     "ann_pq_adc",
     "events_twa",
+    "events_drift_state",
 ]
 
 

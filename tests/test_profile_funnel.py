@@ -89,3 +89,34 @@ def test_events_twa_holds_value_until_next_sample(spark):
     # (100*3 + 200*1) / 4 = 125 -> 125000 milli; the 9.9 sample has no
     # successor and carries no weight
     assert out["milli_twa"] == 125_000
+
+
+def test_drift_state_merges_by_addition(spark):
+    from pyspark.sql import functions as F
+
+    from assemblagedb_spark.harness import q_events_drift_state
+
+    # the state of the union equals the element-wise sum of per-half
+    # states — the mergeability that makes it a rollup-safe aggregate
+    import pandas as pd
+    rows = [(i, (i * 13) % 7, "t%d" % (i % 2), float(i % 11)) for i in range(500)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts long, event_type string, value double"
+    )
+    def state(df):
+        x = F.expr("ts div 1").cast("long")  # hours formula irrelevant here
+        y = F.round(F.col("value") * 100).cast("long")
+        r = df.select("event_type", x.alias("x"), y.alias("y"))
+        return {t["event_type"]: t for t in r.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("sum_x"), F.sum("y").alias("sum_y"),
+            F.sum(F.col("x")*F.col("x")).alias("sum_xx"),
+            F.sum(F.col("x")*F.col("y")).alias("sum_xy"),
+            F.sum(F.col("y")*F.col("y")).alias("sum_yy"),
+        ).collect()}
+    whole = state(ev)
+    h1 = state(ev.filter("event_id < 250"))
+    h2 = state(ev.filter("event_id >= 250"))
+    for t in whole:
+        for c in ("n", "sum_x", "sum_y", "sum_xx", "sum_xy", "sum_yy"):
+            assert whole[t][c] == h1[t][c] + h2[t][c], (t, c)
