@@ -5024,6 +5024,44 @@ FROM t GROUP BY event_type
 """
 
 
+_HIST_WIDTH_CENTS, _HIST_MAX_BIN = 500, 40
+
+
+def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram state of the metric per event_type: bin =
+    clamped cents // width. The add-mergeable approximate-quantile
+    companion to the exact two-phase path (`events_quantiles`): at 100 TB
+    the histogram is one map-side-partial aggregate with a bounded output
+    (types × bins), re-aggregates up any rollup, and answers p50/p95
+    within a bin width — the trade the exact path refuses. The gate
+    compares the integer state itself."""
+    ev = load_table(spark, sf_dir, "events")
+    # NB: clamp at 0 reconciles the div dialects (Spark div truncates
+    # toward zero, DuckDB // floors) — sub-zero cents land in bin 0 in
+    # both engines
+    b = F.least(
+        F.lit(_HIST_MAX_BIN),
+        F.greatest(F.lit(0), F.expr(
+            f"CAST(round(value * 100) AS BIGINT) div {_HIST_WIDTH_CENTS}"
+        )),
+    )
+    return (
+        ev.select("event_type", b.cast("long").alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+O_EVENTS_HISTOGRAM = f"""
+SELECT event_type,
+       LEAST({_HIST_MAX_BIN},
+             GREATEST(0, round(value * 100)::BIGINT // {_HIST_WIDTH_CENTS}))::BIGINT
+           AS bin,
+       COUNT(*)::BIGINT AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 SPARK_QUERIES = {
     "gram_index": q_gram_index,
     "gram_counts": q_gram_counts,
@@ -5155,6 +5193,7 @@ SPARK_QUERIES = {
     "ann_pq_adc": q_ann_pq_adc,
     "events_twa": q_events_twa,
     "events_drift_state": q_events_drift_state,
+    "events_histogram": q_events_histogram,
 }
 
 ORACLES = {
@@ -5290,6 +5329,7 @@ ORACLES = {
     "ann_pq_adc": _o_pq_adc(),
     "events_twa": O_EVENTS_TWA,
     "events_drift_state": O_EVENTS_DRIFT_STATE,
+    "events_histogram": O_EVENTS_HISTOGRAM,
 }
 
 

@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "ann_pq_adc",
     "events_twa",
     "events_drift_state",
+    "events_histogram",
 ]
 
 

@@ -120,3 +120,21 @@ def test_drift_state_merges_by_addition(spark):
     for t in whole:
         for c in ("n", "sum_x", "sum_y", "sum_xx", "sum_xy", "sum_yy"):
             assert whole[t][c] == h1[t][c] + h2[t][c], (t, c)
+
+
+def test_histogram_state_merges_and_bounds(spark):
+    from assemblagedb_spark.harness import q_events_histogram  # gate shape
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([-9.0, 0.1, 4.99, 5.0, 999.0])],
+        "event_id long, value double",
+    ).withColumn("event_type", F.lit("t"))
+    b = F.least(F.lit(40), F.greatest(F.lit(0), F.expr(
+        "CAST(round(value * 100) AS BIGINT) div 500")))
+    out = {r["bin"]: r["n"] for r in
+           ev.select(b.cast("long").alias("bin")).groupBy("bin")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    # -9.0 clamps to bin 0; 0.1 and 4.99 share bin 0; 5.0 -> bin 1;
+    # 999.0 (bin 199) clamps to the overflow bin 40
+    assert out == {0: 3, 1: 1, 40: 1}
