@@ -251,3 +251,41 @@ def test_weighted_sample_per_row_rates(spark):
     got = {r["doc_id"] for r in
            weighted_sample(wild, F.col("w"), key_col="doc_id").collect()}
     assert got == {1}
+
+
+def test_candidate_verify_equals_allpairs_restricted(spark):
+    from assemblagedb_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    # the candidate-bounded plan (pair list BELOW the gram join) must be
+    # row-identical to the all-pairs plan filtered to the same pairs —
+    # the join reordering is a pure execution-shape change
+    docs = spark.createDataFrame(
+        [(i, f"shared words {i % 4} tail token{i} more shared body text")
+         for i in range(24)],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(a, b) for a in range(24) for b in range(24)
+         if a < b and (a + b) % 3 == 0],
+        "id_a long, id_b long",
+    )
+    fast = {(r["id_a"], r["id_b"]): (r["inter"], r["n_a"], r["n_b"])
+            for r in ngram_jaccard_pairs(
+                docs, min_jaccard=0.0, candidates=cand).collect()}
+    slow_all = ngram_jaccard_pairs(docs, min_jaccard=0.0)
+    slow = {(r["id_a"], r["id_b"]): (r["inter"], r["n_a"], r["n_b"])
+            for r in slow_all.join(cand, ["id_a", "id_b"]).collect()}
+    assert fast == slow and len(fast) > 10
+    # containment consistency on the same pairs: same inter/sizes, and
+    # containment_a,b = inter/n_a, inter/n_b exactly
+    cont = {(r["id_a"], r["id_b"]): r
+            for r in ngram_containment_pairs(docs, cand).collect()}
+    assert set(cont) == set(fast)
+    for k, (inter, na, nb) in fast.items():
+        r = cont[k]
+        assert (r["inter"], r["n_a"], r["n_b"]) == (inter, na, nb)
+        assert r["containment_a"] == inter / na
+        assert r["containment_b"] == inter / nb
