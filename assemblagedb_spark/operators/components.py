@@ -83,7 +83,12 @@ def label_propagation_components(
             .localCheckpoint(eager=True)  # one round computed once; lineage flat
         )
         labels = nxt.select("node_id", "component")
-        if probe and nxt.filter(F.col("component") != F.col("prev")).count() == 0:
+        # labels virtually always change in the first rounds — skip those
+        # probe jobs (exactness unaffected: propagation past convergence
+        # is the identity, the loop just exits at the next probe)
+        if probe and r >= 2 and nxt.filter(
+            F.col("component") != F.col("prev")
+        ).count() == 0:
             break
     und.unpersist()
     return labels
