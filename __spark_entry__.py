@@ -27,12 +27,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from assemblagedb_spark.harness import SPARK_QUERIES
+    """All declared queries, ordered least-recently-driver-graded first.
 
-    return dict(SPARK_QUERIES)
+    The driver grades the first 50 entries per round. The order is NOT
+    hand-picked: ``grading_order()`` is a pure function of the committed
+    CORRECTNESS_r*.json ledger — never-graded queries and queries whose
+    gate changed since their last grade lead (declaration order), then
+    everything else oldest-grade-first — so newly added or changed gates
+    are always in the next driver window. The in-repo registries
+    (``SPARK_QUERIES``/``ORACLES``) keep plain declaration order.
+    """
+    from assemblagedb_spark.harness import SPARK_QUERIES, grading_order
+
+    return {k: SPARK_QUERIES[k] for k in grading_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    from assemblagedb_spark.harness import ORACLES
+    from assemblagedb_spark.harness import ORACLES, grading_order
 
-    return dict(ORACLES)
+    return {k: ORACLES[k] for k in grading_order() if k in ORACLES}

@@ -3957,28 +3957,50 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(docs, _MIX_WEIGHTS, domain_col="lang")
 
 
+def _mix_weight_cases() -> tuple[str, str, str]:
+    """Numerator/denominator CASE expressions for the snapped exact
+    rationals of _MIX_WEIGHTS (sampling.snap_weight — the SAME rationals
+    the Spark side computes with), plus the lang list."""
+    from assemblagedb_spark.operators.sampling import snap_weight
+
+    wf = {d: snap_weight(w) for d, w in _MIX_WEIGHTS.items()}
+    wn_case = "CASE lang " + " ".join(
+        f"WHEN '{d}' THEN {f.numerator}" for d, f in wf.items()
+    ) + " END"
+    wd_case = "CASE lang " + " ".join(
+        f"WHEN '{d}' THEN {f.denominator}" for d, f in wf.items()
+    ) + " END"
+    langs = ", ".join(f"'{d}'" for d in _MIX_WEIGHTS)
+    return wn_case, wd_case, langs
+
+
 def _o_mixture() -> str:
     from assemblagedb_spark.operators.sampling import SAMPLE_A, SAMPLE_B
     from assemblagedb_spark.functions.core import MINHASH_PRIME
 
-    w_case = "CASE lang " + " ".join(
-        f"WHEN '{d}' THEN {w}" for d, w in _MIX_WEIGHTS.items()
-    ) + " END"
-    langs = ", ".join(f"'{d}'" for d in _MIX_WEIGHTS)
-    # mirrors mixture_sample arithmetic step for step: C = min(n_d / w_d),
-    # permille_d = floor(((C * w_d) / n_d) * 1000), gate = permille bucket;
-    # the binding domain (n/w == C, identical doubles both engines) is
-    # pinned to exactly 1000, mirroring sampling.mixture_sample
+    wn_case, wd_case, langs = _mix_weight_cases()
+    # mirrors mixture_sample/exact_permille in pure INTEGER arithmetic:
+    # ratio_d = n_d * wd_d / wn_d as an exact rational; the binding
+    # domain is the cross-multiplied argmin (no float n/w equality on
+    # either engine); permille_d = exact HUGEINT floor division. Ties all
+    # pin to 1000 (tied domains have rate exactly 1).
     return f"""
 WITH counts AS (
-  SELECT lang, COUNT(*) AS n, {w_case} AS w
+  SELECT lang, COUNT(*)::HUGEINT AS n,
+         ({wn_case})::HUGEINT AS wn, ({wd_case})::HUGEINT AS wd
   FROM documents WHERE lang IN ({langs}) GROUP BY lang
 ),
-c AS (SELECT MIN(n / w) AS c FROM counts),
+b AS (
+  SELECT n AS bn, wn AS bwn, wd AS bwd FROM counts c1
+  WHERE NOT EXISTS (SELECT 1 FROM counts c2
+                    WHERE c2.n * c2.wd * c1.wn < c1.n * c1.wd * c2.wn)
+  ORDER BY lang LIMIT 1
+),
 perm AS (
-  SELECT lang, CASE WHEN n / w = c.c THEN 1000
-               ELSE LEAST(1000, floor(((c.c * w) / n) * 1000)) END::BIGINT AS p
-  FROM counts, c
+  SELECT lang, CASE WHEN n * wd * b.bwn = b.bn * b.bwd * wn THEN 1000
+               ELSE LEAST(1000, (b.bn * b.bwd * wn * 1000)
+                                // (b.bwn * wd * n)) END::BIGINT AS p
+  FROM counts, b
 )
 SELECT d.doc_id, d.lang, d.source
 FROM documents d JOIN perm USING (lang)
@@ -4330,20 +4352,28 @@ def _o_repeat() -> str:
     from assemblagedb_spark.functions.core import MINHASH_PRIME
     from assemblagedb_spark.operators.sampling import SAMPLE_A, SAMPLE_B
 
-    w_case = "CASE lang " + " ".join(
-        f"WHEN '{d}' THEN {w}" for d, w in _MIX_WEIGHTS.items()
-    ) + " END"
-    langs = ", ".join(f"'{d}'" for d in _MIX_WEIGHTS)
+    wn_case, wd_case, langs = _mix_weight_cases()
+    # integer mirror of repeat_to_mixture/exact_permille: binding = the
+    # cross-multiplied argMAX of n_d*wd_d/wn_d (best-represented domain,
+    # pinned to one epoch); repeat permille = exact HUGEINT floor,
+    # capped at max_repeat*1000 = 10000
     return f"""
 WITH counts AS (
-  SELECT lang, COUNT(*) AS n, {w_case} AS w
+  SELECT lang, COUNT(*)::HUGEINT AS n,
+         ({wn_case})::HUGEINT AS wn, ({wd_case})::HUGEINT AS wd
   FROM documents WHERE lang IN ({langs}) GROUP BY lang
 ),
-c AS (SELECT MAX(n / w) AS c FROM counts),
+b AS (
+  SELECT n AS bn, wn AS bwn, wd AS bwd FROM counts c1
+  WHERE NOT EXISTS (SELECT 1 FROM counts c2
+                    WHERE c2.n * c2.wd * c1.wn > c1.n * c1.wd * c2.wn)
+  ORDER BY lang LIMIT 1
+),
 perm AS (
-  SELECT lang, CASE WHEN n / w = c.c THEN 1000
-               ELSE LEAST(10000, floor(((c.c * w) / n) * 1000)) END::BIGINT AS p
-  FROM counts, c
+  SELECT lang, CASE WHEN n * wd * b.bwn = b.bn * b.bwd * wn THEN 1000
+               ELSE LEAST(10000, (b.bn * b.bwd * wn * 1000)
+                                 // (b.bwn * wd * n)) END::BIGINT AS p
+  FROM counts, b
 ),
 r AS (
   SELECT d.doc_id, d.lang,
@@ -4529,7 +4559,10 @@ def q_graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     fewest hops from any seed (sampled customers ∪ sampled part hubs).
     Shared L nodes are reachable from a P seed at depth 1 AND a C seed at
     depth 2 — the min-depth (first-visit) invariant is what the gate
-    pins. Round 3 finds nothing and the loop early-exits."""
+    pins. max_depth=2 matches the oracle's d0/d1/d2 CTEs exactly, so the
+    gate does not depend on the generated graph happening to have no
+    depth-3 node (the C→O→L/P→L graph is 2-deep today, but a data-gen
+    change must not silently unbalance the two sides)."""
     from assemblagedb_spark.operators.components import bfs_depth
 
     e = _shared_graph_edges(spark, sf_dir)
@@ -4548,7 +4581,7 @@ def q_graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
     )
-    return bfs_depth(e, seeds, max_depth=3)
+    return bfs_depth(e, seeds, max_depth=2)
 
 
 O_GRAPH_BFS_DEPTH = f"""
@@ -5334,82 +5367,69 @@ ORACLES = {
 
 
 # ---------------------------------------------------------------------------
-# Driver grading window rotation
+# Driver grading order (mechanical; no hand-picked windows)
 # ---------------------------------------------------------------------------
-# The driver grades only the FIRST 50 entries of SPARK_QUERIES each round,
-# so dict order decides which gates get a hard driver-confirmed row. The
-# window below front-loads every query that has never been driver-graded
-# (plus the two whose gates changed this round), so each declared query
-# accumulates a driver-green row across rounds. Full ledger: ROTATION.md.
-_ROUND_WINDOW = [
-    # ever-red (r1) and never re-graded — must lead the window
-    "events_sessions",
-    # dtype-risk fixes this round (label int32 -> int64)
-    "kmeans_train",
-    "ann_ivf_trained",
-    # gates whose arithmetic changed this round (threshold / binding-pin)
-    "dedup_jaccard",
-    "sample_mixture",
-    "sample_repeat",
-    # low-row similarity gates the judge flagged for vacuity risk
-    "dedup_simhash_pairs",
-    "embedding_centroids",
-    "embedding_assign",
-    "crossmodal_centroids",
-    # remaining never-driver-graded queries (r2 additions + rotated-out)
-    "import_xor",
-    "graph_shared",
-    "graph_preview",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "mvcc_compaction",
-    "mvcc_diff",
-    "graph_cyclic",
-    "graph_components",
-    "graph_pagerank",
-    "graph_triangles",
-    "graph_ppr",
-    "graph_blank",
-    "export_incremental",
-    "view_sections",
-    "view_tile",
-    "siblings_escalated",
-    "markup_roundtrip",
-    "events_asof",
-    "events_range_pairs",
-    "events_funnel",
-    "events_retention",
-    "events_outliers_grouped",
-    "sample_bernoulli",
-    "sample_stratified",
-    "text_decontam",
-    "pii_scrub",
-    "text_repetition",
-    "text_boilerplate",
-    "text_tfidf",
-    "text_outliers",
-    "select_budget",
-    "training_order",
-    "distinct_hll",
-    "sketch_countmin",
-    "sketch_join_est",
-    "bloom_semijoin",
-    "dedup_incremental",
-    "table_profile",
-    "layout_zorder",
-]
+# SPARK_QUERIES / ORACLES keep DECLARATION order for every in-repo consumer
+# (tests, tools, bench) and are never mutated. The external driver grades
+# only the FIRST 50 entries of the exported ``queries()`` dict each round,
+# so ``__spark_entry__`` orders its EXPORT by :func:`grading_order` — a
+# pure function of the committed grading ledger (CORRECTNESS_r*.json):
+#   1. queries never driver-graded, or whose gate semantics changed after
+#      their last grade (``_GATE_CHANGED_IN_ROUND``), in declaration order;
+#   2. everything else, least-recently-graded first, declaration order as
+#      the tiebreak.
+# New or changed gates therefore CANNOT be left out of the next driver
+# grade, and no round's window is hand-picked (round-3 review finding —
+# the previous explicit window list steered what the grader saw). The
+# human-readable ledger narrative stays in ROTATION.md.
+
+# gate-semantics changes (Spark query OR oracle side) -> round they landed
+# in; such a query sorts as ungraded until the driver re-grades it
+_GATE_CHANGED_IN_ROUND = {
+    "sample_mixture": 4,   # exact-rational permille pin (Fraction/HUGEINT)
+    "sample_repeat": 4,    # exact-rational permille pin (Fraction/HUGEINT)
+    "graph_bfs_depth": 4,  # max_depth=2 pinned to the oracle's d0..d2
+}
 
 
-def _rotate_window(d: dict, window: list[str]) -> dict:
-    """Window entries first (declared order), everything else after, in
-    original declaration order. Unknown window names fail loudly."""
-    missing = [k for k in window if k not in d]
-    if missing:
-        raise KeyError(f"rotation window names unknown queries: {missing}")
-    out = {k: d[k] for k in window}
-    out.update({k: v for k, v in d.items() if k not in out})
+def _graded_rounds(repo_root: str | None = None) -> dict[str, int]:
+    """query name -> latest round with a driver grading row (green or
+    red), read from the committed CORRECTNESS_r*.json artifacts."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = repo_root or os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    out: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            for name in rows:
+                out[name] = max(out.get(name, 0), rnd)
     return out
 
 
-SPARK_QUERIES = _rotate_window(SPARK_QUERIES, _ROUND_WINDOW)
-ORACLES = _rotate_window(ORACLES, [k for k in _ROUND_WINDOW if k in ORACLES])
+def grading_order(repo_root: str | None = None) -> list[str]:
+    """Deterministic least-recently-driver-graded export order for
+    ``__spark_entry__.queries()`` (see block comment above)."""
+    graded = _graded_rounds(repo_root)
+    decl = {name: i for i, name in enumerate(SPARK_QUERIES)}
+
+    def key(name: str) -> tuple[int, int]:
+        last = graded.get(name, 0)
+        if _GATE_CHANGED_IN_ROUND.get(name, 0) > last:
+            last = 0
+        return (last, decl[name])
+
+    return sorted(SPARK_QUERIES, key=key)

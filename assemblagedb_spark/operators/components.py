@@ -414,6 +414,7 @@ def k_core(
     *,
     max_rounds: int = 100,
     assume_distinct: bool = False,
+    broadcast_max_alive: int = 2_000_000,
 ) -> DataFrame:
     """The k-core of the undirected simple graph: iteratively peel every
     node whose current degree is below ``k`` (all at once per round) until
@@ -438,6 +439,16 @@ def k_core(
     parent and child id spaces are disjoint) — skips the symmetrized
     3-way distinct, which is otherwise the single most expensive shuffle
     of the whole job (measured ~half the sf0.1 wall time).
+
+    ``broadcast_max_alive``: the alive set shrinks monotonically but
+    starts near |V|; for small ``k`` it may never get small. Each round
+    already counts the alive set exactly (the convergence probe), so the
+    semi-joins broadcast only while ``n_alive <= broadcast_max_alive``
+    (~2M longs ≈ tens of MB — safely under executor/driver broadcast
+    limits) and otherwise fall back to a shuffle semi-join that reuses
+    ``e``'s hash partitioning on ``u``. At 100 TB the early
+    nearly-full-V rounds shuffle; the long tail of shrinking rounds
+    broadcasts.
     """
     fwd = edges.select(
         F.col("parent_id").alias("u"), F.col("child_id").alias("v")
@@ -464,21 +475,27 @@ def k_core(
         .localCheckpoint(eager=True)
     )
     n_alive = alive.count()
+
+    def _alive_restrict(edge_rel: DataFrame, alive_rel: DataFrame,
+                        n: int) -> DataFrame:
+        # a dead endpoint cannot revive (its row is dropped by the
+        # semi-join); broadcast only when the alive set is provably small
+        # (n is the exact count from the convergence probe), else let the
+        # planner shuffle — e is already hash-partitioned on u
+        small = n <= broadcast_max_alive
+        v_side = alive_rel.select(F.col("node_id").alias("v"))
+        u_side = alive_rel.select(F.col("node_id").alias("u"))
+        if small:
+            v_side, u_side = F.broadcast(v_side), F.broadcast(u_side)
+        return (
+            edge_rel.join(v_side, "v", "left_semi")
+            .join(u_side, "u", "left_semi")
+        )
+
     for _ in range(max_rounds - 1):
-        # degree counting only edges whose far endpoint is still alive;
-        # a dead u cannot revive (its row is dropped by the semi-join)
-        # the alive set shrinks monotonically and is orders of magnitude
-        # smaller than |E| — broadcast both semi-joins so each round is a
-        # single pass over the static edge blocks with no shuffle of e
+        # degree counting only edges whose far endpoint is still alive
         deg = (
-            e.join(
-                F.broadcast(alive.select(F.col("node_id").alias("v"))),
-                "v", "left_semi",
-            )
-            .join(
-                F.broadcast(alive.select(F.col("node_id").alias("u"))),
-                "u", "left_semi",
-            )
+            _alive_restrict(e, alive, n_alive)
             .groupBy("u")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
@@ -492,14 +509,7 @@ def k_core(
             break
         alive, n_alive = nxt, m
     return (
-        e.join(
-            F.broadcast(alive.select(F.col("node_id").alias("v"))),
-            "v", "left_semi",
-        )
-        .join(
-            F.broadcast(alive.select(F.col("node_id").alias("u"))),
-            "u", "left_semi",
-        )
+        _alive_restrict(e, alive, n_alive)
         .groupBy("u")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
         .withColumnRenamed("u", "node_id")

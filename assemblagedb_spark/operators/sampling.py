@@ -13,6 +13,8 @@ key samples in or out everywhere — exactly what train/eval splits need).
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import DataFrame, functions as F
 
 from assemblagedb_spark.functions.core import MINHASH_PRIME
@@ -21,6 +23,47 @@ from assemblagedb_spark.functions.core import MINHASH_PRIME
 # (a, b) works, these are the repo-wide defaults so splits are stable
 SAMPLE_A = 2654435761
 SAMPLE_B = 97531
+
+
+def snap_weight(w: float) -> Fraction:
+    """The exact rational a float mixture weight STANDS FOR: the nearest
+    fraction with denominator ≤ 10^6 (so 0.2 means 1/5, not the binary
+    double 0.2000…0111). All mixture arithmetic — binding-domain
+    selection and permille floors — runs on these exact rationals, which
+    makes the thresholds integer-replayable in any engine (the DuckDB
+    oracles re-derive them with HUGEINT cross-multiplication from the
+    same numerator/denominator literals) instead of depending on float
+    equality surviving a SQL round-trip."""
+    return Fraction(w).limit_denominator(10**6)
+
+
+def exact_permille(
+    counts: dict[str, int],
+    weights: dict[str, float],
+    *,
+    binding: str,
+    cap: int,
+) -> dict[str, int]:
+    """Permille acceptance/repeat thresholds per domain with the binding
+    domain pinned to exactly 1000. ``binding='min'`` → C = min(n_d/w_d)
+    (down-sampling: max rate hits 1); ``'max'`` → C = max (up-sampling:
+    min repeat hits 1). Pure ``Fraction`` arithmetic end to end: the
+    binding test is exact rational equality and every floor is an exact
+    integer floor, so no domain can be silently un-pinned by float
+    rounding on either engine (the round-3 permille-floor bug class,
+    closed for good)."""
+    wf = {d: snap_weight(weights[d]) for d in counts}
+    ratios = {
+        d: Fraction(counts[d], 1) / wf[d] for d in counts if wf[d] > 0
+    }
+    if not ratios:
+        return {}
+    c = min(ratios.values()) if binding == "min" else max(ratios.values())
+    return {
+        d: 1000 if ratios[d] == c
+        else min(cap, int(c * wf[d] / counts[d] * 1000))
+        for d in ratios
+    }
 
 
 def sample_bucket(key_col: str, seed: int = 1) -> F.Column:
@@ -124,20 +167,11 @@ def mixture_sample(
     }
     if not counts:
         return df.filter(F.lit(False))
-    # C = min over represented domains of n_d / w_d  -> max rate hits 1
-    ratios = {d: counts[d] / weights[d] for d in counts if weights[d] > 0}
-    c = min(ratios.values())
-    # permille thresholds, floored: rate becomes exact integer permille so
-    # the hash gate (bucket < threshold) is engine-replayable. The binding
-    # domain's permille is PINNED to 1000: the float round-trip
-    # int(c*w/n*1000) can land on 999 for the domain where c*w/n == 1
-    # exactly in the rationals (e.g. n=3, w=0.7), silently dropping ~0.1%
-    # of the domain documented as kept at 100%.
-    permille = {
-        d: 1000 if ratios.get(d) == c
-        else min(1000, int(c * weights[d] / counts[d] * 1000))
-        for d in counts
-    }
+    # exact-rational thresholds, binding domain pinned to 1000 — see
+    # exact_permille (no float equality anywhere in the pin)
+    permille = exact_permille(counts, weights, binding="min", cap=1000)
+    if not permille:
+        return df.filter(F.lit(False))
     gate = None
     bucket = sample_bucket(key_col, seed)
     for d, p in permille.items():
@@ -205,18 +239,13 @@ def repeat_to_mixture(
     }
     if not counts:
         return df.filter(F.lit(False)).withColumn("epoch", F.lit(0).cast("long"))
-    # normalize so min(r_d) = 1: the best-represented domain repeats once.
-    # Its permille is PINNED to 1000 (exactly one epoch, no fractional
-    # gate): the float round-trip int(c*w/n*1000) can floor the binding
-    # domain to 999, emitting reps=0 for ~0.1% of it and violating the
-    # "nothing is ever dropped" contract.
-    ratios = {d: counts[d] / weights[d] for d in counts}
-    c = max(ratios.values())
-    permille = {
-        d: 1000 if ratios[d] == c
-        else min(max_repeat * 1000, int(c * weights[d] / counts[d] * 1000))
-        for d in counts
-    }
+    # normalize so min(r_d) = 1: the best-represented domain repeats
+    # exactly once — its permille is pinned to 1000 by exact_permille
+    # ("nothing is ever dropped" holds by exact rational arithmetic, not
+    # by a float round-trip landing on the right side of 1000)
+    permille = exact_permille(
+        counts, weights, binding="max", cap=max_repeat * 1000
+    )
     bucket = sample_bucket(key_col, seed)
     reps = None
     for d, p in permille.items():

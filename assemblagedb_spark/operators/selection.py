@@ -29,17 +29,13 @@ _PID = "__pid"
 _LOCAL = "__local"
 _OFFSET = "__offset"
 
-# test hook: plan-property tests flip this off so the range-partitioned
-# prefix stage stays visible in explain() (localCheckpoint truncates it)
-_PIN_LOCAL_PREFIX = True
-
-
 def _two_phase_prefix(
     df: DataFrame,
     order: Sequence[Column],
     value: Column,
     out_col: str,
     num_partitions: int | None,
+    pin: bool = True,
 ) -> DataFrame:
     """Global inclusive running SUM of ``value`` in ``order`` — distributed
     two-phase plan (see module docstring)."""
@@ -58,8 +54,12 @@ def _two_phase_prefix(
     # persist) so the blocks are ContextCleaner-reclaimed when the result
     # goes out of scope — persist() registers in the SQL CacheManager and
     # accumulates forever in a long-lived session.
+    # ``pin=False`` is for plan inspection only (localCheckpoint truncates
+    # the visible plan); production callers keep the default. A keyword
+    # argument, not a module global: no cross-thread or failed-test leak
+    # can change production plan shape.
     local = ranged.withColumn(_LOCAL, F.sum(value).over(w))
-    if _PIN_LOCAL_PREFIX:
+    if pin:
         local = local.localCheckpoint(eager=True)
     totals = {
         r[_PID]: r["t"]
@@ -85,9 +85,10 @@ def global_running_sum(
     value: Column,
     out_col: str = "running_sum",
     num_partitions: int | None = None,
+    pin: bool = True,
 ) -> DataFrame:
     """Inclusive global running sum of ``value`` over the total order."""
-    return _two_phase_prefix(df, order, value, out_col, num_partitions)
+    return _two_phase_prefix(df, order, value, out_col, num_partitions, pin)
 
 
 def global_row_number(
@@ -95,9 +96,10 @@ def global_row_number(
     order: Sequence[Column],
     out_col: str = "row_idx",
     num_partitions: int | None = None,
+    pin: bool = True,
 ) -> DataFrame:
     """1-based global row number over the total order (running count)."""
-    return _two_phase_prefix(df, order, F.lit(1), out_col, num_partitions)
+    return _two_phase_prefix(df, order, F.lit(1), out_col, num_partitions, pin)
 
 
 def select_token_budget(
@@ -108,6 +110,7 @@ def select_token_budget(
     score_col: str = "score",
     token_col: str = "n_tokens",
     num_partitions: int | None = None,
+    pin: bool = True,
 ) -> DataFrame:
     """Greedy quality-ordered selection: keep documents in descending
     ``score_col`` (ties broken by ascending id) while the INCLUSIVE
@@ -119,7 +122,7 @@ def select_token_budget(
     """
     order = [F.col(score_col).desc(), F.col(id_col).asc()]
     ranked = _two_phase_prefix(
-        docs, order, F.col(token_col), "cum_tokens", num_partitions
+        docs, order, F.col(token_col), "cum_tokens", num_partitions, pin
     )
     return ranked.filter(F.col("cum_tokens") <= budget)
 

@@ -1,0 +1,77 @@
+"""The driver grades the first 50 exported queries per round; the export
+order must be a pure function of the committed grading ledger — never
+hand-picked (round-3 review finding). These tests pin the invariants that
+make steering impossible: completeness, never-graded-first, and
+changed-gate promotion."""
+
+from __future__ import annotations
+
+import json
+
+from assemblagedb_spark import harness
+
+
+def test_order_is_a_permutation_of_the_registry():
+    order = harness.grading_order()
+    assert sorted(order) == sorted(harness.SPARK_QUERIES)
+    assert len(order) == len(set(order))
+
+
+def test_registry_keeps_declaration_order_unmutated():
+    # every oracle key exists in the query registry and the registries are
+    # plain dicts in declaration order (no rotation wrapper reordered them)
+    assert set(harness.ORACLES) <= set(harness.SPARK_QUERIES)
+
+
+def test_never_graded_queries_lead(tmp_path, monkeypatch):
+    monkeypatch.setattr(harness, "_GATE_CHANGED_IN_ROUND", {})
+    names = list(harness.SPARK_QUERIES)
+    graded = names[: len(names) // 2]
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: {"rows_match": True} for n in graded})
+    )
+    order = harness.grading_order(str(tmp_path))
+    ungraded = [n for n in names if n not in set(graded)]
+    assert order[: len(ungraded)] == ungraded  # declaration order, first
+    assert order[len(ungraded):] == graded
+
+
+def test_changed_gate_sorts_as_ungraded(tmp_path, monkeypatch):
+    names = list(harness.SPARK_QUERIES)
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: {"rows_match": True} for n in names})
+    )
+    victim = names[-1]
+    monkeypatch.setattr(harness, "_GATE_CHANGED_IN_ROUND", {victim: 2})
+    order = harness.grading_order(str(tmp_path))
+    assert order[0] == victim
+    # ...and once re-graded in a later round, it goes back in the queue
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({victim: {"rows_match": True}})
+    )
+    order2 = harness.grading_order(str(tmp_path))
+    assert order2[-1] == victim
+
+
+def test_least_recently_graded_first(tmp_path, monkeypatch):
+    monkeypatch.setattr(harness, "_GATE_CHANGED_IN_ROUND", {})
+    names = list(harness.SPARK_QUERIES)
+    half = len(names) // 2
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: {} for n in names[:half]})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({n: {} for n in names[half:]})
+    )
+    order = harness.grading_order(str(tmp_path))
+    assert order[:half] == names[:half]
+    assert order[half:] == names[half:]
+
+
+def test_export_applies_grading_order():
+    import __spark_entry__ as entry
+
+    assert list(entry.queries()) == harness.grading_order()
+    exported = list(entry.oracle_sql())
+    expected = [n for n in harness.grading_order() if n in harness.ORACLES]
+    assert exported == expected

@@ -156,16 +156,19 @@ def test_select_budget_avoids_single_partition_sort(spark, sf_dir):
     # the two-phase prefix must range-partition, never collapse the
     # relation into one task the way a global Window.orderBy would. The
     # local-prefix stage is normally localCheckpoint-ed (cache-leak fix),
-    # which truncates the visible plan — flip the pin off so the full
-    # two-phase plan is inspectable.
-    import assemblagedb_spark.operators.selection as sel
+    # which truncates the visible plan — pin=False (a per-call kwarg, no
+    # module-global mutation) keeps the full two-phase plan inspectable
+    # on the same harness inputs the gated query uses.
+    from assemblagedb_spark.operators.selection import select_token_budget
+    from assemblagedb_spark.operators.textstats import token_stats
+    from pyspark.sql import functions as F
 
-    old = sel._PIN_LOCAL_PREFIX
-    sel._PIN_LOCAL_PREFIX = False
-    try:
-        plan = formatted_plan(h.q_select_budget(spark, sf_dir))
-    finally:
-        sel._PIN_LOCAL_PREFIX = old
+    stats = token_stats(h.load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("n_tokens"),
+        F.col("n_distinct_tokens").alias("score"),
+    )
+    plan = formatted_plan(select_token_budget(stats, 10_000, pin=False))
     assert "rangepartitioning" in plan.lower()
     assert "singlepartition" not in plan.lower()
 
