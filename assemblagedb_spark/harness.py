@@ -4427,23 +4427,47 @@ FROM t JOIN q USING (event_type)
 # ---------------------------------------------------------------------------
 
 
+_OVERLAP_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _doc_lsh_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared heavy stage of the two verify gates: LSH candidate pairs ->
+    exact (id_a, id_b, inter, n_a, n_b) gram-overlap relation, persisted
+    once per (session, sf_dir) — jaccard and containment are projections
+    of it (dedup.ngram_overlap_pairs), so running both gates (the normal
+    pipeline: symmetric near-dup + quotation detection over the same
+    candidates) pays candidate generation + verification once. Same memo
+    discipline as _MINHASH_CACHE; the relation is candidate-bounded
+    (~116k rows at sf0.1), far below executor cache pressure."""
+    from assemblagedb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        ngram_overlap_pairs,
+    )
+
+    key = (id(spark), sf_dir)
+    if key not in _OVERLAP_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        sig = _doc_minhash_sigs(spark, sf_dir)
+        pairs = lsh_candidate_pairs(
+            sig, bands=_LSH_BANDS, rows_per_band=_LSH_ROWS
+        )
+        _OVERLAP_CACHE[key] = ngram_overlap_pairs(docs, pairs).persist()
+    return _OVERLAP_CACHE[key]
+
+
 def q_dedup_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production dedup pipeline END TO END: MinHash-LSH candidate
     pairs -> exact n-gram jaccard verification restricted to those
-    candidates (``ngram_jaccard_pairs(candidates=...)`` — the 100 TB path,
-    previously ungated). Pairs whose shingle sets share no gram (pure
-    minhash collisions) drop out, mirrored by the oracle's inter >= 1
-    join. min_jaccard=0 so the gate pins the verify arithmetic itself,
-    not a threshold."""
-    from assemblagedb_spark.operators.dedup import (
-        lsh_candidate_pairs,
-        ngram_jaccard_pairs,
-    )
+    candidates (the 100 TB path). Pairs whose shingle sets share no gram
+    (pure minhash collisions) drop out, mirrored by the oracle's
+    inter >= 1 join. min_jaccard=0 so the gate pins the verify arithmetic
+    itself, not a threshold. The overlap relation is shared with
+    q_dedup_containment (_doc_lsh_overlap)."""
+    from assemblagedb_spark.operators.dedup import jaccard_from_overlap
 
-    docs = load_table(spark, sf_dir, "documents")
-    sig = _doc_minhash_sigs(spark, sf_dir)
-    pairs = lsh_candidate_pairs(sig, bands=_LSH_BANDS, rows_per_band=_LSH_ROWS)
-    return ngram_jaccard_pairs(docs, candidates=pairs, min_jaccard=0.0)
+    return jaccard_from_overlap(
+        _doc_lsh_overlap(spark, sf_dir), min_jaccard=0.0
+    )
 
 
 _O_LSH_CAND_CTE = (
@@ -4473,16 +4497,11 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact asymmetric containment (|A∩B|/|A|, |A∩B|/|B|) over the LSH
     candidate pairs — the sub-document/quotation detector jaccard misses
     (asymmetric-denominator analogue of the reference's
-    AsymmetricBasedOnSourceOnly find mode, index.rs:230-236)."""
-    from assemblagedb_spark.operators.dedup import (
-        lsh_candidate_pairs,
-        ngram_containment_pairs,
-    )
+    AsymmetricBasedOnSourceOnly find mode, index.rs:230-236). Projects
+    the shared persisted overlap relation (_doc_lsh_overlap)."""
+    from assemblagedb_spark.operators.dedup import containment_from_overlap
 
-    docs = load_table(spark, sf_dir, "documents")
-    sig = _doc_minhash_sigs(spark, sf_dir)
-    pairs = lsh_candidate_pairs(sig, bands=_LSH_BANDS, rows_per_band=_LSH_ROWS)
-    return ngram_containment_pairs(docs, pairs)
+    return containment_from_overlap(_doc_lsh_overlap(spark, sf_dir))
 
 
 O_DEDUP_CONTAINMENT = (

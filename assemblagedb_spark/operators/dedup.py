@@ -149,6 +149,81 @@ def minhash_jaccard_estimate(signatures: DataFrame, pairs: DataFrame) -> DataFra
 # ---------------------------------------------------------------------------
 
 
+def ngram_overlap_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The shared exact-verification core of candidate-bounded jaccard
+    and containment: ``(id_a, id_b, inter, n_a, n_b)`` — per candidate
+    pair, the distinct-4-gram intersection size and both shingle-set
+    sizes. Jaccard and both containments are pure projections of this
+    relation, so a pipeline that wants several similarity scores over the
+    same LSH candidates (the normal case) pays the heavy stage once.
+
+    Scale shape: the candidate pair list joins each side's shingles on
+    its own id BELOW the gram equi-join, so work is Σ over candidate
+    pairs of the pair's gram overlap — never the quadratic postings
+    self-join (an optimizer cannot push a join below an aggregation, so
+    this ordering must be written, not hoped for). ``candidates`` must be
+    DISTINCT (id_a, id_b) pairs: a duplicate row would inflate ``inter``,
+    not duplicate an output row.
+    """
+    # spread the scan before the shingle explode: a corpus file small in
+    # bytes but large in gram expansion can land the whole explode (and
+    # the candidate joins above it) in ONE task; guarded so a large input
+    # never pays a raw-text shuffle
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism // 2:
+        docs = docs.repartition(parallelism, id_col)
+    shingles = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(grams_array(text_col))).alias("gram"),
+    )
+    sizes = shingles.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ga = shingles.select(F.col("doc_id").alias("id_a"), "gram")
+    gb = shingles.select(F.col("doc_id").alias("id_b"), "gram")
+    inter = (
+        candidates.select("id_a", "id_b")
+        .join(ga, "id_a")
+        .join(gb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    return inter.join(na, "id_a").join(nb, "id_b").select(
+        "id_a", "id_b", "inter", "n_a", "n_b"
+    )
+
+
+def jaccard_from_overlap(
+    overlap: DataFrame, *, min_jaccard: float = 0.5
+) -> DataFrame:
+    """Jaccard projection of :func:`ngram_overlap_pairs` output."""
+    return (
+        overlap.withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")
+    )
+
+
+def containment_from_overlap(overlap: DataFrame) -> DataFrame:
+    """Asymmetric-containment projection of :func:`ngram_overlap_pairs`."""
+    return overlap.select(
+        "id_a", "id_b", "inter", "n_a", "n_b",
+        (F.col("inter") / F.col("n_a")).alias("containment_a"),
+        (F.col("inter") / F.col("n_b")).alias("containment_b"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     *,
@@ -176,10 +251,14 @@ def ngram_jaccard_pairs(
     would double-count its gram matches rather than duplicate an output
     row, silently inflating ``inter``.
     """
+    if candidates is not None:
+        overlap = ngram_overlap_pairs(
+            docs, candidates, id_col=id_col, text_col=text_col
+        )
+        return jaccard_from_overlap(overlap, min_jaccard=min_jaccard)
     # spread the scan before the shingle explode: a corpus file small in
-    # bytes but large in gram expansion can land the whole explode (and
-    # the candidate joins above it) in ONE task; guarded so a large input
-    # never pays a raw-text shuffle
+    # bytes but large in gram expansion can land the whole explode in ONE
+    # task; guarded so a large input never pays a raw-text shuffle
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < parallelism // 2:
         docs = docs.repartition(parallelism, id_col)
@@ -188,33 +267,21 @@ def ngram_jaccard_pairs(
         F.explode(F.array_distinct(grams_array(text_col))).alias("gram"),
     )
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    if candidates is not None:
-        cand = candidates.select("id_a", "id_b")
-        ga = shingles.select(F.col("doc_id").alias("id_a"), "gram")
-        gb = shingles.select(F.col("doc_id").alias("id_b"), "gram")
-        inter = (
-            cand.join(ga, "id_a")
-            .join(gb, ["id_b", "gram"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).cast("long").alias("inter"))
-        )
-    else:
-        a = shingles.select(F.col("doc_id").alias("id_a"), "gram")
-        b = shingles.select(F.col("doc_id").alias("id_b"), "gram")
-        inter = (
-            a.join(b, "gram")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).cast("long").alias("inter"))
-        )
+    a = shingles.select(F.col("doc_id").alias("id_a"), "gram")
+    b = shingles.select(F.col("doc_id").alias("id_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
     na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
-    return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
-        .filter(F.col("jaccard") >= min_jaccard)
-        .select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")
+    return jaccard_from_overlap(
+        inter.join(na, "id_a").join(nb, "id_b").select(
+            "id_a", "id_b", "inter", "n_a", "n_b"
+        ),
+        min_jaccard=min_jaccard,
     )
 
 
@@ -435,44 +502,10 @@ def ngram_containment_pairs(
     assemblage_db/src/index.rs:230-236, where the denominator is one
     side's gram count).
 
-    Scale shape: candidate-bounded exactly like
-    :func:`ngram_jaccard_pairs` ``candidates=`` — the candidate pair list
-    joins each side's shingles on its own id BELOW the gram equi-join, so
-    work is Σ over candidate pairs of the pair's gram overlap (never the
-    quadratic postings self-join). ``candidates`` must be DISTINCT pairs —
-    a duplicate row would inflate ``inter``, not duplicate output.
+    Scale shape: a pure projection of :func:`ngram_overlap_pairs` (see
+    there for the candidate-below-gram-join ordering and the DISTINCT
+    candidates contract).
     """
-    # spread the scan before the shingle explode: a corpus file small in
-    # bytes but large in gram expansion can land the whole explode (and
-    # the candidate joins above it) in ONE task; guarded so a large input
-    # never pays a raw-text shuffle
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parallelism // 2:
-        docs = docs.repartition(parallelism, id_col)
-    shingles = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(grams_array(text_col))).alias("gram"),
-    )
-    sizes = shingles.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    ga = shingles.select(F.col("doc_id").alias("id_a"), "gram")
-    gb = shingles.select(F.col("doc_id").alias("id_b"), "gram")
-    inter = (
-        candidates.select("id_a", "id_b")
-        .join(ga, "id_a")
-        .join(gb, ["id_b", "gram"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
-    )
-    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
-    return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
-            "id_a", "id_b", "inter", "n_a", "n_b",
-            (F.col("inter") / F.col("n_a")).alias("containment_a"),
-            (F.col("inter") / F.col("n_b")).alias("containment_b"),
-        )
+    return containment_from_overlap(
+        ngram_overlap_pairs(docs, candidates, id_col=id_col, text_col=text_col)
     )

@@ -46,15 +46,32 @@ def subscribe_stream(
     namespace: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    max_rows_per_batch: int = 5_000_000,
 ):
     """Continuously import new episodes into ``db`` under ``namespace``.
 
     Returns the StreamingQuery; exactly-once per episode file via the
     checkpoint. Parents are re-derived from the imported children arrays
     (the nodes dataset is self-contained for replication purposes).
+
+    Each batch is collected into the driver-side OLTP import — correct
+    for the reference's episode-sized broadcasts (a tile's worth of
+    nodes), so the collect is guarded the same way as
+    ``AssemblageDb.from_tables``: a batch over ``max_rows_per_batch``
+    version rows raises with an actionable message instead of silently
+    OOMing the driver.
     """
 
     def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        n = batch_df.count()
+        if n > max_rows_per_batch:
+            raise ValueError(
+                f"subscribe_stream: episode batch of {n} node rows exceeds "
+                f"the driver-side limit of {max_rows_per_batch}; broadcast "
+                "episodes are tile-sized by design — split the episode, or "
+                "raise max_rows_per_batch explicitly if the driver has the "
+                "memory"
+            )
         rows = batch_df.collect()
         if not rows:
             return

@@ -143,17 +143,29 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline-query wall time (engine operator suite)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline-query wall time (engine operator suite)",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    print(payload)
+    # the driver's capture truncates long stdout tails — also write the
+    # full line next to the repo so per-query regression diffing never
+    # depends on a truncated artifact (BENCH_LOCAL.json is committed each
+    # round; see ROTATION.md round-4 plan)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL.json"),
+            "w",
+        ) as fh:
+            fh.write(payload + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

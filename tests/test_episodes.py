@@ -164,6 +164,38 @@ def test_streaming_subscription(spark, tmp_path):
     assert "streamed update" in texts
 
 
+def test_streaming_subscription_oversized_batch_raises(spark, tmp_path):
+    # the foreachBatch import collects into the driver-side OLTP store;
+    # a batch above max_rows_per_batch must fail loudly (same guard
+    # pattern as AssemblageDb.from_tables), not OOM the driver
+    import pyspark.errors
+
+    import pytest
+
+    from assemblagedb_spark.streaming.broadcast import subscribe_stream
+
+    hub = BroadcastHub(spark, str(tmp_path / "bc"))
+    db = AssemblageDb(spark)
+    page, chain, nested = build_exportable(db)
+    hub.publish(db, "b1", page)
+
+    db2 = AssemblageDb(spark)
+    q = subscribe_stream(
+        spark,
+        str(tmp_path / "bc"),
+        "b1",
+        db2,
+        namespace=ROOT_ID,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        max_rows_per_batch=1,
+    )
+    with pytest.raises(
+        pyspark.errors.exceptions.base.PySparkException,
+        match="exceeds the driver-side limit",
+    ):
+        q.awaitTermination(120)
+
+
 def test_broadcast_token_auth(spark, tmp_path):
     # lib.rs:139-181: writes need the bearer token; reads don't. A foreign
     # db (no stored token) is rejected; presenting the minted token works.
