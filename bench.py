@@ -133,10 +133,26 @@ def main() -> None:
     # min of two runs per query: the first pays one-off codegen/JIT, the
     # second reflects steady-state throughput (materialized indexes persist
     # across queries, as they would in a deployed engine).
+    # dedup_lsh_verify and dedup_containment share a persisted overlap
+    # relation (harness._doc_lsh_overlap). To keep the bench honest about
+    # BOTH costs, dedup_lsh_verify is timed COLD (the cache is dropped
+    # before each timed run, so its number is the full candidate-gen +
+    # exact-verify pipeline) while dedup_containment, which runs next,
+    # measures the marginal cost of a second score over the warm shared
+    # relation — the actual shape of a pipeline computing both.
+    def reset_shared_caches(name: str) -> None:
+        if name == "dedup_lsh_verify":
+            from assemblagedb_spark import harness
+
+            for df in harness._OVERLAP_CACHE.values():
+                df.unpersist()
+            harness._OVERLAP_CACHE.clear()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         best = float("inf")
         for _ in range(2):
+            reset_shared_caches(name)
             t0 = time.time()
             SPARK_QUERIES[name](spark, sf_dir).count()
             best = min(best, time.time() - t0)

@@ -43,7 +43,7 @@ PICKS = [
     ("text_outliers", "exact quartiles off the two-phase rank; fence filter is a pure scan with literal bounds"),
     ("events_funnel", "k conditional aggregates over one cached scan; no global window over the stream"),
     ("dedup_lsh_verify", "LSH band candidates bucket-join the shingle postings; exact-jaccard verify is candidate-bounded, no CartesianProduct"),
-    ("dedup_containment", "same candidate-bounded postings join; asymmetric denominators joined per side"),
+    ("dedup_containment", "projection of the same shared overlap relation (dumped cold to show the full candidate-bounded shape); asymmetric denominators per side"),
     ("split_assign", "pure projection: per-row hash gate in WholeStageCodegen, zero exchanges"),
     ("select_best_group", "one shuffle on the group key; rank window is group-local, never a global sort"),
     ("text_chunk_dedup", "one tokenize+chunk pass; chunk doc-frequency equi-join; per-doc sorted fold reassembly"),
@@ -79,6 +79,15 @@ def main() -> None:
         "",
     ]
     for name, why in PICKS:
+        if name in ("dedup_lsh_verify", "dedup_containment"):
+            # these two project a shared persisted overlap relation; drop
+            # the cache so the dump shows the full candidate-bounded
+            # pipeline, not an InMemoryTableScan stub
+            from assemblagedb_spark import harness
+
+            for df in harness._OVERLAP_CACHE.values():
+                df.unpersist()
+            harness._OVERLAP_CACHE.clear()
         plan = formatted_plan(SPARK_QUERIES[name](spark, sf_dir))
         out += [f"## {name}", "", f"**Property:** {why}", "", "```", plan.rstrip(), "```", ""]
 
