@@ -133,20 +133,23 @@ def main() -> None:
     # min of two runs per query: the first pays one-off codegen/JIT, the
     # second reflects steady-state throughput (materialized indexes persist
     # across queries, as they would in a deployed engine).
-    # dedup_lsh_verify and dedup_containment share a persisted overlap
-    # relation (harness._doc_lsh_overlap). To keep the bench honest about
-    # BOTH costs, dedup_lsh_verify is timed COLD (the cache is dropped
-    # before each timed run, so its number is the full candidate-gen +
-    # exact-verify pipeline) while dedup_containment, which runs next,
-    # measures the marginal cost of a second score over the warm shared
-    # relation — the actual shape of a pipeline computing both.
-    def reset_shared_caches(name: str) -> None:
-        if name == "dedup_lsh_verify":
-            from assemblagedb_spark import harness
+    # Several gates share session-cached build artifacts (harness memos):
+    # the dedup overlap relation, the trained k-means state, the PQ
+    # codebook+codes index. To keep the bench honest about BOTH costs,
+    # the build-side key of each group is timed COLD (its cache dropped
+    # before each timed run → the full build pipeline cost) while the
+    # serving-side keys that follow measure the warm marginal cost — the
+    # actual shape of a deployed engine (index built once, served many).
+    # cold build keys (each group's serving keys run after its build key)
+    _COLD_KEYS = {"dedup_lsh_verify", "kmeans_train", "ann_pq_codes"}
 
-            for df in harness._OVERLAP_CACHE.values():
-                df.unpersist()
-            harness._OVERLAP_CACHE.clear()
+    def reset_shared_caches(name: str) -> None:
+        if name in _COLD_KEYS:
+            from assemblagedb_spark.harness import (
+                clear_shared_artifact_caches,
+            )
+
+            clear_shared_artifact_caches()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

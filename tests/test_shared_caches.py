@@ -1,0 +1,55 @@
+"""The bench times build gates COLD and serving gates WARM over shared
+session-cached artifacts (harness._doc_lsh_overlap / _trained_kmeans /
+_pq_index). That split is only honest if the cache is transparent: a gate
+must return byte-identical results whether it builds the artifact or
+serves from the warm one. All three pipelines are exact integer/rational
+arithmetic, so the pin is exact frame equality, not approximate."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from assemblagedb_spark import harness as h
+
+
+def _frame(df):
+    pdf = df.toPandas()
+    return pdf[sorted(pdf.columns)].sort_values(
+        by=sorted(pdf.columns), ignore_index=True
+    )
+
+
+def _cold_vs_warm(query, spark, sf_dir):
+    h.clear_shared_artifact_caches()
+    cold = _frame(query(spark, sf_dir))
+    warm = _frame(query(spark, sf_dir))
+    pd.testing.assert_frame_equal(cold, warm)
+    return cold
+
+
+def test_dedup_overlap_cache_transparent(spark, sf_dir):
+    cold = _cold_vs_warm(h.q_dedup_lsh_verify, spark, sf_dir)
+    assert len(cold) > 0
+    # the sibling projection of the same warm artifact
+    cont = _frame(h.q_dedup_containment(spark, sf_dir))
+    assert len(cont) == len(cold)
+
+
+def test_kmeans_cache_transparent(spark, sf_dir):
+    cold = _cold_vs_warm(h.q_kmeans_train, spark, sf_dir)
+    assert len(cold) > 0
+    ivf = _frame(h.q_ann_ivf_trained(spark, sf_dir))
+    assert len(ivf) > 0
+
+
+def test_pq_index_cache_transparent(spark, sf_dir):
+    cold = _cold_vs_warm(h.q_ann_pq_codes, spark, sf_dir)
+    assert len(cold) > 0
+    adc = _frame(h.q_ann_pq_adc(spark, sf_dir))
+    assert len(adc) > 0
+
+
+def test_clear_caches_is_idempotent(spark):
+    h.clear_shared_artifact_caches()
+    h.clear_shared_artifact_caches()
+    assert not h._OVERLAP_CACHE and not h._KMEANS_CACHE and not h._PQ_CACHE

@@ -78,16 +78,20 @@ def main() -> None:
         " (`tests/test_plan_properties.py`) asserts these shapes stay true.",
         "",
     ]
+    _SHARED_ARTIFACT_PICKS = {
+        "dedup_lsh_verify", "dedup_containment",
+        "kmeans_train", "ann_ivf_trained", "ann_pq_codes", "ann_pq_adc",
+    }
     for name, why in PICKS:
-        if name in ("dedup_lsh_verify", "dedup_containment"):
-            # these two project a shared persisted overlap relation; drop
-            # the cache so the dump shows the full candidate-bounded
-            # pipeline, not an InMemoryTableScan stub
-            from assemblagedb_spark import harness
+        if name in _SHARED_ARTIFACT_PICKS:
+            # these gates serve from session-cached build artifacts; drop
+            # the caches so the dump shows the full cold pipeline, not a
+            # checkpoint/InMemoryTableScan stub
+            from assemblagedb_spark.harness import (
+                clear_shared_artifact_caches,
+            )
 
-            for df in harness._OVERLAP_CACHE.values():
-                df.unpersist()
-            harness._OVERLAP_CACHE.clear()
+            clear_shared_artifact_caches()
         plan = formatted_plan(SPARK_QUERIES[name](spark, sf_dir))
         out += [f"## {name}", "", f"**Property:** {why}", "", "```", plan.rstrip(), "```", ""]
 
