@@ -574,3 +574,86 @@ def test_strhash_spark_duckdb_agree(spark, terms):
         f"SELECT {strhash_duckdb_sql('t')} FROM (SELECT ? AS t)", [t]
     ).fetchone()[0] for t in terms]
     assert sorted(got_spark) == sorted(py(t) for t in terms) == sorted(got_duck)
+
+
+# ---------------------------------------------------------------------------
+# exact_permille (mixture/repeat threshold arithmetic)
+# ---------------------------------------------------------------------------
+
+_domains = st.dictionaries(
+    st.sampled_from(["a", "b", "c", "d", "e"]),
+    st.tuples(
+        st.integers(min_value=1, max_value=10**7),      # count n_d
+        st.floats(min_value=0.001, max_value=1.0,
+                  allow_nan=False, allow_infinity=False),  # weight w_d
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(_domains)
+def test_exact_permille_mixture_invariants(dw):
+    """Down-sampling mode: the binding domain(s) keep exactly 1000 permille
+    (nothing from the most-constrained domain is ever dropped), every
+    threshold is in [0, 1000], and the realized rate never exceeds the
+    target ratio (floors round down, never up)."""
+    from fractions import Fraction
+
+    from assemblagedb_spark.operators.sampling import (
+        exact_permille, snap_weight,
+    )
+
+    counts = {d: n for d, (n, _) in dw.items()}
+    weights = {d: w for d, (_, w) in dw.items()}
+    perm = exact_permille(counts, weights, binding="min", cap=1000)
+    assert set(perm) == set(counts)
+    assert all(0 <= p <= 1000 for p in perm.values())
+    wf = {d: snap_weight(weights[d]) for d in counts}
+    ratios = {d: Fraction(counts[d]) / wf[d] for d in counts}
+    c = min(ratios.values())
+    for d, p in perm.items():
+        if ratios[d] == c:
+            assert p == 1000  # binding pin, exact — never 999
+        else:
+            # floor never rounds up past the exact target rate
+            assert Fraction(p, 1000) <= c * wf[d] / counts[d]
+            assert Fraction(p + 1, 1000) > min(
+                Fraction(1), c * wf[d] / counts[d]
+            ) or p == 1000
+
+
+@given(_domains)
+def test_exact_permille_repeat_invariants(dw):
+    """Up-sampling mode: the best-represented domain repeats exactly once
+    (permille 1000 — 'nothing is ever dropped'), every other domain's
+    repeat rate is >= 1 epoch and <= the cap."""
+    from fractions import Fraction
+
+    from assemblagedb_spark.operators.sampling import (
+        exact_permille, snap_weight,
+    )
+
+    counts = {d: n for d, (n, _) in dw.items()}
+    weights = {d: w for d, (_, w) in dw.items()}
+    cap = 10_000
+    perm = exact_permille(counts, weights, binding="max", cap=cap)
+    wf = {d: snap_weight(weights[d]) for d in counts}
+    ratios = {d: Fraction(counts[d]) / wf[d] for d in counts}
+    c = max(ratios.values())
+    for d, p in perm.items():
+        if ratios[d] == c:
+            assert p == 1000
+        else:
+            assert 1000 <= p <= cap  # every kept domain sees >= 1 epoch
+
+
+@given(st.integers(min_value=1, max_value=10**6))
+def test_exact_permille_binding_tie_all_pinned(n):
+    """Domains with identical n/w are ALL binding and all pin to 1000."""
+    from assemblagedb_spark.operators.sampling import exact_permille
+
+    perm = exact_permille(
+        {"a": n, "b": 2 * n}, {"a": 0.25, "b": 0.5}, binding="min", cap=1000
+    )
+    assert perm == {"a": 1000, "b": 1000}
