@@ -30,14 +30,33 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    # --vanilla: replicate the external driver exactly — a bare
+    # SparkSession with none of session.py's configs (UTC timezone,
+    # Arrow, AQE...), so any result that silently depends on our session
+    # tuning fails HERE, not in the driver's grading run.
+    vanilla = "--vanilla" in args
+    args = [a for a in args if a != "--vanilla"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entry
-    from assemblagedb_spark.session import get_spark
     from assemblagedb_spark.sources.tpch import TABLES
 
-    spark = get_spark("oracle-check")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("oracle-check-vanilla")
+            .master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from assemblagedb_spark.session import get_spark
+
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
