@@ -82,12 +82,20 @@ def _global_topk(df: DataFrame, order: list, k: int):
 
 # The inverted gram index is a *materialized* structure in the reference
 # (slot 2, maintained on write); rebuilding it per query would misrepresent
+def _session_key(spark: SparkSession) -> str:
+    """Cache key component for a session: the Spark applicationId is
+    unique per application and never recycled, unlike id(spark), whose
+    address can be reused after a stopped session is garbage-collected
+    (a stale cache hit would then serve DataFrames of a dead context)."""
+    return spark.sparkContext.applicationId
+
+
 # the engine. Memoize the persisted index per (session, sf_dir).
-_GRAM_INDEX_CACHE: dict[tuple[int, str], DataFrame] = {}
+_GRAM_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _doc_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     if key not in _GRAM_INDEX_CACHE:
         _GRAM_INDEX_CACHE[key] = block_grams(_doc_blocks(spark, sf_dir)).persist()
     return _GRAM_INDEX_CACHE[key]
@@ -96,11 +104,11 @@ def _doc_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # slot 3 ``Count`` is likewise a stored structure in the reference
 # (maintained on write, index.rs:349-356) — rebuilding the aggregate per
 # query would misrepresent the engine.
-_GRAM_COUNTS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_GRAM_COUNTS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _doc_gram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     if key not in _GRAM_COUNTS_CACHE:
         _GRAM_COUNTS_CACHE[key] = gram_counts(_doc_gram_index(spark, sf_dir)).persist()
     return _GRAM_COUNTS_CACHE[key]
@@ -403,11 +411,11 @@ O_GRAPH_PARENTS = (
 
 # graph edges are a materialized table in a deployed engine; memoized like
 # the gram index so repeated queries don't rebuild the distinct-union.
-_EDGES_CACHE: dict[tuple[int, str, bool], DataFrame] = {}
+_EDGES_CACHE: dict[tuple[str, str, bool], DataFrame] = {}
 
 
 def _graph_edges(spark: SparkSession, sf_dir: str, include_lineitem: bool) -> DataFrame:
-    key = (id(spark), sf_dir, include_lineitem)
+    key = (_session_key(spark), sf_dir, include_lineitem)
     if key not in _EDGES_CACHE:
         _EDGES_CACHE[key] = graph_edges(spark, sf_dir, include_lineitem).persist()
     return _EDGES_CACHE[key]
@@ -784,13 +792,13 @@ _LSH_ROWS = 4
 
 # minhash signatures are a materialized dedup artifact (computed once per
 # corpus in a deployed pipeline) — memoized like the gram index.
-_MINHASH_CACHE: dict[tuple[int, str], DataFrame] = {}
+_MINHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _doc_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from assemblagedb_spark.operators.dedup import minhash_signatures
 
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     if key not in _MINHASH_CACHE:
         _MINHASH_CACHE[key] = minhash_signatures(
             load_table(spark, sf_dir, "documents"), k=_MINHASH_K
@@ -2410,14 +2418,14 @@ GROUP BY r.root_id
 
 # the corpus band table / IVF cell assignment are materialized index halves
 # (computed at ingest in a deployed pipeline) — memoized like the gram index
-_ANN_BANDS_CACHE: dict[tuple[int, str], DataFrame] = {}
-_IVF_ASSIGN_CACHE: dict[tuple[int, str], DataFrame] = {}
+_ANN_BANDS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_IVF_ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _ann_corpus_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from assemblagedb_spark.operators.similarity import band_table
 
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     if key not in _ANN_BANDS_CACHE:
         _ANN_BANDS_CACHE[key] = band_table(
             load_table(spark, sf_dir, "embeddings"),
@@ -2429,7 +2437,7 @@ def _ann_corpus_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_corpus_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from assemblagedb_spark.operators.similarity import ivf_assign
 
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     if key not in _IVF_ASSIGN_CACHE:
         _IVF_ASSIGN_CACHE[key] = ivf_assign(
             load_table(spark, sf_dir, "embeddings"), nlist=_IVF_NLIST
@@ -3786,7 +3794,7 @@ def _o_layout_zorder() -> str:
 _KM_K, _KM_ITERS = 8, 2
 
 
-_KMEANS_CACHE: dict[tuple[int, str, int, int], DataFrame] = {}
+_KMEANS_CACHE: dict[tuple[str, str, int, int], DataFrame] = {}
 
 
 def _trained_kmeans(
@@ -3799,7 +3807,7 @@ def _trained_kmeans(
     cache before the kmeans_train key)."""
     from assemblagedb_spark.operators.vectors import kmeans_train
 
-    key = (id(spark), sf_dir, k, iters)
+    key = (_session_key(spark), sf_dir, k, iters)
     if key not in _KMEANS_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
         _KMEANS_CACHE[key] = kmeans_train(
@@ -4462,7 +4470,7 @@ FROM t JOIN q USING (event_type)
 # ---------------------------------------------------------------------------
 
 
-_OVERLAP_CACHE: dict[tuple[int, str], DataFrame] = {}
+_OVERLAP_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _doc_lsh_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4479,7 +4487,7 @@ def _doc_lsh_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_overlap_pairs,
     )
 
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     if key not in _OVERLAP_CACHE:
         docs = load_table(spark, sf_dir, "documents")
         sig = _doc_minhash_sigs(spark, sf_dir)
@@ -4787,7 +4795,7 @@ FROM ex
 _PQ_M, _PQ_SUBDIM, _PQ_K, _PQ_ITERS = 8, 8, 8, 2
 
 
-_PQ_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+_PQ_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
 def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -4799,7 +4807,7 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     ann_pq_codes key) and the warm ADC serving separately."""
     from assemblagedb_spark.operators.pq import pq_encode, pq_train
 
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     if key not in _PQ_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
         book = pq_train(
