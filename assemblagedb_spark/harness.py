@@ -3824,19 +3824,35 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _trained_kmeans(spark, sf_dir, _KM_K, _KM_ITERS)
 
 
+def clear_artifact_cache(cache_name: str) -> None:
+    """Drop ONE session-cached build artifact group so the next call
+    rebuilds from scratch — bench timing clears only the group being
+    cold-timed, keeping other groups' warm-serving numbers independent
+    of key ordering. Persisted entries (the corpus-sized overlap and PQ
+    codes relations) release their blocks via unpersist; the k-row
+    localCheckpoint states (k-means state, PQ codebook) are block-manager
+    pinned and only ContextCleaner-reclaimed, which is fine — they are a
+    few hundred rows."""
+    cache = {
+        "_OVERLAP_CACHE": _OVERLAP_CACHE,
+        "_KMEANS_CACHE": _KMEANS_CACHE,
+        "_PQ_CACHE": _PQ_CACHE,
+    }[cache_name]
+    for v in cache.values():
+        for df in v if isinstance(v, tuple) else (v,):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+    cache.clear()
+
+
 def clear_shared_artifact_caches() -> None:
     """Drop every session-cached build artifact (dedup overlap relation,
-    trained k-means state, PQ index) so the next call rebuilds from
-    scratch — bench/tooling use this to time or explain the COLD build
-    path of gates that otherwise serve from the warm shared artifact."""
-    for cache in (_OVERLAP_CACHE, _KMEANS_CACHE, _PQ_CACHE):
-        for v in cache.values():
-            for df in v if isinstance(v, tuple) else (v,):
-                try:
-                    df.unpersist()
-                except Exception:
-                    pass
-        cache.clear()
+    trained k-means state, PQ index) — plan tooling uses this to explain
+    the full COLD pipelines."""
+    for name in ("_OVERLAP_CACHE", "_KMEANS_CACHE", "_PQ_CACHE"):
+        clear_artifact_cache(name)
 
 
 def _o_kmeans(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
@@ -4813,9 +4829,12 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         book = pq_train(
             emb, m=_PQ_M, sub_dim=_PQ_SUBDIM, k=_PQ_K, iters=_PQ_ITERS
         ).localCheckpoint(eager=True)
-        codes = pq_encode(
-            emb, book, m=_PQ_M, sub_dim=_PQ_SUBDIM
-        ).localCheckpoint(eager=True)
+        # codes is corpus-sized (n_vecs x m): persist, not localCheckpoint,
+        # so clear_artifact_cache can actually release the blocks when the
+        # bench cold-times a rebuild (unpersist is a no-op on checkpoint
+        # blocks); the tiny codebook stays checkpoint-pinned to truncate
+        # the Lloyd-loop lineage
+        codes = pq_encode(emb, book, m=_PQ_M, sub_dim=_PQ_SUBDIM).persist()
         _PQ_CACHE[key] = (book, codes)
     return _PQ_CACHE[key]
 
@@ -5490,20 +5509,33 @@ def _graded_rounds(repo_root: str | None = None) -> dict[str, int]:
         if not m:
             continue
         rnd = int(m.group(1))
-        try:
-            with open(path) as fh:
-                rows = json.load(fh)
-        except (OSError, ValueError):
-            continue
-        if isinstance(rows, dict):
-            for name in rows:
-                out[name] = max(out.get(name, 0), rnd)
+        # fail LOUDLY on a corrupt or unexpectedly-shaped ledger file: a
+        # silent skip would drop a whole round's grades and quietly
+        # rewrite the driver window (the exact failure mode this
+        # mechanism exists to prevent)
+        with open(path) as fh:
+            rows = json.load(fh)
+        if not isinstance(rows, dict):
+            raise ValueError(
+                f"{path}: grading ledger must be a JSON object of "
+                f"query-name -> result rows, got {type(rows).__name__}"
+            )
+        for name in rows:
+            out[name] = max(out.get(name, 0), rnd)
     return out
 
 
 def grading_order(repo_root: str | None = None) -> list[str]:
     """Deterministic least-recently-driver-graded export order for
     ``__spark_entry__.queries()`` (see block comment above)."""
+    unknown = set(_GATE_CHANGED_IN_ROUND) - set(SPARK_QUERIES)
+    if unknown:
+        # a typo'd or renamed entry would silently fail to promote the
+        # changed gate into the next driver window — fail loudly instead
+        # (the same guarantee the old explicit window list enforced)
+        raise KeyError(
+            f"_GATE_CHANGED_IN_ROUND names unknown queries: {sorted(unknown)}"
+        )
     graded = _graded_rounds(repo_root)
     decl = {name: i for i, name in enumerate(SPARK_QUERIES)}
 

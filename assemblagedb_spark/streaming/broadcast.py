@@ -63,16 +63,18 @@ def subscribe_stream(
     """
 
     def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        n = batch_df.count()
-        if n > max_rows_per_batch:
+        # single-pass guard: pull at most cap+1 rows — the same
+        # driver-memory bound as a count()-then-collect() check without
+        # reading the batch's episode files twice
+        rows = batch_df.limit(max_rows_per_batch + 1).collect()
+        if len(rows) > max_rows_per_batch:
             raise ValueError(
-                f"subscribe_stream: episode batch of {n} node rows exceeds "
-                f"the driver-side limit of {max_rows_per_batch}; broadcast "
+                f"subscribe_stream: episode batch exceeds the driver-side "
+                f"limit of {max_rows_per_batch} node rows; broadcast "
                 "episodes are tile-sized by design — split the episode, or "
                 "raise max_rows_per_batch explicitly if the driver has the "
                 "memory"
             )
-        rows = batch_df.collect()
         if not rows:
             return
         payload = {

@@ -18,8 +18,33 @@ def test_order_is_a_permutation_of_the_registry():
 
 
 def test_registry_keeps_declaration_order_unmutated():
-    # every oracle key exists in the query registry and the registries are
-    # plain dicts in declaration order (no rotation wrapper reordered them)
+    # the runtime registry order must equal the literal key order of the
+    # `SPARK_QUERIES = {...}` source block — i.e. no module-level wrapper
+    # reordered the dict after declaration (the round-3 defect this
+    # policy replaced). Parsed from the AST, not regex, so formatting
+    # changes can't fool it.
+    import ast
+    import inspect
+
+    src = inspect.getsource(harness)
+    tree = ast.parse(src)
+    declared = None
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Assign)
+            and any(
+                isinstance(t, ast.Name) and t.id == "SPARK_QUERIES"
+                for t in node.targets
+            )
+            and isinstance(node.value, ast.Dict)
+        ):
+            declared = [
+                k.value
+                for k in node.value.keys
+                if isinstance(k, ast.Constant)
+            ]
+    assert declared, "SPARK_QUERIES dict-literal assignment not found"
+    assert list(harness.SPARK_QUERIES) == declared
     assert set(harness.ORACLES) <= set(harness.SPARK_QUERIES)
 
 
