@@ -514,3 +514,79 @@ def k_core(
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
         .withColumnRenamed("u", "node_id")
     )
+
+
+def k_core_delta(
+    edges: DataFrame,
+    k: int,
+    *,
+    max_rounds: int = 100,
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """Frontier-delta formulation of :func:`k_core` (parity-tested
+    equivalent): instead of re-scanning the full alive-restricted edge
+    set every round, maintain a degree table and propagate only the
+    DELTAS — each round joins the edge set against the nodes that died
+    LAST round and decrements their surviving neighbors' degrees.
+
+    Cost shape per round: |dead_frontier ⋈ E| (frontier-bounded, like
+    BFS) plus an O(|V_alive|) degree-table rewrite — vs the simultaneous
+    peel's O(|E_alive|) rescan. On graphs where peeling runs many rounds
+    and each round kills few nodes (the long-tail regime at corpus
+    scale, where |E| >> |V|), the delta form does asymptotically less
+    work; on small test graphs the simultaneous peel's fewer, simpler
+    jobs win, which is why the gated query keeps :func:`k_core` and this
+    variant is pinned by a parity suite (the same coexistence as
+    label-prop vs :func:`star_components`).
+
+    A node dies exactly once (new deaths are computed among the alive
+    set only), so each edge to a dead endpoint is decremented exactly
+    once and the final degree equals the degree within the surviving
+    core — identical output columns (node_id, degree).
+    """
+    fwd = edges.select(
+        F.col("parent_id").alias("u"), F.col("child_id").alias("v")
+    )
+    sym = fwd.unionByName(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).filter(F.col("u") != F.col("v"))
+    if not assume_distinct:
+        sym = sym.distinct()
+    parts = edges.sparkSession.sparkContext.defaultParallelism
+    # partition by v: every round's frontier join probes on v
+    e = sym.repartition(parts, "v").localCheckpoint(eager=True)
+
+    deg = (
+        e.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    dead = deg.filter(F.col("deg") < k).select("u").localCheckpoint(
+        eager=True
+    )
+    alive_deg = deg.filter(F.col("deg") >= k)
+    for _ in range(max_rounds):
+        if dead.isEmpty():
+            break
+        # decrements: surviving neighbors of last round's deaths
+        dec = (
+            e.join(dead.select(F.col("u").alias("v")), "v")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).cast("long").alias("dec"))
+        )
+        updated = (
+            alive_deg.join(dec, "u", "left")
+            .select(
+                "u",
+                (F.col("deg") - F.coalesce(F.col("dec"), F.lit(0)))
+                .alias("deg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        dead = updated.filter(F.col("deg") < k).select("u").localCheckpoint(
+            eager=True
+        )
+        alive_deg = updated.filter(F.col("deg") >= k)
+    return alive_deg.select(
+        F.col("u").alias("node_id"), F.col("deg").alias("degree")
+    )

@@ -226,6 +226,29 @@ def test_k_core_peels_to_stable_core(spark):
     assert k_core(e, k=3).count() == 0
 
 
+def test_k_core_delta_parity(spark, sf_dir):
+    # the frontier-delta formulation must equal the simultaneous peel on
+    # every (graph, k): the hand-built multi-round fixture, k sweep, AND
+    # the real harness graph the gate runs on
+    from assemblagedb_spark.harness import _shared_graph_edges
+    from assemblagedb_spark.operators.components import k_core, k_core_delta
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (10, 11),
+         (6, 4), (11, 12), (12, 10)],
+        "parent_id long, child_id long",
+    )
+    for k in (1, 2, 3):
+        a = sorted(map(tuple, k_core(e, k=k).collect()))
+        b = sorted(map(tuple, k_core_delta(e, k=k).collect()))
+        assert a == b, f"delta parity broken at k={k}"
+
+    g = _shared_graph_edges(spark, sf_dir)
+    a = sorted(map(tuple, k_core(g, k=2, assume_distinct=True).collect()))
+    b = sorted(map(tuple, k_core_delta(g, k=2, assume_distinct=True).collect()))
+    assert a == b
+
+
 def test_weighted_sample_per_row_rates(spark):
     from assemblagedb_spark.operators.sampling import weighted_sample
 
