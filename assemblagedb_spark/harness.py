@@ -80,8 +80,6 @@ def _global_topk(df: DataFrame, order: list, k: int):
     return topk.withColumn("rk", F.row_number().over(w)).drop("__g")
 
 
-# The inverted gram index is a *materialized* structure in the reference
-# (slot 2, maintained on write); rebuilding it per query would misrepresent
 def _session_key(spark: SparkSession) -> str:
     """Cache key component for a session: the Spark applicationId is
     unique per application and never recycled, unlike id(spark), whose
@@ -90,6 +88,8 @@ def _session_key(spark: SparkSession) -> str:
     return spark.sparkContext.applicationId
 
 
+# The inverted gram index is a *materialized* structure in the reference
+# (slot 2, maintained on write); rebuilding it per query would misrepresent
 # the engine. Memoize the persisted index per (session, sf_dir).
 _GRAM_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
 
@@ -4815,12 +4815,14 @@ _PQ_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
 def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """Session-cached PQ index: (codebook, codes), both
-    localCheckpoint-pinned. A PQ index is trained+encoded once and then
-    serves every ADC query batch — that is the point of the ~16x
-    compression; re-encoding per batch would be the anti-pattern at
-    100 TB. The bench times the cold build (cache cleared before the
-    ann_pq_codes key) and the warm ADC serving separately."""
+    """Session-cached PQ index: (codebook, codes) — the tiny codebook
+    localCheckpoint-pinned (truncates the Lloyd-loop lineage), the
+    corpus-sized codes persisted so clear_artifact_cache can release its
+    blocks. A PQ index is trained+encoded once and then serves every ADC
+    query batch — that is the point of the ~16x compression; re-encoding
+    per batch would be the anti-pattern at 100 TB. The bench times the
+    cold build (cache cleared before the ann_pq_codes key) and the warm
+    ADC serving separately."""
     from assemblagedb_spark.operators.pq import pq_encode, pq_train
 
     key = (_session_key(spark), sf_dir)

@@ -492,6 +492,7 @@ def k_core(
             .join(u_side, "u", "left_semi")
         )
 
+    converged = False
     for _ in range(max_rounds - 1):
         # degree counting only edges whose far endpoint is still alive
         deg = (
@@ -506,8 +507,17 @@ def k_core(
         )
         m = nxt.count()
         if m == n_alive:
+            converged = True
             break
         alive, n_alive = nxt, m
+    if not converged and n_alive > 0:
+        # an unconverged peel would silently return a superset of the
+        # core (some returned degrees below k) — fail loudly instead
+        raise RuntimeError(
+            f"k_core: peeling did not stabilize within max_rounds="
+            f"{max_rounds}; raise max_rounds (each round peels at least "
+            "one node, so |V| rounds always suffice)"
+        )
     return (
         _alive_restrict(e, alive, n_alive)
         .groupBy("u")
@@ -565,8 +575,10 @@ def k_core_delta(
         eager=True
     )
     alive_deg = deg.filter(F.col("deg") >= k)
+    converged = False
     for _ in range(max_rounds):
         if dead.isEmpty():
+            converged = True
             break
         # decrements: surviving neighbors of last round's deaths
         dec = (
@@ -587,6 +599,15 @@ def k_core_delta(
             eager=True
         )
         alive_deg = updated.filter(F.col("deg") >= k)
+    if not converged and not dead.isEmpty():
+        # a pending dead frontier means surviving degrees were never
+        # decremented for those deaths — returning would be silently
+        # wrong AND diverge from k_core; fail loudly (same contract)
+        raise RuntimeError(
+            f"k_core_delta: peeling did not stabilize within max_rounds="
+            f"{max_rounds}; raise max_rounds (each round peels at least "
+            "one node, so |V| rounds always suffice)"
+        )
     return alive_deg.select(
         F.col("u").alias("node_id"), F.col("deg").alias("degree")
     )

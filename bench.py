@@ -134,38 +134,59 @@ def reset_shared_caches(name: str) -> None:
         clear_artifact_cache(cache_attr)
 
 
+def warmup(spark, sf_dir: str) -> None:
+    """JVM + parquet footer reads + Python-UDF worker pool warmup (the 32
+    workers cost ~6s to spawn; that's provisioning, not query time)."""
+    import pandas as _pd
+
+    from assemblagedb_spark.harness import SPARK_QUERIES
+
+    SPARK_QUERIES["mvcc_last_updated"](spark, sf_dir).collect()
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: (_pd.DataFrame({"x": [1]}) for _ in it), "x int"
+    ).count()
+
+
+def time_queries(
+    spark, sf_dir: str, names: list[str], runs: int = 2
+) -> dict[str, float]:
+    """Min-of-``runs`` wall time per query with the cold-key cache resets
+    (the single timing discipline — tools/scale_curve.py imports this so
+    SCALING.md measures exactly what BENCH_LOCAL.json does). The first
+    run pays one-off codegen/JIT; the min reflects steady-state
+    throughput (materialized indexes persist across queries, as they
+    would in a deployed engine). Returns UNROUNDED seconds — callers
+    round for display only, so ratio fits never divide by a rounded
+    zero."""
+    from assemblagedb_spark.harness import SPARK_QUERIES
+
+    out: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(runs):
+            reset_shared_caches(name)
+            t0 = time.time()
+            SPARK_QUERIES[name](spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        out[name] = best
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    from assemblagedb_spark.harness import SPARK_QUERIES
     from assemblagedb_spark.session import get_spark
 
     spark = get_spark("assemblagedb-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + parquet footer reads + Python-UDF worker pool (the 32
-    # workers cost ~6s to spawn; that's provisioning, not query time)
-    SPARK_QUERIES["mvcc_last_updated"](spark, sf_dir).collect()
-    import pandas as _pd
-
-    spark.range(64).repartition(32).mapInPandas(
-        lambda it: ( _pd.DataFrame({"x": [1]}) for _ in it ), "x int"
-    ).count()
-
-    # min of two runs per query: the first pays one-off codegen/JIT, the
-    # second reflects steady-state throughput (materialized indexes persist
-    # across queries, as they would in a deployed engine).
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        best = float("inf")
-        for _ in range(2):
-            reset_shared_caches(name)
-            t0 = time.time()
-            SPARK_QUERIES[name](spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+    warmup(spark, sf_dir)
+    timings = {
+        name: round(t, 3)
+        for name, t in time_queries(spark, sf_dir, BENCH_QUERIES).items()
+    }
 
     total = round(sum(timings.values()), 3)
     payload = json.dumps(

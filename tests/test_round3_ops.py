@@ -249,6 +249,23 @@ def test_k_core_delta_parity(spark, sf_dir):
     assert a == b
 
 
+def test_k_core_raises_on_nonconvergence(spark):
+    # an exhausted round budget with peeling still in flight must raise,
+    # not silently return a superset core with sub-k degrees
+    import pytest as _pytest
+
+    from assemblagedb_spark.operators.components import k_core, k_core_delta
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "parent_id long, child_id long"
+    )
+    for fn in (k_core, k_core_delta):
+        with _pytest.raises(RuntimeError, match="did not stabilize"):
+            fn(e, k=2, max_rounds=2)
+        # with budget, the acyclic path peels fully to an empty core
+        assert fn(e, k=2, max_rounds=50).count() == 0
+
+
 def test_weighted_sample_per_row_rates(spark):
     from assemblagedb_spark.operators.sampling import weighted_sample
 
