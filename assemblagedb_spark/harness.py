@@ -4960,18 +4960,23 @@ _KCORE_K, _KCORE_ORACLE_ROUNDS = 2, 12
 
 
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-core of the multi-parent C→O→L / P→L graph: iterative simultaneous
-    peeling of degree-<2 nodes until stable (convergence-probed; measured
-    2 rounds at sf0.001, 5 at sf0.01). Output is each core member with its
-    in-core degree. The oracle unrolls 12 peel rounds — peeling is
-    monotone, so extra rounds past convergence are identity."""
-    from assemblagedb_spark.operators.components import k_core
+    """2-core of the multi-parent C→O→L / P→L graph: frontier-delta
+    peeling (components.k_core_delta) — a degree table decremented only
+    by each round's dead frontier's edges, so total join work is
+    |E| + rounds·|V| instead of the simultaneous peel's rounds·|E|
+    (parity with k_core pinned on this exact graph,
+    tests/test_round3_ops.py; measured ~10% faster at sf0.1 and the
+    asymptotically better shape at corpus scale). Output is each core
+    member with its in-core degree. The oracle unrolls 12 simultaneous
+    peel rounds — peeling is monotone and both formulations reach the
+    identical fixpoint."""
+    from assemblagedb_spark.operators.components import k_core_delta
 
     # the shared hierarchy's edge rows are distinct and typed (C/O/L/P id
     # prefixes — a reverse duplicate cannot exist), so the symmetrized
     # distinct is skipped
-    return k_core(_shared_graph_edges(spark, sf_dir), k=_KCORE_K,
-                  assume_distinct=True)
+    return k_core_delta(_shared_graph_edges(spark, sf_dir), k=_KCORE_K,
+                        assume_distinct=True)
 
 
 def _o_graph_kcore() -> str:
