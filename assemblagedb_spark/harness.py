@@ -864,13 +864,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact components regardless of chain length) → every document mapped to
     its cluster's canonical keeper (min doc_id); singletons keep themselves.
     This is the operator a 100 TB dedup job actually runs — pair generation
-    is candidate-bounded by the bands, clustering is one |E| join + |V|
-    aggregate per round. The oracle unrolls 24 rounds: the sf0.01 pair
-    graph converges by 10 and the (denser) sf0.001 one by 20 (measured),
-    so both sides agree on the exact component labels with margin."""
-    from assemblagedb_spark.operators.components import (
-        label_propagation_components,
-    )
+    is candidate-bounded by the bands; clustering uses partition-local
+    union-find contraction (components.contracted_components, parity-pinned
+    against the propagation loop) so the diameter-bound round count
+    collapses to two Arrow passes + a probe-exited finisher. The oracle
+    unrolls 24 label-propagation rounds — exact components either way, so
+    both sides agree on the labels with margin."""
+    from assemblagedb_spark.operators.components import contracted_components
     from assemblagedb_spark.operators.dedup import lsh_candidate_pairs
 
     sig = _doc_minhash_sigs(spark, sf_dir)
@@ -878,7 +878,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("id_a").alias("parent_id"), F.col("id_b").alias("child_id")
     )
-    comp = label_propagation_components(edges, rounds=None).withColumnRenamed(
+    comp = contracted_components(edges).withColumnRenamed(
         "node_id", "doc_id"
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -1072,18 +1072,17 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full embedding-dedup pipeline ending (the vector twin of
-    dedup_clusters): banded near-dup pairs → convergence-probed connected
-    components → every subset vector mapped to its cluster's canonical
-    keeper (min vec_id); singletons keep themselves."""
-    from assemblagedb_spark.operators.components import (
-        label_propagation_components,
-    )
+    dedup_clusters): banded near-dup pairs → union-find-contracted
+    connected components (components.contracted_components, parity-pinned
+    against the propagation loop) → every subset vector mapped to its
+    cluster's canonical keeper (min vec_id); singletons keep themselves."""
+    from assemblagedb_spark.operators.components import contracted_components
 
     pairs = _embedding_neardup_pairs(spark, sf_dir)
     edges = pairs.select(
         F.col("id_a").alias("parent_id"), F.col("id_b").alias("child_id")
     )
-    comp = label_propagation_components(edges, rounds=None).withColumnRenamed(
+    comp = contracted_components(edges).withColumnRenamed(
         "node_id", "vec_id"
     )
     sub = load_table(spark, sf_dir, "embeddings").filter(
@@ -5496,6 +5495,8 @@ _GATE_CHANGED_IN_ROUND = {
     "sample_mixture": 4,   # exact-rational permille pin (Fraction/HUGEINT)
     "sample_repeat": 4,    # exact-rational permille pin (Fraction/HUGEINT)
     "graph_bfs_depth": 4,  # max_depth=2 pinned to the oracle's d0..d2
+    "dedup_clusters": 4,       # CC step switched to union-find contraction
+    "embedding_clusters": 4,   # CC step switched to union-find contraction
 }
 
 

@@ -29,6 +29,7 @@ def label_propagation_components(
     rounds: int | None,
     directed: bool = False,
     max_rounds: int = 200,
+    probe_from: int = 2,
 ) -> DataFrame:
     """(node_id, component) labels from synchronous min-label propagation.
 
@@ -85,8 +86,11 @@ def label_propagation_components(
         labels = nxt.select("node_id", "component")
         # labels virtually always change in the first rounds — skip those
         # probe jobs (exactness unaffected: propagation past convergence
-        # is the identity, the loop just exits at the next probe)
-        if probe and r >= 2 and nxt.filter(
+        # is the identity, the loop just exits at the next probe).
+        # ``probe_from`` lets callers that feed an already-contracted
+        # graph probe from round 0, where the first round usually IS the
+        # fixed point.
+        if probe and r >= probe_from and nxt.filter(
             F.col("component") != F.col("prev")
         ).count() == 0:
             break
@@ -296,6 +300,106 @@ def star_components(
     )
     return all_nodes.join(comp, "node_id", "left").select(
         "node_id", F.coalesce("component", "node_id").alias("component")
+    )
+
+
+def contracted_components(
+    edges: DataFrame,
+    *,
+    contraction_levels: int = 2,
+    fanin: int = 64,
+    max_rounds: int = 200,
+) -> DataFrame:
+    """Connected components via partition-local union-find contraction —
+    the "local sequential step" of large-scale CC systems (Kiveris et al.,
+    SoCC'14 §4 use the same idea to cut rounds) — finished by
+    convergence-probed min-label propagation on the contracted graph.
+
+    Phase 1 (per level): ONE Arrow pass over the raw edge partitions —
+    union-find needs neither symmetry nor dedup, so unlike the
+    propagation loop the input is never shuffled first. Each partition
+    union-finds the edges it holds (min-id roots, path-compressed) and
+    emits its components as (root, node) stars. Replacing a partition's edges by a star over the same nodes
+    preserves connectivity, so the union of stars across partitions has
+    exactly the input's components — but every within-partition path is
+    now ≤2 hops. Each level feeds its stars to the next with ``fanin``×
+    fewer partitions (a shuffle-free ``coalesce``), so level 2 sees most
+    of a component's stars in one task and collapses the cross-partition
+    chains as well.
+
+    Phase 2: :func:`label_propagation_components` with ``rounds=None,
+    probe_from=0`` over the final star relation. On typical graphs the
+    contraction has already converged and the loop exits at the first
+    probe; on adversarial layouts (a chain whose every edge landed in a
+    different partition) it simply runs the remaining rounds — exactness
+    NEVER depends on the contraction having finished the job.
+
+    Output: (node_id, component), component = global min node id —
+    identical to :func:`label_propagation_components` (roots are
+    per-partition minima; the finisher takes the global min). Undirected
+    semantics only.
+
+    Scale: union-find state is O(nodes-per-partition) and never leaves
+    the executor — no driver collect, no broadcast, no assumption the
+    graph fits anywhere whole. ``fanin`` bounds how much edge volume a
+    coalesce concentrates on one task; the level-k input is stars (≤ one
+    row per node seen at level k-1), so volume shrinks geometrically
+    before partitions widen. Where min-label propagation pays diameter
+    rounds of |E| shuffle each, this pays 2 map-side passes + the few
+    rounds the contracted graph still needs.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    fwd = edges.select(
+        F.col("parent_id").alias("src"), F.col("child_id").alias("dst")
+    )
+    node_type = fwd.schema["src"].dataType
+    star_schema = StructType(
+        [StructField("src", node_type), StructField("dst", node_type)]
+    )
+
+    def _contract(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = parent.setdefault(x, x)
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        nodes = list(parent)
+        # (root, node) stars; roots emit their (root, root) row too, so
+        # the node universe survives every level intact
+        yield pd.DataFrame(
+            {"src": [find(n) for n in nodes], "dst": nodes}
+        )
+
+    cur = fwd
+    for level in range(contraction_levels):
+        if level > 0:
+            parts = max(1, cur.rdd.getNumPartitions() // fanin)
+            cur = cur.coalesce(parts)
+        cur = cur.mapInPandas(_contract, schema=star_schema).localCheckpoint(
+            eager=True
+        )
+    return label_propagation_components(
+        cur.select(
+            F.col("src").alias("parent_id"), F.col("dst").alias("child_id")
+        ),
+        rounds=None,
+        max_rounds=max_rounds,
+        probe_from=0,
     )
 
 

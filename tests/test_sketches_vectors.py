@@ -320,6 +320,50 @@ def test_star_components_long_chain_and_parity(spark):
     assert (950, 950) in star
 
 
+def test_contracted_components_parity(spark):
+    from assemblagedb_spark.operators.components import (
+        contracted_components,
+        label_propagation_components,
+    )
+
+    # chain + triangle + pair + self-loop-only node, same fixture the star
+    # parity uses; repartition(16) scatters the chain so the finisher, not
+    # just the contraction, is exercised
+    rows = ([(i, i + 1) for i in range(80)]
+            + [(500, 501), (501, 502), (502, 500), (900, 901), (950, 950)])
+    e = spark.createDataFrame(rows, "parent_id long, child_id long")
+    for arranged in (e, e.repartition(16), e.repartition(1)):
+        got = sorted((r["node_id"], r["component"])
+                     for r in contracted_components(arranged).collect())
+        ref = sorted((r["node_id"], r["component"])
+                     for r in label_propagation_components(
+                         arranged, rounds=None, max_rounds=200).collect())
+        assert got == ref
+    assert {c for _, c in got} == {0, 500, 900, 950}
+    assert (950, 950) in got
+
+    # adversarial layout: one edge per partition (contraction alone cannot
+    # finish — exactness must come from the probed label-prop finisher),
+    # plus a single contraction level to force that path
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "parent_id long, child_id long"
+    ).repartition(12)
+    got = sorted((r["node_id"], r["component"])
+                 for r in contracted_components(
+                     chain, contraction_levels=1, fanin=1).collect())
+    assert got == [(i, 0) for i in range(13)]
+
+    # string node ids (the db layer's uuid graphs)
+    se = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("z", "z")],
+        "parent_id string, child_id string",
+    )
+    got = sorted((r["node_id"], r["component"])
+                 for r in contracted_components(se).collect())
+    assert got == [("a", "a"), ("b", "a"), ("c", "a"),
+                   ("x", "x"), ("y", "x"), ("z", "z")]
+
+
 def test_personalized_pagerank_mass_concentrates_near_seeds(spark):
     from assemblagedb_spark.operators.components import personalized_pagerank
 
