@@ -2,7 +2,13 @@
 on Spark and its oracle_sql() on DuckDB against the same parquet dir, compare
 row count + column names + order-insensitive values.
 
-Usage: python tools/check_oracles.py [sf_dir] [query ...]
+Usage: python tools/check_oracles.py [--vanilla] [--parts=N] [sf_dir] [query ...]
+
+``--vanilla`` replicates the external driver's bare session; ``--parts=N``
+additionally forces an arbitrary core/shuffle-partition count — running the
+full sweep at an odd N (e.g. 7) is the sweep-level partition-invariance
+check: any gate whose values depend on how rows happen to split across
+tasks fails here instead of on a differently-sized cluster.
 """
 
 from __future__ import annotations
@@ -36,6 +42,11 @@ def main() -> int:
     # Arrow, AQE...), so any result that silently depends on our session
     # tuning fails HERE, not in the driver's grading run.
     vanilla = "--vanilla" in args
+    parts = None
+    for a in list(args):
+        if a.startswith("--parts="):
+            parts = int(a.split("=", 1)[1])
+            args.remove(a)
     args = [a for a in args if a != "--vanilla"]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
@@ -43,13 +54,14 @@ def main() -> int:
     import __spark_entry__ as entry
     from assemblagedb_spark.sources.tpch import TABLES
 
-    if vanilla:
+    if vanilla or parts is not None:
         from pyspark.sql import SparkSession
 
+        n = parts or 8
         spark = (
             SparkSession.builder.appName("oracle-check-vanilla")
-            .master("local[8]")
-            .config("spark.sql.shuffle.partitions", "8")
+            .master(f"local[{n}]")
+            .config("spark.sql.shuffle.partitions", str(n))
             .config("spark.ui.enabled", "false")
             .getOrCreate()
         )
