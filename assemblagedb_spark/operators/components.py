@@ -303,6 +303,48 @@ def star_components(
     )
 
 
+def contraction_pass(rel: DataFrame) -> DataFrame:
+    """One union-find contraction level: a (src, dst) edge relation in, a
+    (src=root, dst=node) star relation out — ONE MapInPandas over the
+    input's existing partitioning, no exchange (plan-pinned). The closure
+    pickles by value, so no worker-side package import is needed."""
+    from pyspark.sql.types import StructField, StructType
+
+    node_type = rel.schema["src"].dataType
+    star_schema = StructType(
+        [StructField("src", node_type), StructField("dst", node_type)]
+    )
+
+    def _contract(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = parent.setdefault(x, x)
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        nodes = list(parent)
+        # (root, node) stars; roots emit their (root, root) row too, so
+        # the node universe survives every level intact
+        yield pd.DataFrame(
+            {"src": [find(n) for n in nodes], "dst": nodes}
+        )
+
+    return rel.mapInPandas(_contract, schema=star_schema)
+
+
 def contracted_components(
     edges: DataFrame,
     *,
@@ -348,51 +390,15 @@ def contracted_components(
     rounds of |E| shuffle each, this pays 2 map-side passes + the few
     rounds the contracted graph still needs.
     """
-    from pyspark.sql.types import StructField, StructType
-
     fwd = edges.select(
         F.col("parent_id").alias("src"), F.col("child_id").alias("dst")
     )
-    node_type = fwd.schema["src"].dataType
-    star_schema = StructType(
-        [StructField("src", node_type), StructField("dst", node_type)]
-    )
-
-    def _contract(batches):
-        import pandas as pd
-
-        parent: dict = {}
-
-        def find(x):
-            r = parent.setdefault(x, x)
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:
-                parent[x], x = r, parent[x]
-            return r
-
-        for pdf in batches:
-            for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    if rb < ra:
-                        ra, rb = rb, ra
-                    parent[rb] = ra
-        nodes = list(parent)
-        # (root, node) stars; roots emit their (root, root) row too, so
-        # the node universe survives every level intact
-        yield pd.DataFrame(
-            {"src": [find(n) for n in nodes], "dst": nodes}
-        )
-
     cur = fwd
     for level in range(contraction_levels):
         if level > 0:
             parts = max(1, cur.rdd.getNumPartitions() // fanin)
             cur = cur.coalesce(parts)
-        cur = cur.mapInPandas(_contract, schema=star_schema).localCheckpoint(
-            eager=True
-        )
+        cur = contraction_pass(cur).localCheckpoint(eager=True)
     return label_propagation_components(
         cur.select(
             F.col("src").alias("parent_id"), F.col("dst").alias("child_id")

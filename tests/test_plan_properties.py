@@ -216,3 +216,22 @@ def test_surprisal_total_rides_as_broadcast(spark, sf_dir):
     # the corpus token total joins in via a broadcast single-row relation,
     # never a driver collect round-trip
     assert uses_broadcast_join(h.q_text_surprisal(spark, sf_dir))
+
+
+def test_contraction_pass_adds_no_exchange(spark, sf_dir):
+    # the union-find contraction level must ride the input's existing
+    # partitioning: scan -> MapInPandas, zero exchanges — the property
+    # that lets contracted_components replace diameter-many shuffle
+    # rounds with two map-side passes
+    from assemblagedb_spark.operators.components import contraction_pass
+
+    edges = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.col("doc_id").alias("src"),
+            (F.col("doc_id") + 1).alias("dst"),
+        )
+    )
+    stars = contraction_pass(edges)
+    assert count_exchanges(stars) == 0
+    assert "MapInPandas" in formatted_plan(stars)
