@@ -705,9 +705,11 @@ def k_core_delta(
             )
             .localCheckpoint(eager=True)
         )
-        dead = updated.filter(F.col("deg") < k).select("u").localCheckpoint(
-            eager=True
-        )
+        # dead/alive stay lazy filters over the checkpointed blocks: the
+        # isEmpty probe and next round's frontier join each rescan the
+        # in-memory degree table, which is cheaper than a third
+        # materialization job per round
+        dead = updated.filter(F.col("deg") < k).select("u")
         alive_deg = updated.filter(F.col("deg") >= k)
     if not converged and not dead.isEmpty():
         # a pending dead frontier means surviving degrees were never
