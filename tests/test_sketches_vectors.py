@@ -363,6 +363,39 @@ def test_contracted_components_parity(spark):
     assert got == [("a", "a"), ("b", "a"), ("c", "a"),
                    ("x", "x"), ("y", "x"), ("z", "z")]
 
+    # seeded random graphs: sparse (forest-heavy), near-critical, and
+    # dense regimes — union-find contraction must agree with label
+    # propagation on arbitrary component structure, verified against a
+    # driver-side union-find ground truth as well
+    import random
+
+    for seed, n, m in ((7, 120, 60), (11, 120, 130), (13, 80, 400)):
+        rng = random.Random(seed)
+        rows = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        e = spark.createDataFrame(rows, "parent_id long, child_id long")
+        got = sorted((r["node_id"], r["component"])
+                     for r in contracted_components(e).collect())
+        ref = sorted((r["node_id"], r["component"])
+                     for r in label_propagation_components(
+                         e, rounds=None, max_rounds=200).collect())
+        assert got == ref, f"seed={seed}"
+        parent = {}
+
+        def find(x):
+            r = parent.setdefault(x, x)
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in rows:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        truth = sorted((x, find(x)) for x in parent)
+        assert got == truth, f"seed={seed}"
+
 
 def test_personalized_pagerank_mass_concentrates_near_seeds(spark):
     from assemblagedb_spark.operators.components import personalized_pagerank
