@@ -349,7 +349,7 @@ def contracted_components(
     edges: DataFrame,
     *,
     contraction_levels: int = 2,
-    fanin: int = 64,
+    fanin: int = 16,
     max_rounds: int = 200,
 ) -> DataFrame:
     """Connected components via partition-local union-find contraction —
@@ -381,14 +381,19 @@ def contracted_components(
     per-partition minima; the finisher takes the global min). Undirected
     semantics only.
 
-    Scale: union-find state is O(nodes-per-partition) and never leaves
-    the executor — no driver collect, no broadcast, no assumption the
-    graph fits anywhere whole. ``fanin`` bounds how much edge volume a
-    coalesce concentrates on one task; the level-k input is stars (≤ one
-    row per node seen at level k-1), so volume shrinks geometrically
-    before partitions widen. Where min-label propagation pays diameter
-    rounds of |E| shuffle each, this pays 2 map-side passes + the few
-    rounds the contracted graph still needs.
+    Scale: union-find state is one dict entry per DISTINCT node in the
+    task's input and never leaves the executor — no driver collect, no
+    broadcast, no assumption the graph fits anywhere whole. Arrow
+    batches stream through the pass; only the node dict is resident.
+    ``fanin`` is therefore a memory knob, not just a round knob: a
+    level-k task sees at most ``fanin`` level-(k-1) partitions' star
+    rows, so its dict is bounded by ``fanin`` × nodes-per-partition
+    (less when partitions share nodes, which is the whole point). Keep
+    it modest on node-dense graphs and let the probed finisher absorb
+    whatever the contraction didn't collapse — exactness never depends
+    on the contraction converging. Where min-label propagation pays
+    diameter rounds of |E| shuffle each, this pays 2 map-side passes +
+    the few rounds the contracted graph still needs.
     """
     fwd = edges.select(
         F.col("parent_id").alias("src"), F.col("child_id").alias("dst")
