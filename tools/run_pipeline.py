@@ -31,7 +31,7 @@ def main() -> int:
 
     from assemblagedb_spark.operators.chunking import chunk_documents, pack_chunks
     from assemblagedb_spark.operators.components import (
-        label_propagation_components,
+        contracted_components,
     )
     from assemblagedb_spark.operators.decontam import decontaminate
     from assemblagedb_spark.operators.dedup import (
@@ -67,11 +67,10 @@ def main() -> int:
     # 2. near-dup clusters via MinHash-LSH; keep each cluster's min id
     sigs = minhash_signatures(docs).localCheckpoint(eager=True)
     pairs = lsh_candidate_pairs(sigs)
-    comp = label_propagation_components(
+    comp = contracted_components(
         pairs.select(
             F.col("id_a").alias("parent_id"), F.col("id_b").alias("child_id")
-        ),
-        rounds=None,
+        )
     )
     dropped = comp.filter(F.col("node_id") != F.col("component")).select(
         F.col("node_id").alias("doc_id")
