@@ -248,6 +248,19 @@ def test_k_core_delta_parity(spark, sf_dir):
     b = sorted(map(tuple, k_core_delta(g, k=2, assume_distinct=True).collect()))
     assert a == b
 
+    # seeded random graphs across density regimes — long peel cascades,
+    # isolated nodes, and multi-round partial deaths all occur here
+    import random
+
+    for seed, n, m in ((3, 60, 50), (5, 60, 90), (9, 40, 200)):
+        rng = random.Random(seed)
+        rows = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        re_ = spark.createDataFrame(rows, "parent_id long, child_id long")
+        for k in (2, 3):
+            a = sorted(map(tuple, k_core(re_, k=k).collect()))
+            b = sorted(map(tuple, k_core_delta(re_, k=k).collect()))
+            assert a == b, f"seed={seed} k={k}"
+
 
 def test_k_core_raises_on_nonconvergence(spark):
     # an exhausted round budget with peeling still in flight must raise,
