@@ -398,6 +398,17 @@ def contracted_components(
     fwd = edges.select(
         F.col("parent_id").alias("src"), F.col("child_id").alias("dst")
     )
+    # Python's None is not orderable inside the union-find: a half-null
+    # edge collapses to a self-loop so its real endpoint still gets its
+    # singleton label row (matching the propagation loop, which keeps
+    # such nodes in the universe; only the degenerate all-null row —
+    # which propagation emits and contraction doesn't — differs)
+    fwd = fwd.filter(
+        F.col("src").isNotNull() | F.col("dst").isNotNull()
+    ).select(
+        F.coalesce("src", "dst").alias("src"),
+        F.coalesce("dst", "src").alias("dst"),
+    )
     cur = fwd
     for level in range(contraction_levels):
         if level > 0:

@@ -363,6 +363,24 @@ def test_contracted_components_parity(spark):
     assert got == [("a", "a"), ("b", "a"), ("c", "a"),
                    ("x", "x"), ("y", "x"), ("z", "z")]
 
+    # null endpoints: the union-find must not see an unorderable None, so
+    # a half-null edge collapses to a self-loop (its real endpoint keeps
+    # its singleton row); label propagation additionally keeps a
+    # degenerate (None, None) label row (nulls survive the node-universe
+    # distinct but never propagate through the joins) — parity holds on
+    # every real node
+    ne = spark.createDataFrame(
+        [(1, 2), (2, None), (None, 5), (7, 8)],
+        "parent_id long, child_id long",
+    )
+    got = sorted((r["node_id"], r["component"])
+                 for r in contracted_components(ne).collect())
+    ref = sorted((r["node_id"], r["component"])
+                 for r in label_propagation_components(
+                     ne, rounds=None, max_rounds=50).collect()
+                 if r["node_id"] is not None)
+    assert got == ref == [(1, 1), (2, 1), (5, 5), (7, 7), (8, 7)]
+
     # seeded random graphs: sparse (forest-heavy), near-critical, and
     # dense regimes — union-find contraction must agree with label
     # propagation on arbitrary component structure, verified against a
