@@ -361,7 +361,8 @@ def contracted_components(
     union-find needs neither symmetry nor dedup, so unlike the
     propagation loop the input is never shuffled first. Each partition
     union-finds the edges it holds (min-id roots, path-compressed) and
-    emits its components as (root, node) stars. Replacing a partition's edges by a star over the same nodes
+    emits its components as (root, node) stars. Replacing a partition's
+    edges by a star over the same nodes
     preserves connectivity, so the union of stars across partitions has
     exactly the input's components — but every within-partition path is
     now ≤2 hops. Each level feeds its stars to the next with ``fanin``×
@@ -670,10 +671,10 @@ def k_core_delta(
     peel's O(|E_alive|) rescan. On graphs where peeling runs many rounds
     and each round kills few nodes (the long-tail regime at corpus
     scale, where |E| >> |V|), the delta form does asymptotically less
-    work; on small test graphs the simultaneous peel's fewer, simpler
-    jobs win, which is why the gated query keeps :func:`k_core` and this
-    variant is pinned by a parity suite (the same coexistence as
-    label-prop vs :func:`star_components`).
+    work; the gated query (`graph_kcore`) runs THIS formulation, with
+    :func:`k_core` kept as the simpler reference both are parity-pinned
+    against (the same coexistence as label-prop vs
+    :func:`star_components`).
 
     A node dies exactly once (new deaths are computed among the alive
     set only), so each edge to a dead endpoint is decremented exactly
