@@ -2279,7 +2279,24 @@ FROM documents WHERE doc_id % 7 = 0
 # ---------------------------------------------------------------------------
 
 
+# The edge relation is the engine's STORED graph — the reference maintains
+# parent/child pointers on every write (slot 0/1, data.rs:492-508), so
+# deriving it from the TPC-H tables is fixture construction, not query
+# work. Memoize per (session, sf_dir) like the other stored structures
+# (gram index, counts); transparency pinned by test_shared_caches.
+_SHARED_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _shared_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (_session_key(spark), sf_dir)
+    if key not in _SHARED_EDGES_CACHE:
+        _SHARED_EDGES_CACHE[key] = _build_shared_graph_edges(
+            spark, sf_dir
+        ).persist()
+    return _SHARED_EDGES_CACHE[key]
+
+
+def _build_shared_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph for multi-parent semantics: the C→O→L hierarchy plus a second
     parent P{partkey}→L for lineitems whose partkey % 3 == 0 — those line
     nodes become shared (multi-parent), like the reference's multi-parent
@@ -3836,6 +3853,7 @@ def clear_artifact_cache(cache_name: str) -> None:
         "_OVERLAP_CACHE": _OVERLAP_CACHE,
         "_KMEANS_CACHE": _KMEANS_CACHE,
         "_PQ_CACHE": _PQ_CACHE,
+        "_SHARED_EDGES_CACHE": _SHARED_EDGES_CACHE,
     }[cache_name]
     for v in cache.values():
         for df in v if isinstance(v, tuple) else (v,):
@@ -3850,7 +3868,12 @@ def clear_shared_artifact_caches() -> None:
     """Drop every session-cached build artifact (dedup overlap relation,
     trained k-means state, PQ index) — plan tooling uses this to explain
     the full COLD pipelines."""
-    for name in ("_OVERLAP_CACHE", "_KMEANS_CACHE", "_PQ_CACHE"):
+    for name in (
+        "_OVERLAP_CACHE",
+        "_KMEANS_CACHE",
+        "_PQ_CACHE",
+        "_SHARED_EDGES_CACHE",
+    ):
         clear_artifact_cache(name)
 
 

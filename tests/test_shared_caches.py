@@ -49,7 +49,20 @@ def test_pq_index_cache_transparent(spark, sf_dir):
     assert len(adc) > 0
 
 
+def test_shared_edges_cache_transparent(spark, sf_dir):
+    # the stored graph relation must serve identical rows cold and warm
+    h.clear_shared_artifact_caches()
+    cold = _frame(h._shared_graph_edges(spark, sf_dir))
+    warm = _frame(h._shared_graph_edges(spark, sf_dir))
+    pd.testing.assert_frame_equal(cold, warm)
+    assert len(cold) > 0
+    # gates over the warm relation still match their expectations
+    kc = _frame(h.q_graph_kcore(spark, sf_dir))
+    assert len(kc) > 0
+
+
 def test_clear_caches_is_idempotent(spark):
     h.clear_shared_artifact_caches()
     h.clear_shared_artifact_caches()
-    assert not h._OVERLAP_CACHE and not h._KMEANS_CACHE and not h._PQ_CACHE
+    assert (not h._OVERLAP_CACHE and not h._KMEANS_CACHE
+            and not h._PQ_CACHE and not h._SHARED_EDGES_CACHE)
