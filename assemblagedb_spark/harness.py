@@ -731,10 +731,18 @@ def q_overlaps_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the whole index and mirror the reverse edges onto affected
     partners. The changed set broadcasts; untouched pairs are never
     rescored."""
-    from assemblagedb_spark.operators.overlaps import overlap_pairs
+    from assemblagedb_spark.operators.overlaps import overlap_pairs, overlap_pairs_dense
 
     g = _doc_gram_index(spark, sf_dir).filter(F.col("node_id") % 5 == 0)
     changed = g.select("node_id").filter(F.col("node_id") % 20 == 0).distinct()
+    # dense-regime strategy, same as q_overlaps: only the changed matrix
+    # rows are scanned against the full matrix (the incremental regime)
+    dense = overlap_pairs_dense(g, changed=changed)
+    if dense is not None:
+        return dense.select(
+            F.col("src_id").cast("long"), F.col("dst_id").cast("long"),
+            "a", "b", "intersection", "score",
+        )
     # per-block totals are subset-independent: reuse the memoized stored
     # counts (slot 3) instead of re-aggregating the postings twice
     counts = _doc_gram_counts(spark, sf_dir).filter(F.col("node_id") % 5 == 0)

@@ -132,6 +132,7 @@ def overlap_pairs_dense(
     min_score: float = OVERLAP_MIN_SCORE,
     max_dense_cells: int = 64_000_000,
     max_nnz: int = 8_000_000,
+    changed: DataFrame | None = None,
 ) -> DataFrame | None:
     """Dense-regime physical strategy for the symmetric overlap self-join.
 
@@ -155,6 +156,12 @@ def overlap_pairs_dense(
     (vocab 2^32, sparse overlap). Same exact integer semantics as
     ``overlap_pairs`` (u8 normalization per ``data.rs:521-529``), both
     directions emitted.
+
+    ``changed`` (column ``node_id``) restricts the *source* rows of the L1
+    pass — the incremental-maintenance regime (index.rs:302-347 recomputes
+    only changed blocks' overlaps). Only |changed| matrix rows are scanned
+    against the full matrix; the reverse edges onto affected partners are
+    mirrored from the computed half, exactly like the sparse path.
     """
     import numpy as np
     import pandas as pd
@@ -185,7 +192,14 @@ def overlap_pairs_dense(
     mat[node_codes, gram_codes] = occ
     id_list = id_index.to_numpy()
     tot = mat.sum(axis=1, dtype=np.int64)  # gram_count per block
-    b_mat = spark.sparkContext.broadcast((mat, tot, id_list))
+    if changed is None:
+        sel = np.arange(len(id_list))
+    else:
+        # bounded by the same budget as the matrix collect (a subset of its
+        # row ids); scan only changed rows against the full matrix
+        ch = changed.select("node_id").toArrow().to_pandas()["node_id"].to_numpy()
+        sel = np.flatnonzero(np.isin(id_list, ch))
+    b_mat = spark.sparkContext.broadcast((mat, tot, id_list, sel))
 
     id_type = dict(grams.dtypes)["node_id"]
     out_schema = (
@@ -194,13 +208,13 @@ def overlap_pairs_dense(
     )
 
     def kernel(batches):
-        m, c, idl = b_mat.value
+        m, c, idl, sl = b_mat.value
         n = len(c)
         rng = np.arange(n)
         for pdf_in in batches:
             acc = []
             for start_i in pdf_in["i"].to_numpy():
-                for i in range(start_i, min(start_i + _DENSE_CHUNK, n)):
+                for i in sl[start_i : start_i + _DENSE_CHUNK]:
                     l1 = np.abs(m - m[i]).sum(axis=1, dtype=np.int64)
                     i_raw = (c[i] + c - l1) // 2
                     mx = np.maximum(c[i], c)
@@ -228,11 +242,25 @@ def overlap_pairs_dense(
                 }
             )
 
-    n_blocks = len(id_list)
-    starts = list(range(0, n_blocks, _DENSE_CHUNK))
+    starts = list(range(0, len(sel), _DENSE_CHUNK))
+    if not starts:
+        return spark.createDataFrame([], out_schema)
     par = min(spark.sparkContext.defaultParallelism, len(starts))
     idx = spark.createDataFrame([(s,) for s in starts], "i int")
-    return idx.repartition(par).mapInPandas(kernel, out_schema)
+    out = idx.repartition(par).mapInPandas(kernel, out_schema)
+    if changed is not None:
+        # reverse-edge maintenance: partners get the mirrored overlap row
+        # (distinct folds changed-changed pairs computed from both ends)
+        rev = out.select(
+            F.col("dst_id").alias("src_id"),
+            F.col("src_id").alias("dst_id"),
+            F.col("b").alias("a"),
+            F.col("a").alias("b"),
+            "intersection",
+            "score",
+        )
+        out = out.unionByName(rev).distinct()
+    return out
 
 
 def merge_overlaps(existing: DataFrame, recomputed: DataFrame, changed: DataFrame) -> DataFrame:

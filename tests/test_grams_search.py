@@ -147,6 +147,54 @@ def test_overlap_pairs_dense_matches_shuffle_path(spark):
     assert ("d", "a") in dense
 
 
+def test_overlap_pairs_dense_incremental_matches_shuffle_path(spark):
+    # changed-subset regime: dense kernel scans only changed rows, mirrors
+    # reverse edges — identical to overlap_pairs(changed=...) incl. scores
+    from assemblagedb_spark.operators.grams import gram_counts
+    from assemblagedb_spark.operators.overlaps import (
+        overlap_pairs,
+        overlap_pairs_dense,
+    )
+
+    texts = [
+        ("a", "This is a sentence about foo."),
+        ("b", "This is a sentence about bar."),
+        ("c", "completely unrelated words zzz"),
+        ("d", "This is a sentence about foo."),
+        ("e", "This is a sentence about baz."),
+        ("f", ""),
+    ]
+    g = block_grams(blocks_df(spark, texts))
+    changed = g.sparkSession.createDataFrame(
+        [("a",), ("e",), ("f",)], "node_id string"
+    )
+    sparse = {
+        (r["src_id"], r["dst_id"]): (r["a"], r["b"], r["intersection"], r["score"])
+        for r in overlap_pairs(g, gram_counts(g), changed=changed).collect()
+    }
+    dense_df = overlap_pairs_dense(g, changed=changed)
+    assert dense_df is not None
+    dense = {
+        (r["src_id"], r["dst_id"]): (r["a"], r["b"], r["intersection"], r["score"])
+        for r in dense_df.collect()
+    }
+    assert sparse == dense
+    assert len(dense) > 0
+    # reverse edge onto an untouched partner is present
+    assert ("d", "a") in dense
+    # untouched-pair overlaps (b,d etc.) are never rescored
+    assert all("a" in p or "e" in p for p in dense)
+
+
+def test_overlap_pairs_dense_incremental_empty_changed(spark):
+    from assemblagedb_spark.operators.overlaps import overlap_pairs_dense
+
+    g = block_grams(blocks_df(spark, [("a", "foo bar baz"), ("b", "foo bar baz")]))
+    changed = g.sparkSession.createDataFrame([], "node_id string")
+    out = overlap_pairs_dense(g, changed=changed)
+    assert out is not None and out.count() == 0
+
+
 def test_overlap_pairs_dense_guard_returns_none(spark):
     from assemblagedb_spark.operators.overlaps import overlap_pairs_dense
 
