@@ -3861,6 +3861,7 @@ def clear_artifact_cache(cache_name: str) -> None:
         "_OVERLAP_CACHE": _OVERLAP_CACHE,
         "_KMEANS_CACHE": _KMEANS_CACHE,
         "_PQ_CACHE": _PQ_CACHE,
+        "_IVFPQ_CACHE": _IVFPQ_CACHE,
         "_SHARED_EDGES_CACHE": _SHARED_EDGES_CACHE,
     }[cache_name]
     for v in cache.values():
@@ -3880,6 +3881,7 @@ def clear_shared_artifact_caches() -> None:
         "_OVERLAP_CACHE",
         "_KMEANS_CACHE",
         "_PQ_CACHE",
+        "_IVFPQ_CACHE",
         "_SHARED_EDGES_CACHE",
     ):
         clear_artifact_cache(name)
@@ -5108,6 +5110,110 @@ WHERE rank <= {_PQ_TOPK}"""
     )
 
 
+_IVFPQ_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _ivfpq_cell_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached IVFADC inverted lists: the PQ code table carrying
+    each vector's trained coarse-cell assignment — (vec_id, subspace,
+    code, cell), repartitioned by cell (the layout that is written
+    partitioned BY CELL at scale, so probes partition-prune) and
+    persisted. Built once from the session's PQ index (_pq_index) and
+    trained coarse quantizer (_trained_kmeans) — the FAISS ``IVFPQ``
+    build step."""
+    from assemblagedb_spark.operators.similarity import ivf_assign
+
+    key = (_session_key(spark), sf_dir)
+    if key not in _IVFPQ_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _, codes = _pq_index(spark, sf_dir)
+        state = _trained_kmeans(spark, sf_dir, _IVT_K, 2)
+        assign = ivf_assign(emb, centroids=state).withColumnRenamed(
+            "c_id", "vec_id"
+        )
+        _IVFPQ_CACHE[key] = (
+            codes.join(assign, "vec_id").repartition("cell").persist()
+        )
+    return _IVFPQ_CACHE[key]
+
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC serving — the standard 100 TB ANN shape (Jégou et al.
+    TPAMI'11 §V; FAISS IVFPQ): trained coarse cells bound the search, PQ
+    codes make per-candidate scoring integer table lookups. Per query:
+    probe the 2 nearest trained cells, ADC-score only those cells'
+    inverted lists, exact integer arithmetic, top-10. Combines the two
+    stored index halves the session already maintains (coarse quantizer =
+    kmeans_train state, code table = _pq_index) — build costs are the
+    kmeans_train / ann_pq_codes keys; this key measures serving."""
+    from assemblagedb_spark.operators.pq import ivfpq_adc_topk
+    from assemblagedb_spark.operators.similarity import ivf_probes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book, _ = _pq_index(spark, sf_dir)
+    state = _trained_kmeans(spark, sf_dir, _IVT_K, 2)
+    queries = emb.filter(F.col("vec_id") % _PQ_QUERY_MOD == 0)
+    probes = ivf_probes(queries, nprobe=_IVT_PROBE, centroids=state)
+    return ivfpq_adc_topk(
+        _ivfpq_cell_codes(spark, sf_dir), book, queries, probes,
+        k=_PQ_TOPK, m=_PQ_M, sub_dim=_PQ_SUBDIM,
+    )
+
+
+def _o_ann_ivfpq() -> str:
+    """Coarse-cell chain (the ann_ivf_trained oracle's cvec2→cand2 block)
+    composed with the PQ Lloyd chains: a neighbor's ADC distance is the
+    sum over subspaces of the query's distance to the neighbor's assigned
+    centroid, summed only over candidate pairs sharing a probed cell."""
+    km = _o_kmeans(k=_IVT_K, iters=2)
+    km_ctes = km[len("WITH "):km.rindex("\nSELECT")]
+    pq_ctes, iters = _pq_chain_ctes()
+    contribs = " UNION ALL ".join(
+        f"SELECT c.q_id AS query_id, c.c_id AS neighbor_id, d.dist "
+        f"FROM cand2 c "
+        f"JOIN a{sp}_{iters} a ON a.vec_id = c.c_id "
+        f"JOIN d{sp}_{iters} d ON d.vec_id = c.q_id AND d.label = a.label"
+        for sp in range(_PQ_M)
+    )
+    return f"""
+WITH {km_ctes},
+{",".join(pq_ctes)},
+cvec2 AS (
+  SELECT label AS cell,
+         list(floor(sum_q / n_vecs) / 1000.0 ORDER BY pos) AS vec_cent
+  FROM c2 GROUP BY label
+),
+cellscore AS (
+  SELECT e.vec_id, ct.cell,
+         list_dot_product(e.embedding::DOUBLE[], ct.vec_cent::DOUBLE[]) /
+         (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(ct.vec_cent::DOUBLE[], ct.vec_cent::DOUBLE[]))) AS cos_c
+  FROM embeddings e CROSS JOIN cvec2 ct
+),
+rankedc AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cell) AS r
+  FROM cellscore
+),
+assign2 AS (SELECT vec_id AS c_id, cell FROM rankedc WHERE r = 1),
+probes2 AS (SELECT vec_id AS q_id, cell FROM rankedc
+            WHERE r <= {_IVT_PROBE} AND vec_id % {_PQ_QUERY_MOD} = 0),
+cand2 AS (
+  SELECT DISTINCT p.q_id, a.c_id
+  FROM probes2 p JOIN assign2 a ON a.cell = p.cell
+  WHERE p.q_id <> a.c_id
+),
+contrib AS MATERIALIZED ({contribs}),
+adc AS (SELECT query_id, neighbor_id, SUM(dist)::BIGINT AS adc_dist
+        FROM contrib GROUP BY 1, 2)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS rank
+  FROM adc)
+WHERE rank <= {_PQ_TOPK}"""
+
+
 def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average of the metric per event_type (the hypertable
     ``time_weight`` aggregate): each sample holds its value until the next
@@ -5364,6 +5470,7 @@ SPARK_QUERIES = {
     "events_twa": q_events_twa,
     "events_drift_state": q_events_drift_state,
     "events_histogram": q_events_histogram,
+    "ann_ivfpq": q_ann_ivfpq,
 }
 
 ORACLES = {
@@ -5500,6 +5607,7 @@ ORACLES = {
     "events_twa": O_EVENTS_TWA,
     "events_drift_state": O_EVENTS_DRIFT_STATE,
     "events_histogram": O_EVENTS_HISTOGRAM,
+    "ann_ivfpq": _o_ann_ivfpq(),
 }
 
 

@@ -178,6 +178,57 @@ def pq_encode(
     )
 
 
+def _adc_distance_table(
+    codebook: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    sub_dim: int,
+    scale: int,
+) -> DataFrame:
+    """(query_id, subspace, code, d): each query's integer squared distance
+    to every subspace centroid — the |Q| × m × k ADC lookup table, the
+    broadcast side of every PQ serving join."""
+    qsub = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s -> "
+                f"transform(slice({vec_col}, s * {sub_dim} + 1, {sub_dim}), "
+                f"v -> CAST(floor(CAST(v AS DOUBLE) * {scale}) AS BIGINT)))"
+            )
+        ).alias("subspace", "qvec"),
+    ).withColumn("subspace", F.col("subspace").cast("long"))
+    cent = _codebook_vectors(codebook)
+    dist = F.expr(
+        "aggregate(zip_with(qvec, cvec, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return qsub.join(F.broadcast(cent), "subspace").select(
+        "query_id", "subspace", F.col("label").alias("code"), dist.alias("d")
+    )
+
+
+def _adc_rank(scored: DataFrame, k: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_dist",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def pq_adc_topk(
     codes: DataFrame,
     codebook: DataFrame,
@@ -198,29 +249,9 @@ def pq_adc_topk(
     self excluded, ties broken by ascending neighbor id. The scan of the
     code table is the only big input; scoring shuffles (query, vec) partial
     sums, never raw vectors."""
-    from pyspark.sql import Window
-
-    qsub = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {m - 1}), s -> "
-                f"transform(slice({vec_col}, s * {sub_dim} + 1, {sub_dim}), "
-                f"v -> CAST(floor(CAST(v AS DOUBLE) * {scale}) AS BIGINT)))"
-            )
-        ).alias("subspace", "qvec"),
-    ).withColumn("subspace", F.col("subspace").cast("long"))
-    cent = _codebook_vectors(codebook)
-    dist = F.expr(
-        "aggregate(zip_with(qvec, cvec, (a, b) -> (a - b) * (a - b)), "
-        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-    )
-    dtable = (
-        qsub.join(F.broadcast(cent), "subspace")
-        .select(
-            "query_id", "subspace", F.col("label").alias("code"),
-            dist.alias("d"),
-        )
+    dtable = _adc_distance_table(
+        codebook, queries, id_col=id_col, vec_col=vec_col,
+        m=m, sub_dim=sub_dim, scale=scale,
     )
     scored = (
         codes.join(F.broadcast(dtable), ["subspace", "code"])
@@ -228,16 +259,51 @@ def pq_adc_topk(
         .groupBy("query_id", "vec_id")
         .agg(F.sum("d").cast("long").alias("adc_dist"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_dist"), F.asc("vec_id")
+    return _adc_rank(scored, k)
+
+
+def ivfpq_adc_topk(
+    cell_codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    probes: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    sub_dim: int = 8,
+    scale: int = 1000,
+) -> DataFrame:
+    """IVFADC serving (Jégou et al. TPAMI'11 §V: coarse quantizer +
+    per-cell PQ codes — the FAISS ``IVFPQ`` layout): each query ADC-scores
+    ONLY the vectors whose coarse cell it probes, instead of the whole code
+    table.
+
+    ``cell_codes``: (vec_id, subspace, code, cell) — the PQ code table
+    carrying each vector's coarse-cell assignment, i.e. the inverted lists.
+    At scale this relation is written partitioned/bucketed BY CELL, so a
+    probe touches only its cells' files (partition pruning); the query-side
+    join below keeps that shape — the big table is scanned, never shuffled.
+    ``probes``: (q_id, cell) — each query's nprobe nearest cells
+    (:func:`assemblagedb_spark.operators.similarity.ivf_probes`).
+
+    Per-scan work is Σ_q Σ_{probed cells} |cell| · m code lookups — the
+    nprobe/nlist fraction of :func:`pq_adc_topk` — with the same exact
+    integer arithmetic, self-exclusion and (adc_dist, neighbor_id) tie
+    order. A corpus vector appears in exactly one cell, so no distinct is
+    needed on the candidate pairs."""
+    dtable = _adc_distance_table(
+        codebook, queries, id_col=id_col, vec_col=vec_col,
+        m=m, sub_dim=sub_dim, scale=scale,
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            "adc_dist",
-            F.col("rank").cast("long").alias("rank"),
+    scored = (
+        cell_codes.join(
+            F.broadcast(probes.withColumnRenamed("q_id", "query_id")), "cell"
         )
+        .join(F.broadcast(dtable), ["query_id", "subspace", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").cast("long").alias("adc_dist"))
     )
+    return _adc_rank(scored, k)

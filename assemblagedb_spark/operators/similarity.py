@@ -297,13 +297,37 @@ def ivf_assign(
     nlist: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(c_id, cell) corpus cell assignment — the materializable IVF index
     half. In a deployed pipeline this is computed once at ingest, persisted
     bucketed by cell, and reused by every query batch (pass it to
-    :func:`ivf_topk` as ``corpus_assign`` with the same ``nlist``)."""
-    cents = _ivf_centroids(corpus, nlist, id_col, vec_col)
+    :func:`ivf_topk` as ``corpus_assign`` with the same ``nlist``).
+    ``centroids``: a TRAINED quantizer merge state (kmeans_train output)
+    replacing the deterministic lowest-id quantizer; ``nlist`` is then
+    ignored (same contract as :func:`ivf_topk`)."""
+    cents = (
+        centroid_matrix(centroids)
+        if centroids is not None
+        else _ivf_centroids(corpus, nlist, id_col, vec_col)
+    )
     return _nearest_cells(corpus, "c", 1, cents, id_col, vec_col)
+
+
+def ivf_probes(
+    queries: DataFrame,
+    *,
+    nprobe: int = 2,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(q_id, cell) probe list: each query's ``nprobe`` nearest trained
+    cells by cosine (ties cell-asc) — |Q| × nprobe rows, the broadcastable
+    side of every IVF serving join."""
+    return _nearest_cells(
+        queries, "q", nprobe, centroid_matrix(centroids), id_col, vec_col
+    )
 
 
 def ivf_topk(

@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "events_twa",
     "events_drift_state",
     "events_histogram",
+    # round-4 additions
+    "ann_ivfpq",
 ]
 
 

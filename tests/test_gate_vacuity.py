@@ -39,6 +39,37 @@ def test_winnow_pairs_not_vacuous(spark, sf_dir):
     assert _rows(spark, sf_dir, "text_winnow_pairs") >= 20
 
 
+def test_ivfpq_gate_prunes_but_not_vacuous(spark, sf_dir):
+    # the IVFADC gate must (a) return full top-10 lists for every query and
+    # (b) actually PRUNE — if every query scored the whole corpus, the gate
+    # would be ann_pq_adc in disguise and the cell machinery untested
+    from pyspark.sql import functions as F
+
+    out = h.SPARK_QUERIES["ann_ivfpq"](spark, sf_dir)
+    per_q = out.groupBy("query_id").count().collect()
+    assert len(per_q) >= 10
+    assert all(r["count"] == 10 for r in per_q)
+
+    emb = h.load_table(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    n_queries = emb.filter(F.col("vec_id") % h._PQ_QUERY_MOD == 0).count()
+    cell_codes = h._ivfpq_cell_codes(spark, sf_dir)
+    from assemblagedb_spark.operators.similarity import ivf_probes
+
+    probes = ivf_probes(
+        emb.filter(F.col("vec_id") % h._PQ_QUERY_MOD == 0),
+        nprobe=h._IVT_PROBE,
+        centroids=h._trained_kmeans(spark, sf_dir, h._IVT_K, 2),
+    )
+    n_pairs = (
+        cell_codes.select("vec_id", "cell").distinct()
+        .join(probes.withColumnRenamed("q_id", "query_id"), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .count()
+    )
+    assert 10 * n_queries <= n_pairs < n_queries * (n_corpus - 1)
+
+
 def test_simhash_candidate_stage_not_vacuous(spark, sf_dir):
     # the hamming<=4 OUTPUT is structurally tiny (6 rows — pigeonhole-exact
     # near-identical fingerprints), so pin the CANDIDATE stage instead:

@@ -207,6 +207,16 @@ def test_round3_gates_never_cartesian(spark, sf_dir):
             assert "BroadcastNestedLoopJoin" not in plan, q.__name__
 
 
+def test_ivfpq_serving_broadcasts_probes_and_dtable(spark, sf_dir):
+    # IVFADC serving: the code table is the only big input — probes and
+    # the ADC distance table ride in as broadcasts, nothing cartesian,
+    # and the scored candidate stream aggregates straight into the rank
+    # window (one exchange for the groupBy + window partitioning)
+    plan = formatted_plan(h.q_ann_ivfpq(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
 def test_split_assign_is_pure_projection(spark, sf_dir):
     # a per-row hash gate must not shuffle anything
     assert count_exchanges(h.q_split_assign(spark, sf_dir)) == 0

@@ -140,6 +140,61 @@ def test_pq_adc_recovers_separated_clusters(spark):
     assert got == exact
 
 
+def test_ivfpq_adc_consistent_with_full_adc_on_candidates(spark):
+    # IVFADC ≡ full ADC restricted to probed-cell candidates: for every
+    # query, the ivfpq result is exactly the top-k of the full ADC scores
+    # over pairs sharing a probed cell — cell bounding changes WHICH pairs
+    # score, never their adc_dist or tie order
+    from pyspark.sql import functions as F
+
+    from assemblagedb_spark.operators.pq import (
+        ivfpq_adc_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+    from assemblagedb_spark.operators.similarity import ivf_assign, ivf_probes
+    from assemblagedb_spark.operators.vectors import kmeans_train
+
+    rows = [(i, [float((i * 7 + j * 3) % 13) + (1.0 if i % 3 == j % 3 else 0.0)
+                 for j in range(8)])
+            for i in range(36)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    state = kmeans_train(emb, k=4, iters=2)
+    book = pq_train(emb, m=2, sub_dim=4, k=4, iters=2)
+    codes = pq_encode(emb, book, m=2, sub_dim=4)
+    assign = ivf_assign(emb, centroids=state).withColumnRenamed("c_id", "vec_id")
+    cell_codes = codes.join(assign, "vec_id")
+    queries = emb.filter("vec_id % 6 = 0")
+    probes = ivf_probes(queries, nprobe=2, centroids=state)
+
+    got = sorted(map(tuple, ivfpq_adc_topk(
+        cell_codes, book, queries, probes, k=3, m=2, sub_dim=4
+    ).collect()))
+
+    # reference: full ADC scores, manually restricted to candidate pairs
+    cand = (
+        probes.withColumnRenamed("q_id", "query_id")
+        .join(assign.select("vec_id", "cell"), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    full = pq_adc_topk(codes, book, queries, k=10**6, m=2, sub_dim=4)
+    from pyspark.sql import Window
+
+    restricted = (
+        full.join(cand, ["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(
+            Window.partitionBy("query_id")
+            .orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "adc_dist",
+                F.col("rank").cast("long").alias("rank"))
+    )
+    want = sorted(map(tuple, restricted.collect()))
+    assert got == want and len(got) > 0
+
+
 def test_pq_codes_partition_invariant(spark):
     from assemblagedb_spark.operators.pq import pq_encode, pq_train
 
