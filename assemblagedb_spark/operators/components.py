@@ -535,6 +535,31 @@ def bfs_depth(
     return settled
 
 
+def _symmetrized(edges: DataFrame) -> DataFrame:
+    """Both orientations of (parent_id, child_id) in ONE input scan —
+    explode emits the forward and reverse row per edge, so the map side
+    reads the edge relation once (a two-branch union scans it twice);
+    self-loops dropped."""
+    return (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("parent_id").alias("u"),
+                        F.col("child_id").alias("v"),
+                    ),
+                    F.struct(
+                        F.col("child_id").alias("u"),
+                        F.col("parent_id").alias("v"),
+                    ),
+                )
+            ).alias("uv")
+        )
+        .select("uv.u", "uv.v")
+        .filter(F.col("u") != F.col("v"))
+    )
+
+
 def k_core(
     edges: DataFrame,
     k: int,
@@ -577,12 +602,7 @@ def k_core(
     nearly-full-V rounds shuffle; the long tail of shrinking rounds
     broadcasts.
     """
-    fwd = edges.select(
-        F.col("parent_id").alias("u"), F.col("child_id").alias("v")
-    )
-    sym = fwd.unionByName(
-        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).filter(F.col("u") != F.col("v"))
+    sym = _symmetrized(edges)
     if not assume_distinct:
         sym = sym.distinct()
     # hash-partition on u before pinning: the checkpoint write
@@ -681,12 +701,7 @@ def k_core_delta(
     once and the final degree equals the degree within the surviving
     core — identical output columns (node_id, degree).
     """
-    fwd = edges.select(
-        F.col("parent_id").alias("u"), F.col("child_id").alias("v")
-    )
-    sym = fwd.unionByName(
-        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).filter(F.col("u") != F.col("v"))
+    sym = _symmetrized(edges)
     if not assume_distinct:
         sym = sym.distinct()
     parts = edges.sparkSession.sparkContext.defaultParallelism
