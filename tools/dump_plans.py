@@ -56,6 +56,7 @@ PICKS = [
     ("graph_kcore", "frontier-delta peel: static edge set pinned once (partitioned on v); each round joins only the dead frontier and rewrites the degree table"),
     ("dedup_clusters", "union-find-contracted components: two shuffle-free MapInPandas star passes replace diameter-many propagation rounds; probed label-prop finisher guarantees exactness"),
     ("dedup_lsh_verify", "candidate pair list joins each side's shingles BELOW the gram join — work bounded by candidate overlap, not df(gram)^2"),
+    ("ann_ivfpq", "IVFADC serving: probes + ADC distance table broadcast onto the cell-partitioned code table; only probed inverted lists score, corpus never shuffled"),
 ]
 
 
@@ -82,6 +83,7 @@ def main() -> None:
     _SHARED_ARTIFACT_PICKS = {
         "dedup_lsh_verify", "dedup_containment",
         "kmeans_train", "ann_ivf_trained", "ann_pq_codes", "ann_pq_adc",
+        "ann_ivfpq",
     }
     for name, why in PICKS:
         if name in _SHARED_ARTIFACT_PICKS:
