@@ -23,7 +23,7 @@ PICKS = [
     ("ann_topk", "no join operator: corpus scored in one MapInPandas scan, only per-partition top-k reaches the rank window"),
     ("display_class", "pointer-doubling: log-round joins instead of one join per hop"),
     ("events_asof", "as-of join as union + single window pass (no per-row range probe)"),
-    ("overlaps_incremental", "changed-block set broadcasts; untouched pairs never rescored"),
+    ("overlaps_incremental", "dense-regime incremental maintenance: only changed matrix rows scanned (MapInPandas, no shuffle); reverse edges mirrored + distinct; untouched pairs never rescored"),
     ("graph_components", "per-round |E| join + |V| aggregate; no transitive closure materialized"),
     ("embedding_neardup", "LSH band self equi-join generates candidates; exact cosine verifies; no CartesianProduct anywhere"),
     ("dedup_simhash_pairs", "banded fingerprint bucket join (pigeonhole recall 1.0 at hamming<=4); no CartesianProduct"),
