@@ -134,6 +134,32 @@ def _codebook_vectors(codebook: DataFrame) -> DataFrame:
     )
 
 
+_ENCODE_LITERAL_MAX_CELLS = 65_536  # m*k codebook entries foldable inline
+
+
+def _codebook_literal(codebook: DataFrame) -> dict[int, list[list[int]]]:
+    """Collect the (m × k × sub_dim) merge state into
+    {subspace: [centroid ints per label, label-ascending]} — the codebook
+    is bounded tiny by construction (the broadcast side of every PQ join),
+    so this collect is the same build-side materialization
+    :func:`_codebook_vectors` feeds to the planner."""
+    by_sp: dict[int, dict[int, dict[int, int]]] = {}
+    for r in codebook.collect():
+        by_sp.setdefault(r["subspace"], {}).setdefault(r["label"], {})[
+            r["pos"]
+        ] = r["sum_q"] // r["n_vecs"]  # floor(sum_q / n_vecs), n_vecs > 0
+    # keep REAL label values (an emptied cluster leaves a gap; positional
+    # renumbering would emit wrong codes), label-ascending for the
+    # deterministic tie-break
+    out: dict[int, list[tuple[int, list[int]]]] = {}
+    for sp, labels in by_sp.items():
+        out[sp] = [
+            (l, [labels[l][p] for p in sorted(labels[l])])
+            for l in sorted(labels)
+        ]
+    return out
+
+
 def pq_encode(
     embeddings: DataFrame,
     codebook: DataFrame,
@@ -146,11 +172,80 @@ def pq_encode(
 ) -> DataFrame:
     """Encode every vector as ``m`` codes: (vec_id, subspace, code).
 
-    ONE corpus scan: the row explodes into its m quantized subvectors, the
-    (m × k)-row codebook broadcasts, distance is an integer zip_with fold,
-    argmin per (vec_id, subspace) with deterministic label tie-break —
-    the corpus is never shuffled (the aggregate is map-side partial on
-    the scan's own rows)."""
+    A pure PROJECTION: the codebook (bounded at m × k rows by
+    construction) folds into the encode expression as literals, so each
+    row computes its m argmin codes inline — one corpus scan, zero
+    shuffle, zero aggregation (the previous explode + groupBy argmin
+    moved n·m scored rows through an exchange for the same answer).
+    Being stateless, the same expression encodes a STREAM per
+    micro-batch (streaming/ann.py). Tie-break: lowest label on equal
+    distance — identical to the merge-state argmin and the oracle's
+    ``row_number() OVER (ORDER BY dist, label)``.
+
+    Falls back to the broadcast-join + partial-agg plan when the codebook
+    exceeds the literal-folding budget (never at sane m·k; the guard is
+    for misuse, not scale)."""
+    codes_expr = encode_codes_column(
+        codebook, m=m, sub_dim=sub_dim, vec_col=vec_col, scale=scale
+    )
+    if codes_expr is None:
+        # oversized codebook, or a subspace with no trained labels (the
+        # join path simply emits no code row for it — keep that behavior)
+        return _pq_encode_agg(
+            embeddings, codebook, m=m, sub_dim=sub_dim,
+            id_col=id_col, vec_col=vec_col, scale=scale,
+        )
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), F.posexplode(codes_expr).alias("subspace", "code")
+    ).select("vec_id", F.col("subspace").cast("long").alias("subspace"), "code")
+
+
+def encode_codes_column(
+    codebook: DataFrame,
+    *,
+    m: int = 8,
+    sub_dim: int = 8,
+    vec_col: str = "embedding",
+    scale: int = 1000,
+):
+    """The literal-folded encode expression: an ``array<bigint>`` of the
+    row's m argmin codes (index = subspace). Stateless, so it encodes a
+    STREAM per micro-batch unchanged (streaming/ann.py). Returns ``None``
+    when the codebook exceeds the literal budget or a subspace trained no
+    labels — callers fall back to :func:`_pq_encode_agg`."""
+    cb = _codebook_literal(codebook)
+    n_cells = sum(len(v) for v in cb.values())
+    if n_cells > _ENCODE_LITERAL_MAX_CELLS or any(
+        not cb.get(sp) for sp in range(m)
+    ):
+        return None
+    per_subspace = []
+    for sp in range(m):
+        dists = ", ".join(
+            f"named_struct('dist', aggregate(zip_with("
+            f"transform(slice({vec_col}, {sp * sub_dim} + 1, {sub_dim}), "
+            f"v -> CAST(floor(CAST(v AS DOUBLE) * {scale}) AS BIGINT)), "
+            f"array({', '.join(f'CAST({c} AS BIGINT)' for c in cvec)}), "
+            f"(a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), "
+            f"(acc, x) -> acc + x), 'label', CAST({label} AS BIGINT))"
+            for label, cvec in cb[sp]
+        )
+        per_subspace.append(f"array_min(array({dists})).label")
+    return F.expr(f"array({', '.join(per_subspace)})")
+
+
+def _pq_encode_agg(
+    embeddings: DataFrame,
+    codebook: DataFrame,
+    *,
+    m: int,
+    sub_dim: int,
+    id_col: str,
+    vec_col: str,
+    scale: int,
+) -> DataFrame:
+    """Broadcast-join + argmin-aggregate encode (the pre-literal plan,
+    kept as the oversized-codebook fallback and the parity reference)."""
     sub = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.posexplode(

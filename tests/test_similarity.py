@@ -195,6 +195,29 @@ def test_ivfpq_adc_consistent_with_full_adc_on_candidates(spark):
     assert got == want and len(got) > 0
 
 
+def test_pq_encode_projection_matches_agg_path_and_never_shuffles(spark):
+    # the literal-folded encode is a pure projection: same codes as the
+    # broadcast-join + argmin-aggregate plan (incl. tie-breaks on a grid
+    # with many equidistant points), zero exchanges
+    from assemblagedb_spark.operators.pq import (
+        _pq_encode_agg,
+        pq_encode,
+        pq_train,
+    )
+    from assemblagedb_spark.plans.explain import count_exchanges
+
+    rows = [(i, [float((i * 5 + j) % 4) for j in range(8)])
+            for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    book = pq_train(emb, m=2, sub_dim=4, k=4, iters=2)
+    proj = pq_encode(emb, book, m=2, sub_dim=4)
+    agg = _pq_encode_agg(emb, book, m=2, sub_dim=4,
+                         id_col="vec_id", vec_col="embedding", scale=1000)
+    assert sorted(map(tuple, proj.collect())) == sorted(map(tuple, agg.collect()))
+    assert count_exchanges(proj) == 0
+    assert proj.schema.simpleString() == agg.schema.simpleString()
+
+
 def test_pq_codes_partition_invariant(spark):
     from assemblagedb_spark.operators.pq import pq_encode, pq_train
 
