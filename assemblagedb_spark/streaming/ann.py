@@ -17,7 +17,7 @@ Both steps are stateless projections:
 
 Stateless ⇒ append-mode safe with no watermark or state store, and the
 sink can write straight into the cell-partitioned code table (bucketed by
-cell at scale — sources/bucketed.py), where the serving join
+cell at scale — sources/layout.py::write_bucketed), where the serving join
 partition-prunes probes. Batch and streaming encode the same rows to the
 same codes by construction (pinned by tests/test_streaming_ann.py).
 """

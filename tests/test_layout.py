@@ -49,6 +49,73 @@ def test_bucketed_join_no_exchange(spark, tmp_path, no_broadcast):
         drop_table(spark, "t_edges_b")
 
 
+def test_bucketed_postings_agg_and_self_join_shuffle_free(spark, tmp_path):
+    # grams.py/search.py: "grams table is written partitioned/bucketed by
+    # gram" — the per-gram aggregate and the postings self-join (the
+    # overlaps candidate machinery) on REAL gram data must then need no
+    # exchange: the one shuffle of the dedup pipeline is paid at write time
+    from pyspark.sql import functions as F
+
+    from assemblagedb_spark import harness as h
+    from tests.conftest import SF_DIR
+
+    g = h._doc_gram_index(spark, SF_DIR).filter(F.col("node_id") % 5 == 0)
+    try:
+        write_bucketed(
+            g, "t_grams_by_gram", str(tmp_path / "gg"),
+            buckets=8, key_cols=["gram"], sort_cols=["gram"],
+        )
+        t = spark.table("t_grams_by_gram")
+        agg = t.groupBy("gram").agg(F.sum("occurrences").alias("df"))
+        assert count_exchanges(agg) == 0
+        assert agg.count() > 0
+
+        join = t.alias("a").hint("merge").join(t.alias("b"), "gram").filter(
+            F.col("a.node_id") < F.col("b.node_id")
+        )
+        plan = formatted_plan(join)
+        assert count_exchanges(join) == 0
+        assert "SortMergeJoin" in plan
+        # co-located result equals the shuffled one
+        shuffled = (
+            g.alias("a").hint("shuffle_hash").join(g.alias("b"), "gram")
+            .filter(F.col("a.node_id") < F.col("b.node_id"))
+        )
+        assert join.count() == shuffled.count()
+    finally:
+        drop_table(spark, "t_grams_by_gram")
+
+
+def test_bucketed_kv_latest_version_window_shuffle_free(spark, tmp_path):
+    # mvcc.py: "with the table bucketed by key the sort is cheap" — over
+    # bucketBy(key) the latest-version rank window needs no exchange (its
+    # sort stays partition-local over pre-grouped buckets)
+    from pyspark.sql import Window, functions as F
+
+    from assemblagedb_spark import harness as h
+    from tests.conftest import SF_DIR
+
+    kv = h.load_table(spark, SF_DIR, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("version"),
+        F.col("o_totalprice").alias("value"),
+    )
+    try:
+        write_bucketed(
+            kv, "t_kv_by_key", str(tmp_path / "kv"),
+            buckets=8, key_cols=["key"], sort_cols=["key", "version"],
+        )
+        t = spark.table("t_kv_by_key")
+        w = Window.partitionBy("key").orderBy(F.desc("version"))
+        latest = t.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        )
+        assert count_exchanges(latest) == 0
+        assert latest.count() == kv.select("key").distinct().count()
+    finally:
+        drop_table(spark, "t_kv_by_key")
+
+
 def test_unbucketed_join_needs_exchanges(spark, no_broadcast):
     # control: the same join without bucketing shuffles both sides
     edges = spark.createDataFrame(
