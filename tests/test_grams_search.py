@@ -195,6 +195,43 @@ def test_overlap_pairs_dense_incremental_empty_changed(spark):
     assert out is not None and out.count() == 0
 
 
+def test_merge_overlaps_equals_full_recompute_after_edit(spark):
+    # the batch equivalent of index.rs:314-347's per-write set-diff merge:
+    # edit one block, recompute only ITS overlaps, splice into the stored
+    # table — the result must equal recomputing everything from scratch
+    from assemblagedb_spark.operators.grams import gram_counts
+    from assemblagedb_spark.operators.overlaps import (
+        merge_overlaps,
+        overlap_pairs,
+    )
+
+    v1 = [
+        ("a", "This is a sentence about foo."),
+        ("b", "This is a sentence about bar."),
+        ("c", "completely unrelated words zzz"),
+        ("d", "This is a sentence about foo."),
+    ]
+    g1 = block_grams(blocks_df(spark, v1))
+    stored = overlap_pairs(g1, gram_counts(g1))
+
+    # edit block b: now a near-copy of a/d (gains overlaps it lacked)
+    v2 = [r if r[0] != "b" else ("b", "This is a sentence about foo!") for r in v1]
+    g2 = block_grams(blocks_df(spark, v2))
+    c2 = gram_counts(g2)
+    changed = spark.createDataFrame([("b",)], "node_id string")
+    recomputed = overlap_pairs(g2, c2, changed=changed)
+    merged = {
+        (r["src_id"], r["dst_id"]): (r["a"], r["b"], r["intersection"])
+        for r in merge_overlaps(stored, recomputed, changed).collect()
+    }
+    full = {
+        (r["src_id"], r["dst_id"]): (r["a"], r["b"], r["intersection"])
+        for r in overlap_pairs(g2, c2).collect()
+    }
+    assert merged == full
+    assert ("a", "b") in merged  # the edit created this overlap
+
+
 def test_overlap_pairs_dense_guard_returns_none(spark):
     from assemblagedb_spark.operators.overlaps import overlap_pairs_dense
 
