@@ -657,3 +657,93 @@ def test_exact_permille_binding_tie_all_pinned(n):
         {"a": n, "b": 2 * n}, {"a": 0.25, "b": 0.5}, binding="min", cap=1000
     )
     assert perm == {"a": 1000, "b": 1000}
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**32 - 1),
+             min_size=1, max_size=20),
+    st.integers(min_value=1, max_value=2147483646),
+    st.integers(min_value=0, max_value=2147483646),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_universal_hash_spark_duckdb_python_agree(spark, gs, a, b):
+    """(a*g + b) mod P must be bit-identical in Spark, DuckDB and python —
+    the minhash primitive every signature/band derives from."""
+    import duckdb
+
+    from assemblagedb_spark.functions.core import (
+        MINHASH_PRIME, universal_hash_sql,
+    )
+    from pyspark.sql import functions as F
+
+    expr = universal_hash_sql("g", a, b)
+    df = spark.createDataFrame([(g,) for g in gs], "g long")
+    got_spark = [r["h"] for r in
+                 df.select(F.expr(expr).alias("h")).collect()]
+    con = duckdb.connect()
+    got_duck = [r[0] for r in con.execute(
+        f"SELECT {expr} FROM (SELECT unnest(?) AS g)", [gs]
+    ).fetchall()]
+    want = [(g * a + b) % MINHASH_PRIME for g in gs]
+    assert got_spark == want == got_duck
+
+
+def test_duckdb_grams_select_matches_spark_grams(spark):
+    """The DuckDB (id, gram) explode helper must produce the same gram
+    multiset as the Spark-side array expression, per row."""
+    import duckdb
+
+    from assemblagedb_spark.functions.core import (
+        duckdb_grams_select, spark_grams_array_expr,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(1, "foobar"), (2, ""), (3, "a"), (4, "foo bar baz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got_spark = sorted(
+        (r["doc_id"], g)
+        for r in df.select(
+            "doc_id", F.expr(spark_grams_array_expr("text")).alias("gs")
+        ).collect()
+        for g in r["gs"]
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, '{s}')" for i, s in rows)
+                + ") v(doc_id, text)")
+    got_duck = sorted(con.execute(
+        f"SELECT doc_id, gram FROM {duckdb_grams_select('t', 'doc_id', 'text')}"
+    ).fetchall())
+    assert got_spark == got_duck and len(got_spark) > 0
+
+
+def test_merge_compact_keeps_latest_drops_tombstoned(spark):
+    """Compaction (kv lib.rs:233-277): latest version per key survives,
+    tombstoned keys vanish entirely."""
+    from assemblagedb_spark.operators.mvcc import merge_compact
+
+    df = spark.createDataFrame(
+        [
+            ("k1", 1, False, "a"),
+            ("k1", 2, False, "b"),   # survives as the latest
+            ("k2", 1, False, "c"),
+            ("k2", 3, True, None),   # tombstoned at ts 3 -> dropped
+            ("k3", 5, False, "d"),   # single live version survives
+        ],
+        "key string, ts long, is_removed boolean, value string",
+    )
+    got = {r["key"]: (r["ts"], r["value"])
+           for r in merge_compact(df, ["key"]).collect()}
+    assert got == {"k1": (2, "b"), "k3": (5, "d")}
+
+
+def test_register_views_enables_spark_sql(spark, sf_dir):
+    from assemblagedb_spark.sources.tpch import register_views
+
+    register_views(spark, sf_dir, names=["region", "nation"])
+    n = spark.sql(
+        "SELECT COUNT(*) AS c FROM nation JOIN region "
+        "ON n_regionkey = r_regionkey"
+    ).collect()[0]["c"]
+    assert n == 25
