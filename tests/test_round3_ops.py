@@ -226,6 +226,27 @@ def test_k_core_peels_to_stable_core(spark):
     assert k_core(e, k=3).count() == 0
 
 
+def test_k_core_shuffle_semijoin_fallback_parity(spark):
+    # broadcast_max_alive=0 forces the over-threshold branch (shuffle
+    # semi-joins instead of broadcasting the alive set — the path a 100 TB
+    # small-k run takes, ADVICE r3): identical core, and no broadcast of
+    # the alive relation in the final plan
+    from assemblagedb_spark.operators.components import k_core
+    from assemblagedb_spark.plans.explain import formatted_plan
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (10, 11),
+         (6, 4), (11, 12), (12, 10)],
+        "parent_id long, child_id long",
+    )
+    for k in (1, 2, 3):
+        bc = sorted(map(tuple, k_core(e, k=k).collect()))
+        sh_df = k_core(e, k=k, broadcast_max_alive=0)
+        assert bc == sorted(map(tuple, sh_df.collect()))
+    plan = formatted_plan(k_core(e, k=2, broadcast_max_alive=0))
+    assert "BroadcastHashJoin" not in plan
+
+
 def test_k_core_delta_parity(spark, sf_dir):
     # the frontier-delta formulation must equal the simultaneous peel on
     # every (graph, k): the hand-built multi-round fixture, k sweep, AND
