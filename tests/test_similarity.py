@@ -218,6 +218,30 @@ def test_pq_encode_projection_matches_agg_path_and_never_shuffles(spark):
     assert proj.schema.simpleString() == agg.schema.simpleString()
 
 
+def test_pq_encode_budget_fallback_and_ingest_guard(spark, monkeypatch):
+    # over the literal budget pq_encode silently takes the join+agg plan
+    # (same codes); ivfpq_ingest must instead REFUSE — an aggregate is not
+    # an append-mode streaming ingest
+    import assemblagedb_spark.operators.pq as pq
+    from assemblagedb_spark.operators.vectors import kmeans_train
+    from assemblagedb_spark.streaming.ann import ivfpq_ingest
+
+    rows = [(i, [float((i * 7 + j * 3) % 13) for j in range(8)])
+            for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    book = pq.pq_train(emb, m=2, sub_dim=4, k=4, iters=1)
+    normal = sorted(map(tuple, pq.pq_encode(emb, book, m=2, sub_dim=4).collect()))
+    monkeypatch.setattr(pq, "_ENCODE_LITERAL_MAX_CELLS", 1)
+    fallback = sorted(map(tuple, pq.pq_encode(emb, book, m=2, sub_dim=4).collect()))
+    assert normal == fallback
+
+    state = kmeans_train(emb, k=4, iters=1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="literal-foldable"):
+        ivfpq_ingest(emb, book, state, m=2, sub_dim=4)
+
+
 def test_pq_codes_partition_invariant(spark):
     from assemblagedb_spark.operators.pq import pq_encode, pq_train
 
