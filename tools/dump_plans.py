@@ -53,7 +53,7 @@ PICKS = [
     ("events_rollup_cascade", "raw scanned once at the finest bucket; coarser levels re-aggregate the previous level's merge state"),
     ("embedding_quantize", "map-only int8 PTQ: per-row abs-max + posexplode, zero exchanges"),
     ("ann_pq_adc", "ADC serving: per-query distance table broadcast against the code table; corpus scored by m integer lookups, partial-sum aggregate"),
-    ("graph_kcore", "frontier-delta peel: static edge set pinned once (partitioned on v); each round joins only the dead frontier and rewrites the degree table"),
+    ("graph_kcore", "frontier-delta peel: static edge set compacted + pinned once; each round joins only the dead frontier and rewrites the degree table"),
     ("dedup_clusters", "union-find-contracted components: two shuffle-free MapInPandas star passes replace diameter-many propagation rounds; probed label-prop finisher guarantees exactness"),
     ("dedup_lsh_verify", "candidate pair list joins each side's shingles BELOW the gram join — work bounded by candidate overlap, not df(gram)^2"),
     ("ann_ivfpq", "IVFADC serving: probes + ADC distance table broadcast onto the cell-partitioned code table; only probed inverted lists score, corpus never shuffled"),
