@@ -9,8 +9,9 @@ ships, as a join + aggregate per round).
 
 Scale design: per round the work is ONE |E| join + one |V| aggregate — no
 transitive closure is ever materialized, so hub nodes cause no row
-explosion. Labels ride the same key partitioning every round (Spark reuses
-the exchange). With ``rounds=None`` the loop probes convergence instead of
+explosion. (Each round does pay its own exchanges: a checkpointed label
+relation exposes no partitioning for Catalyst to reuse — see the k_core
+pin note.) With ``rounds=None`` the loop probes convergence instead of
 trusting a diameter guess: each round's labels are checkpointed anyway, so
 the changed-label count is one cheap job over in-memory blocks, and the
 loop exits the first round nothing changes — exact components on any graph,
