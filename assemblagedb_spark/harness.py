@@ -4840,7 +4840,14 @@ FROM ex
 """
 
 
-_PQ_M, _PQ_SUBDIM, _PQ_K, _PQ_ITERS = 8, 8, 8, 2
+# m=32 subspaces of 2 dims, k=8 codes (96 bits/vector ≈ 21× compression):
+# chosen from a measured recall sweep against exact cosine top-10 at
+# sf0.01 — (m=8,sd=8,k=8) scored recall@10 0.21, (16,4,16) 0.46,
+# (32,2,8) 0.51, (32,2,16) 0.62; more/narrower subspaces beat more codes
+# per subspace at equal bits (RECALL.md holds the committed curve). Train
+# cost is m-independent (one fused Lloyd loop), so the extra recall is
+# oracle-text and code-table width, not training time.
+_PQ_M, _PQ_SUBDIM, _PQ_K, _PQ_ITERS = 32, 2, 8, 2
 
 
 _PQ_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
@@ -4851,7 +4858,7 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     localCheckpoint-pinned (truncates the Lloyd-loop lineage), the
     corpus-sized codes persisted so clear_artifact_cache can release its
     blocks. A PQ index is trained+encoded once and then serves every ADC
-    query batch — that is the point of the ~16x compression; re-encoding
+    query batch — that is the point of the ~21x compression; re-encoding
     per batch would be the anti-pattern at 100 TB. The bench times the
     cold build (cache cleared before the ann_pq_codes key) and the warm
     ADC serving separately."""
@@ -4874,10 +4881,10 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
 
 
 def q_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization codes end to end: train m=8 per-subspace
+    """Product-quantization codes end to end: train m=32 per-subspace
     k-means codebooks (k=8, 2 Lloyd rounds, quantized integer grid), then
     encode the corpus in ONE fused scan against the broadcast codebook —
-    (vec_id, subspace, code), the ~16x-compressed ANN index
+    (vec_id, subspace, code), the ~21x-compressed ANN index
     (Jégou et al. TPAMI'11). The oracle unrolls the identical per-subspace
     Lloyd chains and the final assignment. Index shared with the ADC
     serving gate via _pq_index."""

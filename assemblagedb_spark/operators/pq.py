@@ -4,8 +4,9 @@ The third leg of the ANN stack next to LSH buckets and IVF cells
 (similarity.py): split each d-dim vector into ``m`` contiguous subvectors,
 train an independent k-means codebook per subspace (Jégou et al., "Product
 Quantization for Nearest Neighbor Search", TPAMI'11), and store each vector
-as ``m`` one-byte codes — a 16-dim float corpus compresses ~16×, which is
-what lets a 100 TB embedding table's index live in executor memory.
+as ``m`` sub-byte codes — the gated config packs a 64-dim float vector
+into 96 bits (~21× compression), which is what lets a 100 TB embedding
+table's index live in executor memory.
 
 Querying uses asymmetric distance computation (ADC): the query stays
 full-precision, a per-query (m × k) distance table against the codebook is
