@@ -189,6 +189,28 @@ def _xor_sql(h: str) -> str:
     return f"xor(({h}), ({h}) >> 16)"
 
 
+def mix32_py(x, seed: int = 0):
+    """The mixer on python ints or numpy int64 arrays — bit-identical to
+    :func:`mix32_sql` / :func:`mix32_col`. Every intermediate stays below
+    2^32 · MIX32_MULT < 2^59, inside int64 (no numpy wraparound)."""
+    h = ((x & 0x7FFFFFFF) * KNUTH_MULT + seed) % MIX32_MOD
+    for _ in range(2):
+        h = ((h ^ (h >> 16)) * MIX32_MULT) % MIX32_MOD
+    return h ^ (h >> 16)
+
+
+def mix32_spark_text(x: str, seed: int = 0) -> str:
+    """Spark-SQL TEXT of the mixer (for use inside higher-order-function
+    lambdas where a Column cannot reach) — same arithmetic as
+    :func:`mix32_sql` with Spark's ``^`` operator instead of DuckDB's
+    ``xor()``. Inputs must be non-negative (the mask guarantees it), so
+    plain ``%`` matches pmod."""
+    h = f"((({x}) & 2147483647) * {KNUTH_MULT} + {seed}) % {MIX32_MOD}"
+    for _ in range(2):
+        h = f"(((({h}) ^ (({h}) >> 16))) * {MIX32_MULT}) % {MIX32_MOD}"
+    return f"((({h}) ^ (({h}) >> 16)))"
+
+
 def mix32_col(x, seed: int = 0):
     """Column form of the mixer (Spark side). Input masked to 32 bits —
     see :func:`mix32_sql` for why."""

@@ -24,8 +24,10 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from assemblagedb_spark.functions.core import (
     gram_term_sql,
     index_text,
+    mix32_sql,
     trim_for_search,
 )
+from assemblagedb_spark.operators.similarity import HYP_DIM_STRIDE
 from assemblagedb_spark.operators import mvcc
 from assemblagedb_spark.operators.grams import block_grams, gram_counts
 from assemblagedb_spark.operators.search import find, search
@@ -1017,12 +1019,15 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
-# 6 bands × 6 bits: for random-direction pairs a band collides with
-# p = 2^-6, so candidates ≈ |Q|·|C|·(1-(1-1/64)^6) ≈ 9% of the cross join;
-# for true near-dups (cos ≥ 0.9, p_bit ≈ 0.86) band recall is
-# 1-(1-0.86^6)^6 ≈ 95%. The old 4×4-bit setting collected ~50% of the
-# cross join as candidates — no better than brute force.
-_LSH_ANN_BITS = 36
+# 6 bands × 4 bits, chosen from a measured recall/work sweep AFTER the
+# hyperplane-mixer fix (the old LCG sketch had two distinct hyperplanes,
+# so every band config degenerated to parity classes ≈ 50% of the cross
+# join at recall 0.60). With real hyperplanes on this near-random corpus:
+# 6×6 bits → recall 0.29 @ 9% work, 6×4 → 0.69 @ 32%, 8×3 → 0.90 @ 66%
+# (RECALL.md holds the committed point). 6×4 matches the old work level
+# at strictly better recall; true near-dups (cos ≥ 0.9, p_bit ≈ 0.86)
+# keep band recall 1-(1-0.86^4)^6 ≈ 99.9%.
+_LSH_ANN_BITS = 24
 _LSH_ANN_BANDS = 6
 _LSH_ANN_ROWS = _LSH_ANN_BITS // _LSH_ANN_BANDS
 
@@ -1110,7 +1115,7 @@ comp AS (SELECT vec_id, d, embedding[d + 1]::DOUBLE AS x FROM ex),
 ci AS (SELECT vec_id, d, x, unnest(range(0, {_LSH_ANN_BITS})) AS i FROM comp),
 dp AS (
   SELECT vec_id, i,
-         SUM(x * (CASE WHEN ((i * 2654435761 + d * 15) % 1103515245) % 2 = 0
+         SUM(x * (CASE WHEN ({mix32_sql(f"i * {HYP_DIM_STRIDE} + d", 7)}) % 2 = 0
                        THEN 1.0 ELSE -1.0 END)) AS dp
   FROM ci GROUP BY vec_id, i),
 sk AS (
@@ -2490,7 +2495,7 @@ comp AS (SELECT vec_id, d, embedding[d + 1]::DOUBLE AS x FROM el),
 ci AS (SELECT vec_id, d, x, unnest(range(0, {_LSH_ANN_BITS})) AS i FROM comp),
 dp AS (
   SELECT vec_id, i,
-         SUM(x * (CASE WHEN ((i * 2654435761 + d * 15) % 1103515245) % 2 = 0
+         SUM(x * (CASE WHEN ({mix32_sql(f"i * {HYP_DIM_STRIDE} + d", 7)}) % 2 = 0
                        THEN 1.0 ELSE -1.0 END)) AS dp
   FROM ci GROUP BY vec_id, i),
 sk AS (
@@ -5642,7 +5647,12 @@ _GATE_CHANGED_IN_ROUND = {
     "sample_repeat": 4,    # exact-rational permille pin (Fraction/HUGEINT)
     "graph_bfs_depth": 4,  # max_depth=2 pinned to the oracle's d0..d2
     "dedup_clusters": 4,       # CC step switched to union-find contraction
-    "embedding_clusters": 4,   # CC step switched to union-find contraction
+    "embedding_clusters": 4,   # CC + hyperplane mixer fix (see below)
+    # degenerate LCG-parity hyperplanes replaced by the mix32 mixer (the
+    # old sketch had only TWO distinct hyperplanes at any bit width —
+    # LSH candidates were parity classes); oracles rebuilt symmetrically
+    "ann_lsh_topk": 4,
+    "embedding_neardup": 4,
 }
 
 

@@ -182,12 +182,31 @@ def _cosine_pair_udf():
     return cos
 
 
-def _lcg_hyperplanes(bits: int, dim: int, seed: int):
-    """±1 hyperplane matrix H[i, d] from the deterministic LCG — the same
-    formula the SQL sketch path and the DuckDB oracle evaluate."""
+# hyperplane (i, d) cells index the mixer at i * HYP_DIM_STRIDE + d — dim
+# must stay below the stride so cells never alias
+HYP_DIM_STRIDE = 4096
+
+
+def _mix_hyperplanes(bits: int, dim: int, seed: int):
+    """±1 hyperplane matrix H[i, d]: sign = parity of mix32(i·stride + d,
+    seed) — the same mixer formula the SQL sketch path and the DuckDB
+    oracles evaluate (bit-identical across engines).
+
+    History: this was an LCG-parity formula, ((i·A + d·(2·seed+1)) % M)
+    % 2 — degenerate, because d·(2·seed+1) never wraps the modulus for
+    real dims, so the whole row collapsed to parity(C_i) XOR parity(d):
+    only TWO distinct hyperplanes existed at any ``bits``, and LSH
+    candidate sets were parity classes (~half the corpus). The avalanche
+    mixer gives balanced, pairwise-uncorrelated rows."""
+    if dim > HYP_DIM_STRIDE:
+        raise ValueError(
+            f"hyperplane sketch supports dim <= {HYP_DIM_STRIDE}, got {dim}"
+        )
+    from assemblagedb_spark.functions.core import mix32_py
+
     i = np.arange(bits, dtype=np.int64)[:, None]
     d = np.arange(dim, dtype=np.int64)[None, :]
-    return np.where(((i * 2654435761 + d * (seed * 2 + 1)) % 1103515245) % 2 == 0, 1.0, -1.0)
+    return np.where(mix32_py(i * HYP_DIM_STRIDE + d, seed) % 2 == 0, 1.0, -1.0)
 
 
 def hyperplane_sketch_arrow(
@@ -207,7 +226,7 @@ def hyperplane_sketch_arrow(
     @pandas_udf("bigint")
     def sk(v: pd.Series) -> pd.Series:
         V = np.stack([np.asarray(x, dtype=np.float64) for x in v.values])
-        H = _lcg_hyperplanes(bits, V.shape[1], seed)
+        H = _mix_hyperplanes(bits, V.shape[1], seed)
         return pd.Series(((V @ H.T) > 0) @ weights)
 
     return df.select(F.col(id_col).alias("vec_id"), F.col(vec_col), sk(vec_col).alias("sketch"))
@@ -221,14 +240,18 @@ def hyperplane_sketch(
     bits: int = 16,
     seed: int = 7,
 ) -> DataFrame:
-    """Random-hyperplane sign sketch: bit i = (v · h_i) > 0 with pseudo-random
-    ±1 hyperplanes derived from a deterministic LCG — no stored hyperplane
-    matrix, reproducible everywhere."""
-    # h_i[d] = +1 if lcg(i, d) even else -1
+    """Random-hyperplane sign sketch: bit i = (v · h_i) > 0 with
+    pseudo-random ±1 hyperplanes from the portable mix32 avalanche mixer
+    — no stored hyperplane matrix, reproducible everywhere (see
+    :func:`_mix_hyperplanes` for why a plain LCG is NOT enough)."""
+    from assemblagedb_spark.functions.core import mix32_spark_text
+
+    # h_i[d] = +1 if mix32(i*stride + d) even else -1
+    mix = mix32_spark_text(f"i * {HYP_DIM_STRIDE} + d", seed)
     expr = (
         f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), (acc, i) -> acc + "
         f"CASE WHEN aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
-        f"(x, d) -> CAST(x AS DOUBLE) * (CASE WHEN ((i * 2654435761 + d * {seed * 2 + 1}) % 1103515245) % 2 = 0 "
+        f"(x, d) -> CAST(x AS DOUBLE) * (CASE WHEN ({mix}) % 2 = 0 "
         f"THEN 1.0 ELSE -1.0 END)), CAST(0 AS DOUBLE), (s, v) -> s + v) > 0 "
         f"THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)"
     )
