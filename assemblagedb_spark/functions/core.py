@@ -203,12 +203,14 @@ def mix32_spark_text(x: str, seed: int = 0) -> str:
     """Spark-SQL TEXT of the mixer (for use inside higher-order-function
     lambdas where a Column cannot reach) — same arithmetic as
     :func:`mix32_sql` with Spark's ``^`` operator instead of DuckDB's
-    ``xor()``. Inputs must be non-negative (the mask guarantees it), so
-    plain ``%`` matches pmod."""
+    ``xor()``, and ``shiftright()`` instead of ``>>`` (the ``>>`` token
+    fails to parse inside doubly-nested lambdas — Spark parser quirk).
+    Inputs must be non-negative (the mask guarantees it), so plain ``%``
+    matches pmod."""
     h = f"((({x}) & 2147483647) * {KNUTH_MULT} + {seed}) % {MIX32_MOD}"
     for _ in range(2):
-        h = f"(((({h}) ^ (({h}) >> 16))) * {MIX32_MULT}) % {MIX32_MOD}"
-    return f"((({h}) ^ (({h}) >> 16)))"
+        h = f"(((({h}) ^ shiftright(({h}), 16))) * {MIX32_MULT}) % {MIX32_MOD}"
+    return f"((({h}) ^ shiftright(({h}), 16)))"
 
 
 def mix32_col(x, seed: int = 0):

@@ -951,7 +951,7 @@ O_DEDUP_SIMHASH = f"""
 WITH {_DOC_SHINGLES_CTE},
 votes AS (
   SELECT doc_id, i,
-         SUM(CASE WHEN ((gram * 1103515245 + 12345) % 2147483647) // (1::BIGINT << i) % 2 = 1
+         SUM(CASE WHEN ({mix32_sql("gram", 12345)}) // (1::BIGINT << i) % 2 = 1
                   THEN 1 ELSE -1 END) AS vote
   FROM shingles CROSS JOIN (SELECT unnest(range(0, 32)) AS i) GROUP BY doc_id, i)
 SELECT doc_id, SUM(CASE WHEN vote > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
@@ -2240,7 +2240,7 @@ shingles AS (SELECT DISTINCT doc_id, gram FROM
    FROM (SELECT doc_id, text, unnest(range(-2, length(text) + 1)) AS i FROM sub))),
 votes AS (
   SELECT doc_id, i,
-         SUM(CASE WHEN ((gram * 1103515245 + 12345) % 2147483647) // (1::BIGINT << i) % 2 = 1
+         SUM(CASE WHEN ({mix32_sql("gram", 12345)}) // (1::BIGINT << i) % 2 = 1
                   THEN 1 ELSE -1 END) AS vote
   FROM shingles CROSS JOIN (SELECT unnest(range(0, 32)) AS i) GROUP BY doc_id, i),
 fp AS (
@@ -5653,6 +5653,10 @@ _GATE_CHANGED_IN_ROUND = {
     # LSH candidates were parity classes); oracles rebuilt symmetrically
     "ann_lsh_topk": 4,
     "embedding_neardup": 4,
+    # simhash per-gram hash switched affine-mod-(2^31-1) → mix32: the old
+    # hash left fingerprint bit 31 permanently zero (a dead band slice)
+    "dedup_simhash": 4,
+    "dedup_simhash_pairs": 4,
 }
 
 

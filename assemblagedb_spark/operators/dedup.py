@@ -296,16 +296,20 @@ def simhash_fingerprints(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 32,
-    a: int = 1103515245,
-    b: int = 12345,
+    seed: int = 12345,
 ) -> DataFrame:
     """(doc_id, simhash BIGINT): bit i is set iff the sum over distinct
-    shingles g of sign(bit_i(h(g))) is positive, h(g) = (a*g+b) mod P.
+    shingles g of sign(bit_i(h(g))) is positive, h(g) = mix32(g, seed).
 
-    Bit votes are computed with a per-row nested transform + aggregate —
-    no explode, fully JVM-side.
+    h must fill all ``bits`` with decorrelated bits: the previous affine
+    (a·g+b) mod (2^31−1) left bit 31 permanently zero (a dead band slice)
+    and fed structured low bits; the avalanche mixer fixes both. Bit
+    votes are computed with a per-row nested transform + aggregate — no
+    explode, fully JVM-side.
     """
-    h = f"(g * {a} + {b}) % {MINHASH_PRIME}"
+    from assemblagedb_spark.functions.core import mix32_spark_text
+
+    h = mix32_spark_text("g", seed)
     # Single fold: votes[i] = sum over shingles of ±1 by bit i of h(g); the
     # gram array is evaluated once per row, then the bit-vote vector folds
     # into the fingerprint. simhash bit i = votes[i] > 0.
