@@ -79,6 +79,52 @@ def test_linear_counting_occupancy(spark):
     assert row["m"] == 512
 
 
+def test_hll_estimate_accuracy_sequential_keys():
+    """The gates compare sketch STATE, which both engines derive from the
+    shared mix32 formula — a degenerate mixer would stay oracle-green while
+    the estimates it feeds turn to garbage (the failure mode behind the
+    round-4 LSH-hyperplane and simhash-bit-31 fixes). This pins estimate
+    quality itself: sequential integer keys (the adversarial input for weak
+    hashes) must estimate within 3x HLL's theoretical standard error.
+    Transfers to the Spark path via test_hll_registers_replay_and_merge."""
+    import math
+
+    m, n = 256, 100_000
+    regs = _hll_py(range(n), m)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / sum(2.0 ** -regs.get(b, 0) for b in range(m))
+    assert abs(est - n) / n < 3 * 1.04 / math.sqrt(m)
+
+
+def test_linear_counting_estimate_accuracy():
+    """Same class as above for the linear-counting state: occupancy of
+    sequential keys must be statistically healthy, i.e. the standard
+    -m*ln(1-filled/m) estimator lands within 5% at light load."""
+    import math
+
+    m, n = 4096, 3000
+    filled = len({mix32_py(k) % m for k in range(n)})
+    est = -m * math.log(1 - filled / m)
+    assert abs(est - n) / n < 0.05
+
+
+def test_bloom_false_positive_rate():
+    """Bloom hash quality: with n members in m bits and k probes the
+    false-positive rate must sit near (1-e^{-kn/m})^k — a clustered
+    (non-uniform) probe formula would inflate it severalfold. Replays the
+    exact bloom_bits probe formula (parity pinned by
+    test_bloom_no_false_negatives_and_prefilter_exact)."""
+    m, k = 8192, 3
+    members = range(0, 2000)  # n=2000 sequential (worst case for weak hashes)
+    bits = {mix32_py(x, seed=r) % m for x in members for r in range(k)}
+    probes = range(1_000_000, 1_020_000)  # 20k disjoint non-members
+    fp = sum(
+        all(mix32_py(x, seed=r) % m in bits for r in range(k)) for x in probes
+    )
+    expected = (1 - 2.718281828 ** (-k * 2000 / m)) ** k  # ~0.092
+    assert fp / 20_000 < 2 * expected
+
+
 # ---------------------------------------------------------------------------
 # count-min
 # ---------------------------------------------------------------------------
