@@ -125,6 +125,34 @@ def test_bloom_false_positive_rate():
     assert fp / 20_000 < 2 * expected
 
 
+def test_minhash_jaccard_estimate_accuracy():
+    """Estimate quality for the minhash family itself: two shingle sets of
+    known Jaccard 1/3 must estimate within 3x the binomial standard error
+    sqrt(J(1-J)/k). The dedup_minhash_est gate replays the same formula in
+    DuckDB, so a non-min-wise coefficient family would stay oracle-green
+    while every LSH probability it feeds drifts — this test is the
+    formula-independent check. Transfers to the Spark path via
+    test_universal_hash_spark_duckdb_python_agree (test_properties.py)."""
+    import math
+
+    from assemblagedb_spark.functions.core import MINHASH_PRIME, minhash_coeffs
+
+    k = 64
+    coeffs = minhash_coeffs(k)
+    # |A|=|B|=2000, |A∩B|=1000 -> J = 1000/3000; spread values across the
+    # full 4-byte-gram domain so the test sees realistic input magnitudes
+    shared = [i * 1_103_515 + 7 for i in range(1000)]
+    a_set = shared + [2_000_000_000 + i * 999_983 for i in range(1000)]
+    b_set = shared + [3_000_000_000 + i * 999_979 for i in range(1000)]
+    agree = sum(
+        min((a * g + b) % MINHASH_PRIME for g in a_set)
+        == min((a * g + b) % MINHASH_PRIME for g in b_set)
+        for a, b in coeffs
+    )
+    j_true = 1000 / 3000
+    assert abs(agree / k - j_true) < 3 * math.sqrt(j_true * (1 - j_true) / k)
+
+
 # ---------------------------------------------------------------------------
 # count-min
 # ---------------------------------------------------------------------------
