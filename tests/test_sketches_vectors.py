@@ -125,6 +125,31 @@ def test_bloom_false_positive_rate():
     assert fp / 20_000 < 2 * expected
 
 
+def test_winnowing_fingerprint_density():
+    """Winnowing selects an expected 2/(w+1) fraction of positions when the
+    rolling hash behaves uniformly (Schleimer et al., SIGMOD'03 §4) — a
+    degenerate base/mod pair (shared factors, tiny effective range) skews
+    the density far off. Replays the exact textstats formula
+    (parity pinned by test_winnowing_matches_python_replay_*) over
+    pseudo-random lowercase text and pins density to [0.3, 0.5] around
+    the theoretical 0.4 for w=4."""
+    import random
+
+    K, W, B, M = 5, 4, 257, 1_000_000_007
+    rng = random.Random(7)
+    s = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(10_000))
+    s = " ".join(s.split())
+    hs = []
+    for i in range(len(s) - K + 1):
+        acc = 0
+        for ch in s[i : i + K]:
+            acc = (acc * B + ord(ch)) % M
+        hs.append(acc)
+    selected = {min(hs[j : j + W]) for j in range(len(hs) - W + 1)}
+    density = len(selected) / len(hs)
+    assert 0.3 < density < 0.5, density
+
+
 def test_minhash_jaccard_estimate_accuracy():
     """Estimate quality for the minhash family itself: two shingle sets of
     known Jaccard 1/3 must estimate within 3x the binomial standard error
