@@ -233,6 +233,29 @@ def test_pagerank_rounds_match_python_reference(spark, pairs):
     assert got == rank
 
 
+def test_simhash_arrow_equals_jvm(spark):
+    """The numpy simhash kernel and the Catalyst HOF form must produce
+    bit-identical fingerprints — unicode, empty, null, single-char and
+    repeated-gram texts included (the winnowing-kernel parity pattern)."""
+    from assemblagedb_spark.operators.dedup import simhash_fingerprints
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "", None, "a", "aa", "ab",
+        "Ünïcødé tëxt with ümlaut déjà vu",
+        "x" * 500,
+        "the quick brown fox jumps over the lazy cat",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    a = {r["doc_id"]: r["simhash"]
+         for r in simhash_fingerprints(docs, impl="arrow").collect()}
+    j = {r["doc_id"]: r["simhash"]
+         for r in simhash_fingerprints(docs, impl="jvm").collect()}
+    assert a == j
+
+
 @given(
     st.lists(
         st.integers(min_value=0, max_value=2**32 - 1),
