@@ -233,6 +233,28 @@ def test_pagerank_rounds_match_python_reference(spark, pairs):
     assert got == rank
 
 
+def test_hyperplane_sketch_arrow_equals_jvm(spark):
+    """The Catalyst-HOF hyperplane sketch (the SQL-replayable twin the
+    DuckDB oracles mirror) and the numpy matmul path must emit identical
+    sketch integers — otherwise the HOF form is a silently-drifting
+    reference."""
+    import random
+
+    from assemblagedb_spark.operators.similarity import (
+        hyperplane_sketch,
+        hyperplane_sketch_arrow,
+    )
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {r["vec_id"]: r["sketch"]
+         for r in hyperplane_sketch_arrow(df, bits=12).collect()}
+    j = {r["vec_id"]: r["sketch"]
+         for r in hyperplane_sketch(df, bits=12).collect()}
+    assert a == j
+
+
 def test_simhash_arrow_equals_jvm(spark):
     """The numpy simhash kernel and the Catalyst HOF form must produce
     bit-identical fingerprints — unicode, empty, null, single-char and
