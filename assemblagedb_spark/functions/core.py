@@ -206,11 +206,23 @@ def mix32_spark_text(x: str, seed: int = 0) -> str:
     ``xor()``, and ``shiftright()`` instead of ``>>`` (the ``>>`` token
     fails to parse inside doubly-nested lambdas — Spark parser quirk).
     Inputs must be non-negative (the mask guarantees it), so plain ``%``
-    matches pmod."""
-    h = f"((({x}) & 2147483647) * {KNUTH_MULT} + {seed}) % {MIX32_MOD}"
-    for _ in range(2):
-        h = f"(((({h}) ^ shiftright(({h}), 16))) * {MIX32_MULT}) % {MIX32_MOD}"
-    return f"((({h}) ^ shiftright(({h}), 16)))"
+    matches pmod.
+
+    FOLDED form: the rounds run inside an ``aggregate`` whose accumulator
+    binds each round's value to a lambda variable, and the final
+    xor-shift is the aggregate's finish lambda — so ``x`` and every round
+    evaluate exactly ONCE. The previous textual expansion referenced each
+    round's expression twice per successor (and the input ~8x total);
+    interpreted HOF lambdas get no common-subexpression elimination, so
+    that shape re-ran the whole chain per reference (the same pathology
+    as the round-4 simhash hash-once fix, review finding round 4).
+    Bit-identical values (pinned by the mix32 parity tests)."""
+    init = f"CAST(((({x}) & 2147483647) * {KNUTH_MULT} + {seed}) % {MIX32_MOD} AS BIGINT)"
+    return (
+        f"aggregate(sequence(1, 2), {init}, "
+        f"(h, r) -> ((h ^ shiftright(h, 16)) * {MIX32_MULT}) % {MIX32_MOD}, "
+        f"h -> (h ^ shiftright(h, 16)))"
+    )
 
 
 def mix32_col(x, seed: int = 0):

@@ -294,10 +294,12 @@ def _simhash_arrow(
     docs: DataFrame, *, id_col: str, text_col: str, bits: int, seed: int
 ) -> DataFrame:
     """Vectorized simhash kernel: per Arrow batch, each document's distinct
-    byte-4-grams (codepoint windows with 3-zero padding, utf-32 decode ≡
-    the SQL form's per-character ``ascii()``) are mix32-hashed as whole
-    numpy arrays and the bit votes as one (grams × bits) popcount matrix
-    — bit-identical to the jvm/HOF form (property-pinned)."""
+    4-grams (CODEPOINT windows with 3-zero padding — the utf-32 decode
+    equals Spark's ``split(col, '') + ascii()``, which keeps surrogate
+    pairs together and returns full codepoints, so parity holds on every
+    Unicode plane, non-BMP included; property-pinned) are mix32-hashed as
+    whole numpy arrays and the bit votes as one (grams × bits) popcount
+    matrix — bit-identical to the jvm/HOF form."""
     import numpy as np
     import pandas as pd
 

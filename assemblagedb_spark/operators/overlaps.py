@@ -249,6 +249,12 @@ def overlap_pairs_dense(
     idx = spark.createDataFrame([(s,) for s in starts], "i int")
     out = idx.repartition(par).mapInPandas(kernel, out_schema)
     if changed is not None:
+        # pin the kernel output before referencing it twice: the
+        # union-distinct below reads `out` once directly and once through
+        # `rev`, and an unpinned mapInPandas would re-run the dense L1
+        # pass for each branch — exactly the work the changed-row
+        # restriction exists to avoid (review finding, round 4)
+        out = out.localCheckpoint(eager=True)
         # reverse-edge maintenance: partners get the mirrored overlap row
         # (distinct folds changed-changed pairs computed from both ends)
         rev = out.select(

@@ -243,7 +243,14 @@ def hyperplane_sketch(
     """Random-hyperplane sign sketch: bit i = (v · h_i) > 0 with
     pseudo-random ±1 hyperplanes from the portable mix32 avalanche mixer
     — no stored hyperplane matrix, reproducible everywhere (see
-    :func:`_mix_hyperplanes` for why a plain LCG is NOT enough)."""
+    :func:`_mix_hyperplanes` for why a plain LCG is NOT enough).
+
+    This SQL form is the replayable reference;
+    :func:`hyperplane_sketch_arrow` is the production path (one matmul
+    per Arrow batch). The per-(i, d) mixer evaluates ONCE per cell:
+    ``mix32_spark_text`` is the folded-aggregate form (review finding,
+    round 4 — the earlier textual expansion re-ran the chain ~8x per
+    cell inside these interpreted lambdas)."""
     from assemblagedb_spark.functions.core import mix32_spark_text
 
     # h_i[d] = +1 if mix32(i*stride + d) even else -1

@@ -267,6 +267,16 @@ def test_simhash_arrow_equals_jvm(spark):
         "Ünïcødé tëxt with ümlaut déjà vu",
         "x" * 500,
         "the quick brown fox jumps over the lazy cat",
+        # supplementary-plane (non-BMP) codepoints: Spark's split('') +
+        # ascii() keeps surrogate pairs together and returns the full
+        # codepoint (verified empirically on Spark 4.1), DuckDB's
+        # substring/ascii and the kernel's utf-32 decode agree — parity
+        # holds per CODEPOINT on every Unicode plane, not just the BMP
+        # (review finding, round 4)
+        "a\U0001F600b",                     # lone emoji between ascii
+        "\U0001F600\U0001F601\U0001F602",   # consecutive non-BMP
+        "\U00010348 h\U0001D11Ello",        # Gothic hwair + musical G clef
+        "mixedé\U0001F600中\U0010FFFF",  # BMP + max codepoint
     ]
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
