@@ -5641,7 +5641,14 @@ ORACLES = {
 # human-readable ledger narrative stays in ROTATION.md.
 
 # gate-semantics changes (Spark query OR oracle side) -> round they landed
-# in; such a query sorts as ungraded until the driver re-grades it
+# in; such a query sorts as ungraded until the driver re-grades it.
+#
+# As of round 5 this dict is a FROZEN HISTORICAL RECORD plus emergency
+# override: new changes are detected mechanically by fingerprint drift
+# (see :func:`gate_fingerprint` / GATE_FINGERPRINTS.json) — the manual
+# entry was the weak link (round-4 review finding: a forgotten entry
+# silently demoted a changed gate out of the next driver window, and
+# round-granular comparison missed same-round edits after a grading run).
 _GATE_CHANGED_IN_ROUND = {
     "sample_mixture": 4,   # exact-rational permille pin (Fraction/HUGEINT)
     "sample_repeat": 4,    # exact-rational permille pin (Fraction/HUGEINT)
@@ -5693,6 +5700,54 @@ def _graded_rounds(repo_root: str | None = None) -> dict[str, int]:
     return out
 
 
+def gate_fingerprint(name: str) -> str:
+    """Checkable identity of a gate's semantics: sha256 over the RENDERED
+    DuckDB oracle SQL (all tuning constants baked in at render time, so a
+    constant retune flags even when no source line under the query
+    function changed) plus the Spark query function's source text.
+
+    Used by the committed GATE_FINGERPRINTS.json ledger
+    (tools/update_gate_fingerprints.py): any drift between a gate's
+    current fingerprint and its stored one is a gate change the next
+    driver window must re-grade — and tests/test_grading_order.py fails
+    until the ledger is refreshed, so a change CANNOT be forgotten
+    (round-4 review finding: the manual change dict rested on developer
+    discipline). Conservative by design: a docstring-only edit also
+    flags — a spurious re-grade costs one window slot, a missed real
+    change silently invalidates the ledger."""
+    import hashlib
+    import inspect
+
+    src = inspect.getsource(SPARK_QUERIES[name])
+    sql = ORACLES.get(name, "")
+    return hashlib.sha256(
+        (sql + "\x00" + src).encode("utf-8")
+    ).hexdigest()[:16]
+
+
+def _fingerprint_changed_rounds(repo_root: str | None = None) -> dict[str, int]:
+    """query name -> round its stored fingerprint was last refreshed,
+    from the committed GATE_FINGERPRINTS.json (absent file = empty:
+    the bootstrap state, where only the frozen manual dict applies)."""
+    import json
+    import os
+
+    root = repo_root or os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    path = os.path.join(root, "GATE_FINGERPRINTS.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as fh:
+        data = json.load(fh)
+    if not isinstance(data, dict):
+        raise ValueError(
+            f"{path}: fingerprint ledger must be a JSON object, got "
+            f"{type(data).__name__}"
+        )
+    return {k: int(v["round"]) for k, v in data.items() if k in SPARK_QUERIES}
+
+
 def grading_order(repo_root: str | None = None) -> list[str]:
     """Deterministic least-recently-driver-graded export order for
     ``__spark_entry__.queries()`` (see block comment above)."""
@@ -5705,11 +5760,15 @@ def grading_order(repo_root: str | None = None) -> list[str]:
             f"_GATE_CHANGED_IN_ROUND names unknown queries: {sorted(unknown)}"
         )
     graded = _graded_rounds(repo_root)
+    fp_rounds = _fingerprint_changed_rounds(repo_root)
     decl = {name: i for i, name in enumerate(SPARK_QUERIES)}
 
     def key(name: str) -> tuple[int, int]:
         last = graded.get(name, 0)
-        if _GATE_CHANGED_IN_ROUND.get(name, 0) > last:
+        changed = max(
+            _GATE_CHANGED_IN_ROUND.get(name, 0), fp_rounds.get(name, 0)
+        )
+        if changed > last:
             last = 0
         return (last, decl[name])
 

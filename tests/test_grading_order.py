@@ -93,6 +93,53 @@ def test_least_recently_graded_first(tmp_path, monkeypatch):
     assert order[half:] == names[half:]
 
 
+def test_gate_fingerprints_are_current():
+    """Every gate's live fingerprint must equal the committed ledger
+    (GATE_FINGERPRINTS.json): a gate edit without running
+    tools/update_gate_fingerprints.py fails HERE instead of silently
+    demoting the changed gate out of the next driver window (round-4
+    review finding — the manual change dict rested on discipline)."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "GATE_FINGERPRINTS.json")) as fh:
+        stored = json.load(fh)
+    assert set(stored) == set(harness.SPARK_QUERIES), (
+        "ledger out of sync with registry — run "
+        "tools/update_gate_fingerprints.py"
+    )
+    stale = [
+        n for n in harness.SPARK_QUERIES
+        if stored[n]["fp"] != harness.gate_fingerprint(n)
+    ]
+    assert not stale, (
+        f"gate fingerprints drifted for {stale} — run "
+        "tools/update_gate_fingerprints.py so the change heads the next "
+        "driver window"
+    )
+
+
+def test_fingerprint_drift_promotes_gate(tmp_path, monkeypatch):
+    """A ledger round newer than a gate's last grade sorts it as
+    ungraded — the mechanical replacement for the manual change dict."""
+    monkeypatch.setattr(harness, "_GATE_CHANGED_IN_ROUND", {})
+    names = list(harness.SPARK_QUERIES)
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: {"rows_match": True} for n in names})
+    )
+    victim = names[-1]
+    ledger = {n: {"fp": "x", "round": 0} for n in names}
+    ledger[victim] = {"fp": "y", "round": 2}
+    (tmp_path / "GATE_FINGERPRINTS.json").write_text(json.dumps(ledger))
+    order = harness.grading_order(str(tmp_path))
+    assert order[0] == victim
+    # once re-graded at or after the change round, back in the age queue
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({victim: {"rows_match": True}})
+    )
+    assert harness.grading_order(str(tmp_path))[-1] == victim
+
+
 def test_export_applies_grading_order():
     import __spark_entry__ as entry
 
