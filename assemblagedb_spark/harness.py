@@ -5122,74 +5122,172 @@ WHERE rank <= {_PQ_TOPK}"""
     )
 
 
-_IVFPQ_CACHE: dict[tuple[str, str], DataFrame] = {}
+_IVFPQ_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
+
+# residual PQ config (the IVFADC index — SEPARATE from the full-scan
+# _PQ_* index): k=16/iters=3 came from a measured recall sweep on the
+# residual grid — recall@10 0.32 (raw codes, k=8/iters=2) → 0.46 at
+# sf0.01 against the 0.53 nprobe=2 candidate ceiling, 0.29 → 0.36 at
+# sf0.1 (ceiling 0.45). On this synthetic near-uniform corpus the
+# residual itself contributes ~+0.02-0.03 (mean ||r||²/||q||² is only
+# 0.93-0.96 — little coarse-cluster energy to remove; on real clustered
+# embeddings the residual term dominates, Jégou TPAMI'11 §V), the
+# k=8→16 codebook the rest; codes are 32×4 = 128 bits (~16x compression
+# vs the raw index's ~21x).
+_RPQ_M, _RPQ_SUBDIM, _RPQ_K, _RPQ_ITERS = 32, 2, 16, 3
 
 
-def _ivfpq_cell_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-cached IVFADC inverted lists: the PQ code table carrying
-    each vector's trained coarse-cell assignment — (vec_id, subspace,
-    code, cell), repartitioned by cell (the layout that is written
-    partitioned BY CELL at scale, so probes partition-prune) and
-    persisted. Built once from the session's PQ index (_pq_index) and
-    trained coarse quantizer (_trained_kmeans) — the FAISS ``IVFPQ``
-    build step."""
+def _ivfpq_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Session-cached residual-encoded IVFADC index (Jégou et al.
+    TPAMI'11 §V — the FAISS ``IVFPQ`` build): (codebook, cell_codes,
+    coarse) where the PQ codebooks train on RESIDUALS y − q1(y) against
+    the trained coarse quantizer, and cell_codes = (vec_id, subspace,
+    code, cell) inverted lists, repartitioned by cell (the layout that
+    is written partitioned BY CELL at scale, so probes partition-prune)
+    and persisted. Encode runs the Arrow kernel (pq_encode_arrow —
+    parity-pinned vs the literal-fold expression), which also carries
+    the cell through the same scan."""
+    from assemblagedb_spark.operators.pq import (
+        coarse_centroid_vectors,
+        pq_encode_arrow,
+        pq_train,
+        residual_vectors,
+    )
     from assemblagedb_spark.operators.similarity import ivf_assign
 
     key = (_session_key(spark), sf_dir)
     if key not in _IVFPQ_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
-        _, codes = _pq_index(spark, sf_dir)
         state = _trained_kmeans(spark, sf_dir, _IVT_K, 2)
+        coarse = coarse_centroid_vectors(state).localCheckpoint(eager=True)
         assign = ivf_assign(emb, centroids=state).withColumnRenamed(
             "c_id", "vec_id"
         )
-        _IVFPQ_CACHE[key] = (
-            codes.join(assign, "vec_id").repartition("cell").persist()
+        resid = residual_vectors(emb, assign, coarse)
+        rbook = pq_train(
+            resid, m=_RPQ_M, sub_dim=_RPQ_SUBDIM, k=_RPQ_K,
+            iters=_RPQ_ITERS, vec_col="rvec", scale=None,
+        ).localCheckpoint(eager=True)
+        cell_codes = (
+            pq_encode_arrow(
+                resid, rbook, m=_RPQ_M, sub_dim=_RPQ_SUBDIM,
+                vec_col="rvec", scale=None, carry_cols=("cell",),
+            )
+            .repartition("cell")
+            .persist()
         )
+        _IVFPQ_CACHE[key] = (rbook, cell_codes, coarse)
     return _IVFPQ_CACHE[key]
 
 
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC serving — the standard 100 TB ANN shape (Jégou et al.
-    TPAMI'11 §V; FAISS IVFPQ): trained coarse cells bound the search, PQ
-    codes make per-candidate scoring integer table lookups. Per query:
-    probe the 2 nearest trained cells, ADC-score only those cells'
-    inverted lists, exact integer arithmetic, top-10. Combines the two
-    stored index halves the session already maintains (coarse quantizer =
-    kmeans_train state, code table = _pq_index) — build costs are the
-    kmeans_train / ann_pq_codes keys; this key measures serving."""
-    from assemblagedb_spark.operators.pq import ivfpq_adc_topk
+    TPAMI'11 §V; FAISS IVFPQ): trained coarse cells bound the search,
+    RESIDUAL-encoded PQ codes make per-candidate scoring integer table
+    lookups. Per query: probe the 2 nearest trained cells, compute the
+    query's residual in each probed cell, ADC-score only those cells'
+    inverted lists against the per-(query, cell) distance table, exact
+    integer arithmetic, top-10. Build costs are the kmeans_train /
+    _ivfpq_index steps; this key measures serving. Residual encoding is
+    what closes the gap to the candidate ceiling (recall@10 0.32 → 0.46
+    at sf0.01 with the k=16 codebooks; see _RPQ constants)."""
+    from assemblagedb_spark.operators.pq import (
+        ivfpq_adc_topk_residual,
+        query_residuals,
+    )
     from assemblagedb_spark.operators.similarity import ivf_probes
 
     emb = load_table(spark, sf_dir, "embeddings")
-    book, _ = _pq_index(spark, sf_dir)
+    rbook, cell_codes, coarse = _ivfpq_index(spark, sf_dir)
     state = _trained_kmeans(spark, sf_dir, _IVT_K, 2)
     queries = emb.filter(F.col("vec_id") % _PQ_QUERY_MOD == 0)
     probes = ivf_probes(queries, nprobe=_IVT_PROBE, centroids=state)
-    return ivfpq_adc_topk(
-        _ivfpq_cell_codes(spark, sf_dir), book, queries, probes,
-        k=_PQ_TOPK, m=_PQ_M, sub_dim=_PQ_SUBDIM,
+    qres = query_residuals(queries, probes, coarse)
+    return ivfpq_adc_topk_residual(
+        cell_codes, rbook, qres,
+        k=_PQ_TOPK, m=_RPQ_M, sub_dim=_RPQ_SUBDIM,
     )
+
+
+def _rpq_chain_ctes() -> tuple[list, int]:
+    """Per-subspace unrolled Lloyd CTE chains on the RESIDUAL grid:
+    expects CTEs ``resid`` (vec_id, pos, qv — full-dim residuals) and
+    ``qres`` (vec_id, cell, pos, qv — per-probed-cell query residuals) to
+    be in scope. Emits ra{sp}_{iters} (final corpus codes per subspace)
+    and rdq{sp} (each query's per-cell distance to every final residual
+    centroid) — the residual twins of _pq_chain_ctes, _RPQ constants."""
+    m, sd, k, iters = _RPQ_M, _RPQ_SUBDIM, _RPQ_K, _RPQ_ITERS
+    ctes = [
+        f"""rseeds AS (
+  SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1) AS label
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))"""
+    ]
+    for sp in range(m):
+        lo, hi = sp * sd, (sp + 1) * sd
+        ctes.append(
+            f"rq{sp} AS (SELECT vec_id, pos - {lo} AS pos, qv "
+            f"FROM resid WHERE pos >= {lo} AND pos < {hi})"
+        )
+        ctes.append(
+            f"rc{sp}_0 AS (SELECT s.label, q.pos, q.qv AS sum_q, "
+            f"1::BIGINT AS n_vecs "
+            f"FROM rseeds s JOIN rq{sp} q ON s.vec_id = q.vec_id)"
+        )
+        for t in range(iters + 1):
+            ctes.append(
+                f"rcv{sp}_{t} AS (SELECT label, pos, "
+                f"floor(sum_q / n_vecs)::BIGINT AS c FROM rc{sp}_{t})"
+            )
+            ctes.append(
+                f"rd{sp}_{t} AS (SELECT q.vec_id, cv.label, "
+                f"SUM((q.qv - cv.c) * (q.qv - cv.c))::BIGINT AS dist "
+                f"FROM rq{sp} q JOIN rcv{sp}_{t} cv USING (pos) GROUP BY 1, 2)"
+            )
+            ctes.append(
+                f"ra{sp}_{t} AS (SELECT vec_id, label FROM ("
+                f"SELECT vec_id, label, row_number() OVER (PARTITION BY vec_id "
+                f"ORDER BY dist, label) AS rn FROM rd{sp}_{t}) WHERE rn = 1)"
+            )
+            if t < iters:
+                ctes.append(
+                    f"rc{sp}_{t + 1} AS (SELECT a.label, q.pos, "
+                    f"SUM(q.qv)::BIGINT AS sum_q, COUNT(*)::BIGINT AS n_vecs "
+                    f"FROM ra{sp}_{t} a JOIN rq{sp} q USING (vec_id) GROUP BY 1, 2)"
+                )
+        ctes.append(
+            f"rdq{sp} AS (SELECT r.vec_id, r.cell, cv.label, "
+            f"SUM((r.qv - cv.c) * (r.qv - cv.c))::BIGINT AS dist "
+            f"FROM (SELECT vec_id, cell, pos - {lo} AS pos, qv FROM qres "
+            f"WHERE pos >= {lo} AND pos < {hi}) r "
+            f"JOIN rcv{sp}_{iters} cv USING (pos) GROUP BY 1, 2, 3)"
+        )
+    return ctes, iters
 
 
 def _o_ann_ivfpq() -> str:
     """Coarse-cell chain (the ann_ivf_trained oracle's cvec2→cand2 block)
-    composed with the PQ Lloyd chains: a neighbor's ADC distance is the
-    sum over subspaces of the query's distance to the neighbor's assigned
-    centroid, summed only over candidate pairs sharing a probed cell."""
+    composed with the RESIDUAL PQ Lloyd chains: residuals are the km
+    chain's quantized vectors minus their assigned cell's integer
+    centroid; the query side residualizes against each PROBED cell. A
+    neighbor's ADC distance is the sum over subspaces of the query's
+    per-cell distance to the neighbor's assigned residual centroid,
+    summed only over candidate pairs sharing a probed cell."""
     km = _o_kmeans(k=_IVT_K, iters=2)
     km_ctes = km[len("WITH "):km.rindex("\nSELECT")]
-    pq_ctes, iters = _pq_chain_ctes()
+    rpq_ctes, iters = _rpq_chain_ctes()
     contribs = " UNION ALL ".join(
         f"SELECT c.q_id AS query_id, c.c_id AS neighbor_id, d.dist "
         f"FROM cand2 c "
-        f"JOIN a{sp}_{iters} a ON a.vec_id = c.c_id "
-        f"JOIN d{sp}_{iters} d ON d.vec_id = c.q_id AND d.label = a.label"
-        for sp in range(_PQ_M)
+        f"JOIN assign2 an ON an.c_id = c.c_id "
+        f"JOIN ra{sp}_{iters} a ON a.vec_id = c.c_id "
+        f"JOIN rdq{sp} d ON d.vec_id = c.q_id AND d.cell = an.cell "
+        f"AND d.label = a.label"
+        for sp in range(_RPQ_M)
     )
     return f"""
 WITH {km_ctes},
-{",".join(pq_ctes)},
 cvec2 AS (
   SELECT label AS cell,
          list(floor(sum_q / n_vecs) / 1000.0 ORDER BY pos) AS vec_cent
@@ -5210,6 +5308,19 @@ rankedc AS (
 assign2 AS (SELECT vec_id AS c_id, cell FROM rankedc WHERE r = 1),
 probes2 AS (SELECT vec_id AS q_id, cell FROM rankedc
             WHERE r <= {_IVT_PROBE} AND vec_id % {_PQ_QUERY_MOD} = 0),
+ccent AS (SELECT label AS cell, pos, floor(sum_q / n_vecs)::BIGINT AS c
+          FROM c2),
+resid AS MATERIALIZED (
+  SELECT q.vec_id, q.pos, q.qv - cc.c AS qv
+  FROM q JOIN assign2 a ON a.c_id = q.vec_id
+  JOIN ccent cc ON cc.cell = a.cell AND cc.pos = q.pos
+),
+qres AS MATERIALIZED (
+  SELECT q.vec_id, p.cell, q.pos, q.qv - cc.c AS qv
+  FROM q JOIN probes2 p ON p.q_id = q.vec_id
+  JOIN ccent cc ON cc.cell = p.cell AND cc.pos = q.pos
+),
+{",".join(rpq_ctes)},
 cand2 AS (
   SELECT DISTINCT p.q_id, a.c_id
   FROM probes2 p JOIN assign2 a ON a.cell = p.cell

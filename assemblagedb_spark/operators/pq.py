@@ -27,6 +27,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+
+def _qv_body(scale: int | None) -> str:
+    """Per-element quantization lambda body over variable ``v``:
+    ``floor(v * scale)`` onto the integer grid, or a plain BIGINT cast
+    when ``scale is None`` (the input is ALREADY on the grid — e.g. a
+    residual array produced by :func:`residual_vectors`)."""
+    if scale is None:
+        return "CAST(v AS BIGINT)"
+    return f"CAST(floor(CAST(v AS DOUBLE) * {scale}) AS BIGINT)"
+
+
 def pq_train(
     embeddings: DataFrame,
     *,
@@ -36,7 +47,7 @@ def pq_train(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    scale: int = 1000,
+    scale: int | None = 1000,
 ) -> DataFrame:
     """Train ``m`` independent subspace codebooks: subspace s covers
     components [s*sub_dim, (s+1)*sub_dim). Returns the union of per-
@@ -61,7 +72,7 @@ def pq_train(
             F.expr(
                 f"transform(sequence(0, {m - 1}), s -> "
                 f"transform(slice({vec_col}, s * {sub_dim} + 1, {sub_dim}), "
-                f"v -> CAST(floor(CAST(v AS DOUBLE) * {scale}) AS BIGINT)))"
+                f"v -> {_qv_body(scale)}))"
             )
         ).alias("subspace", "qvec"),
     ).withColumn("subspace", F.col("subspace").cast("long")).localCheckpoint(
@@ -169,7 +180,7 @@ def pq_encode(
     sub_dim: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    scale: int = 1000,
+    scale: int | None = 1000,
 ) -> DataFrame:
     """Encode every vector as ``m`` codes: (vec_id, subspace, code).
 
@@ -207,7 +218,7 @@ def encode_codes_column(
     m: int = 8,
     sub_dim: int = 8,
     vec_col: str = "embedding",
-    scale: int = 1000,
+    scale: int | None = 1000,
 ):
     """The literal-folded encode expression: an ``array<bigint>`` of the
     row's m argmin codes (index = subspace). Stateless, so it encodes a
@@ -225,7 +236,7 @@ def encode_codes_column(
         dists = ", ".join(
             f"named_struct('dist', aggregate(zip_with("
             f"transform(slice({vec_col}, {sp * sub_dim} + 1, {sub_dim}), "
-            f"v -> CAST(floor(CAST(v AS DOUBLE) * {scale}) AS BIGINT)), "
+            f"v -> {_qv_body(scale)}), "
             f"array({', '.join(f'CAST({c} AS BIGINT)' for c in cvec)}), "
             f"(a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), "
             f"(acc, x) -> acc + x), 'label', CAST({label} AS BIGINT))"
@@ -243,7 +254,7 @@ def _pq_encode_agg(
     sub_dim: int,
     id_col: str,
     vec_col: str,
-    scale: int,
+    scale: int | None,
 ) -> DataFrame:
     """Broadcast-join + argmin-aggregate encode (the pre-literal plan,
     kept as the oversized-codebook fallback and the parity reference)."""
@@ -253,7 +264,7 @@ def _pq_encode_agg(
             F.expr(
                 f"transform(sequence(0, {m - 1}), s -> "
                 f"transform(slice({vec_col}, s * {sub_dim} + 1, {sub_dim}), "
-                f"v -> CAST(floor(CAST(v AS DOUBLE) * {scale}) AS BIGINT)))"
+                f"v -> {_qv_body(scale)}))"
             )
         ).alias("subspace", "qvec"),
     ).withColumn("subspace", F.col("subspace").cast("long"))
@@ -293,7 +304,7 @@ def _adc_distance_table(
             F.expr(
                 f"transform(sequence(0, {m - 1}), s -> "
                 f"transform(slice({vec_col}, s * {sub_dim} + 1, {sub_dim}), "
-                f"v -> CAST(floor(CAST(v AS DOUBLE) * {scale}) AS BIGINT)))"
+                f"v -> {_qv_body(scale)}))"
             )
         ).alias("subspace", "qvec"),
     ).withColumn("subspace", F.col("subspace").cast("long"))
@@ -335,7 +346,7 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     m: int = 8,
     sub_dim: int = 8,
-    scale: int = 1000,
+    scale: int | None = 1000,
 ) -> DataFrame:
     """Asymmetric-distance top-k: per query, distances to each subspace
     centroid are computed once (|Q| × m × k rows, broadcast); each corpus
@@ -369,7 +380,7 @@ def ivfpq_adc_topk(
     vec_col: str = "embedding",
     m: int = 8,
     sub_dim: int = 8,
-    scale: int = 1000,
+    scale: int | None = 1000,
 ) -> DataFrame:
     """IVFADC serving (Jégou et al. TPAMI'11 §V: coarse quantizer +
     per-cell PQ codes — the FAISS ``IVFPQ`` layout): each query ADC-scores
@@ -398,6 +409,228 @@ def ivfpq_adc_topk(
             F.broadcast(probes.withColumnRenamed("q_id", "query_id")), "cell"
         )
         .join(F.broadcast(dtable), ["query_id", "subspace", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").cast("long").alias("adc_dist"))
+    )
+    return _adc_rank(scored, k)
+
+
+def pq_encode_arrow(
+    embeddings: DataFrame,
+    codebook: DataFrame,
+    *,
+    m: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int | None = 1000,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Vectorized encode kernel: per Arrow batch, ONE numpy distance pass
+    per subspace against the closure-held codeword matrices — same
+    integer grid, argmin and lowest-label tie-break as the literal-folded
+    expression (:func:`pq_encode`), parity-pinned bit-identical.
+
+    Why it exists: at m=32 the folded expression evaluates m×k
+    interpreted HOF distance terms per row and Catalyst gives lambdas no
+    common-subexpression elimination — the cost class the round-4 simhash
+    fix measured ~6-12x (review follow-up, round 4 verdict item 3). Here
+    the same arithmetic runs as (batch × k × sub_dim) vectorized int64
+    ops. Still a stateless projection: one corpus scan, zero shuffle,
+    streaming-safe per micro-batch.
+
+    ``carry_cols``: extra input columns copied through unchanged (e.g.
+    the coarse ``cell`` of an IVFADC build — emitting the serving layout
+    in the encode pass itself).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cb = _codebook_literal(codebook)
+    if any(not cb.get(sp) for sp in range(m)):
+        raise ValueError(
+            "pq_encode_arrow needs every subspace trained; use "
+            "_pq_encode_agg for codebooks with empty subspaces"
+        )
+    labs = [np.array([l for l, _ in cb[sp]], dtype=np.int64) for sp in range(m)]
+    mats = [
+        np.array([c for _, c in cb[sp]], dtype=np.int64) for sp in range(m)
+    ]
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["__vec"]]
+            )
+            Q = (
+                np.floor(V * scale).astype(np.int64)
+                if scale is not None
+                else V.astype(np.int64)
+            )
+            codes = np.empty((n, m), dtype=np.int64)
+            for sp in range(m):
+                X = Q[:, sp * sub_dim : (sp + 1) * sub_dim]
+                d = ((X[:, None, :] - mats[sp][None, :, :]) ** 2).sum(2)
+                # np.argmin returns the FIRST minimum; labs is
+                # label-ascending, so ties break to the lowest label —
+                # identical to min(struct(dist, label))
+                codes[:, sp] = labs[sp][np.argmin(d, axis=1)]
+            out = {
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), m),
+                "subspace": np.tile(np.arange(m, dtype=np.int64), n),
+                "code": codes.reshape(-1),
+            }
+            for c in carry_cols:
+                out[c] = np.repeat(pdf[c].to_numpy(), m)
+            yield pd.DataFrame(out)
+
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    carry_schema = "".join(
+        f", {c} {dict(embeddings.dtypes)[c]}" for c in carry_cols
+    )
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__vec"),
+        *[F.col(c) for c in carry_cols],
+    ).mapInPandas(
+        kernel,
+        f"vec_id {id_type}, subspace long, code long{carry_schema}",
+    )
+
+
+def coarse_centroid_vectors(state: DataFrame) -> DataFrame:
+    """(cell, cvec array<bigint>): integer coarse-quantizer centroids from
+    a kmeans_train merge state — floor(sum_q / n_vecs) per component, the
+    exact values every engine replays."""
+    return (
+        state.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "sum_q", "n_vecs"))
+            ).alias("comps")
+        )
+        .select(
+            F.col("label").alias("cell"),
+            F.expr(
+                "transform(comps, c -> CAST(floor(c.sum_q / c.n_vecs) AS BIGINT))"
+            ).alias("cvec"),
+        )
+    )
+
+
+def residual_vectors(
+    embeddings: DataFrame,
+    assign: DataFrame,
+    coarse: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """(vec_id, cell, rvec): each vector's integer residual against its
+    coarse cell centroid — rvec = floor(v·scale) − cvec[cell], the
+    quantity IVFADC quantizes instead of the raw vector (Jégou et al.
+    TPAMI'11 §V: PQ codebooks trained on residuals capture the
+    within-cell geometry the coarse quantizer already removed).
+
+    ``assign``: (vec_id, cell) rows (similarity.ivf_assign output,
+    renamed); ``coarse``: (cell, cvec) integer centroids
+    (:func:`coarse_centroid_vectors`). Exact integer arithmetic — the
+    residual grid replays in any engine. One corpus scan; both joins
+    broadcast (assign is corpus-sized but 2 columns — callers that
+    already carry the cell on the row pass it through instead)."""
+    qvec = F.expr(
+        f"transform({vec_col}, v -> {_qv_body(scale)})"
+    )
+    return (
+        embeddings.select(F.col(id_col).alias("vec_id"), qvec.alias("qvec"))
+        .join(assign, "vec_id")
+        .join(F.broadcast(coarse), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.expr("zip_with(qvec, cvec, (a, b) -> a - b)").alias("rvec"),
+        )
+    )
+
+
+def query_residuals(
+    queries: DataFrame,
+    probes: DataFrame,
+    coarse: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """(query_id, cell, rvec): one residual row per (query, PROBED cell)
+    — the query side of residual IVFADC, where the distance table is
+    per probed cell (the query's residual differs in every cell it
+    probes, unlike the raw-vector layout's single table).
+    |Q| × nprobe rows — broadcast-sized by construction."""
+    qvec = F.expr(f"transform({vec_col}, v -> {_qv_body(scale)})")
+    return (
+        queries.select(F.col(id_col).alias("query_id"), qvec.alias("qvec"))
+        .join(probes.withColumnRenamed("q_id", "query_id"), "query_id")
+        .join(F.broadcast(coarse), "cell")
+        .select(
+            "query_id",
+            "cell",
+            F.expr("zip_with(qvec, cvec, (a, b) -> a - b)").alias("rvec"),
+        )
+    )
+
+
+def ivfpq_adc_topk_residual(
+    cell_codes: DataFrame,
+    codebook: DataFrame,
+    q_resid: DataFrame,
+    *,
+    k: int = 10,
+    m: int = 8,
+    sub_dim: int = 8,
+) -> DataFrame:
+    """Residual-encoded IVFADC serving (Jégou et al. TPAMI'11 §V — the
+    FAISS ``IVFPQ`` layout proper): corpus codes quantize residuals
+    y − q1(y), so the per-query ADC table is computed per PROBED CELL
+    from the query's residual in that cell.
+
+    ``cell_codes``: (vec_id, subspace, code, cell) residual inverted
+    lists (build: :func:`residual_vectors` → :func:`pq_encode` /
+    :func:`pq_encode_arrow` with ``scale=None``). ``q_resid``:
+    (query_id, cell, rvec) from :func:`query_residuals` — its (query,
+    cell) pairs ARE the probe list, so the distance-table join below
+    both routes probes and scores them: one broadcast hash join against
+    the big code table, which is scanned, never shuffled (and partition-
+    pruned when written bucketed by cell). Work = Σ_q Σ_probed |cell|·m
+    lookups — identical candidate volume to the raw layout; only the
+    table entries differ. Same exact integer arithmetic, self-exclusion
+    and (adc_dist, neighbor_id) tie order as :func:`pq_adc_topk`."""
+    cent = _codebook_vectors(codebook)
+    sub = q_resid.select(
+        "query_id",
+        "cell",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s -> "
+                f"slice(rvec, s * {sub_dim} + 1, {sub_dim}))"
+            )
+        ).alias("subspace", "qvec"),
+    ).withColumn("subspace", F.col("subspace").cast("long"))
+    dist = F.expr(
+        "aggregate(zip_with(qvec, cvec, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    dtable = sub.join(F.broadcast(cent), "subspace").select(
+        "query_id", "cell", "subspace",
+        F.col("label").alias("code"), dist.alias("d"),
+    )
+    scored = (
+        cell_codes.join(F.broadcast(dtable), ["cell", "subspace", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
         .agg(F.sum("d").cast("long").alias("adc_dist"))

@@ -1,25 +1,30 @@
 """Streaming IVFPQ index maintenance: encode + cell-assign new vectors.
 
 New embedding rows arriving on a stream become (vec_id, subspace, code,
-cell) inverted-list rows — the exact layout `operators.pq.ivfpq_adc_topk`
-serves — per micro-batch, against FROZEN trained states: codebooks and the
-coarse quantizer retrain offline on a schedule, ingest never mutates them
-(the production ANN discipline; a drifting codebook would silently corrupt
-every previously stored code).
+cell) RESIDUAL inverted-list rows — the exact layout
+`operators.pq.ivfpq_adc_topk_residual` serves — per micro-batch, against
+FROZEN trained states: residual codebooks and the coarse quantizer
+retrain offline on a schedule, ingest never mutates them (the production
+ANN discipline; a drifting codebook would silently corrupt every
+previously stored code).
 
-Both steps are stateless projections:
+All steps are stateless projections:
 
-- PQ encoding folds the (m × k) codebook into the row expression
-  (`pq.encode_codes_column`) — argmin codes inline, no join, no aggregate;
 - coarse-cell assignment is an Arrow-batched matmul against the k × dim
   centroid matrix riding in the task closure (same kernel discipline as
-  `similarity._nearest_cells`).
+  `similarity._nearest_cells`);
+- the residual rvec = floor(v·scale) − ccent[cell] folds the integer
+  coarse centroids in as a map literal (k × dim ints — tiny);
+- PQ encoding folds the (m × k) residual codebook into the row
+  expression (`pq.encode_codes_column` with ``scale=None``) — argmin
+  codes inline, no join, no aggregate.
 
 Stateless ⇒ append-mode safe with no watermark or state store, and the
 sink can write straight into the cell-partitioned code table (bucketed by
 cell at scale — sources/layout.py::write_bucketed), where the serving join
 partition-prunes probes. Batch and streaming encode the same rows to the
-same codes by construction (pinned by tests/test_streaming_ann.py).
+same codes by construction (pinned by tests/test_streaming_ann.py, and
+gate-checked against the DuckDB oracle via `streaming_ivfpq_ingest`).
 """
 
 from __future__ import annotations
@@ -48,6 +53,29 @@ def _cell_udf(cents):
     return cell
 
 
+def _coarse_map_sql(centroids: DataFrame) -> str:
+    """SQL map literal cell -> integer centroid array, from a kmeans_train
+    merge state (floor(sum_q / n_vecs) per component — the same grid
+    `pq.coarse_centroid_vectors` emits). k × dim ints: tiny by
+    construction, folded into the projection so the stream joins
+    nothing."""
+    by_label: dict[int, dict[int, int]] = {}
+    for r in centroids.collect():
+        # python // floors toward -inf for negative sums, same as the
+        # engines' floor(sum_q / n_vecs)
+        by_label.setdefault(r["label"], {})[r["pos"]] = (
+            r["sum_q"] // r["n_vecs"]
+        )
+    entries = []
+    for label in sorted(by_label):
+        comps = by_label[label]
+        arr = ", ".join(
+            f"CAST({comps[p]} AS BIGINT)" for p in sorted(comps)
+        )
+        entries.append(f"CAST({label} AS BIGINT), array({arr})")
+    return f"map({', '.join(entries)})"
+
+
 def ivfpq_ingest(
     stream: DataFrame,
     codebook: DataFrame,
@@ -59,11 +87,15 @@ def ivfpq_ingest(
     vec_col: str = "embedding",
     scale: int = 1000,
 ) -> DataFrame:
-    """(vec_id, subspace, code, cell) rows for every arriving vector —
-    one projection + one explode, identical codes/cells to the batch
-    build (`pq_encode` + `similarity.ivf_assign(centroids=)`)."""
+    """(vec_id, subspace, code, cell) RESIDUAL inverted-list rows for
+    every arriving vector — assign the coarse cell, residualize against
+    that cell's integer centroid, encode with the frozen residual
+    ``codebook``; identical rows to the batch build
+    (`pq.residual_vectors` + `pq.pq_encode(..., scale=None)` over
+    `similarity.ivf_assign(centroids=)`). One projection chain + one
+    explode: zero exchanges, append-mode safe."""
     codes_expr = encode_codes_column(
-        codebook, m=m, sub_dim=sub_dim, vec_col=vec_col, scale=scale
+        codebook, m=m, sub_dim=sub_dim, vec_col="rvec", scale=None
     )
     if codes_expr is None:
         raise ValueError(
@@ -74,10 +106,22 @@ def ivfpq_ingest(
             f"via {_pq_encode_agg.__name__}."
         )
     cell = _cell_udf(centroid_matrix(centroids, scale=scale))
+    cmap = _coarse_map_sql(centroids)
+    rvec = (
+        f"zip_with(transform({vec_col}, v -> "
+        f"CAST(floor(CAST(v AS DOUBLE) * {scale}) AS BIGINT)), "
+        f"element_at({cmap}, cell), (a, b) -> a - b)"
+    )
     return (
         stream.select(
             F.col(id_col).alias("vec_id"),
+            F.col(vec_col),
             cell(F.col(vec_col)).alias("cell"),
+        )
+        .withColumn("rvec", F.expr(rvec))
+        .select(
+            "vec_id",
+            "cell",
             F.posexplode(codes_expr).alias("subspace", "code"),
         )
         .select(

@@ -53,7 +53,7 @@ def test_ivfpq_gate_prunes_but_not_vacuous(spark, sf_dir):
     emb = h.load_table(spark, sf_dir, "embeddings")
     n_corpus = emb.count()
     n_queries = emb.filter(F.col("vec_id") % h._PQ_QUERY_MOD == 0).count()
-    cell_codes = h._ivfpq_cell_codes(spark, sf_dir)
+    cell_codes = h._ivfpq_index(spark, sf_dir)[1]
     from assemblagedb_spark.operators.similarity import ivf_probes
 
     probes = ivf_probes(

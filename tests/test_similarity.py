@@ -195,6 +195,113 @@ def test_ivfpq_adc_consistent_with_full_adc_on_candidates(spark):
     assert got == want and len(got) > 0
 
 
+def test_residual_ivfpq_consistent_with_all_cell_scan(spark):
+    # residual IVFADC ≡ its own all-cells scan restricted to probed-cell
+    # candidates: probing changes WHICH pairs score, never their
+    # residual adc_dist or tie order (the residual twin of the raw-layout
+    # consistency pin above)
+    from pyspark.sql import Window, functions as F
+
+    from assemblagedb_spark.operators.pq import (
+        coarse_centroid_vectors,
+        ivfpq_adc_topk_residual,
+        pq_encode_arrow,
+        pq_train,
+        query_residuals,
+        residual_vectors,
+    )
+    from assemblagedb_spark.operators.similarity import ivf_assign, ivf_probes
+    from assemblagedb_spark.operators.vectors import kmeans_train
+
+    rows = [(i, [float((i * 7 + j * 3) % 13) + (1.0 if i % 3 == j % 3 else 0.0)
+                 for j in range(8)])
+            for i in range(36)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    state = kmeans_train(emb, k=4, iters=2)
+    coarse = coarse_centroid_vectors(state)
+    assign = ivf_assign(emb, centroids=state).withColumnRenamed("c_id", "vec_id")
+    resid = residual_vectors(emb, assign, coarse)
+    book = pq_train(resid, m=2, sub_dim=4, k=4, iters=2,
+                    vec_col="rvec", scale=None)
+    cell_codes = pq_encode_arrow(resid, book, m=2, sub_dim=4,
+                                 vec_col="rvec", scale=None,
+                                 carry_cols=("cell",))
+    queries = emb.filter("vec_id % 6 = 0")
+    probes = ivf_probes(queries, nprobe=2, centroids=state)
+
+    got = sorted(map(tuple, ivfpq_adc_topk_residual(
+        cell_codes, book, query_residuals(queries, probes, coarse),
+        k=3, m=2, sub_dim=4,
+    ).collect()))
+
+    # reference: residualize the query in EVERY cell (all-cells probe
+    # list), then restrict to the probed-cell candidate pairs
+    probes_all = queries.select(F.col("vec_id").alias("q_id")).crossJoin(
+        coarse.select("cell").distinct()
+    )
+    full = ivfpq_adc_topk_residual(
+        cell_codes, book, query_residuals(queries, probes_all, coarse),
+        k=10**6, m=2, sub_dim=4,
+    )
+    cand = (
+        probes.withColumnRenamed("q_id", "query_id")
+        .join(resid.select("vec_id", "cell"), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    restricted = (
+        full.join(cand, ["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(
+            Window.partitionBy("query_id")
+            .orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "adc_dist",
+                F.col("rank").cast("long").alias("rank"))
+    )
+    want = sorted(map(tuple, restricted.collect()))
+    assert got == want and len(got) > 0
+
+
+def test_pq_encode_arrow_matches_literal_fold(spark):
+    # the numpy encode kernel and the literal-folded expression must emit
+    # bit-identical codes — raw grid, pre-quantized residual grid, and a
+    # tie-heavy lattice (argmin-first vs struct-min tie-break)
+    from assemblagedb_spark.operators.pq import (
+        coarse_centroid_vectors,
+        pq_encode,
+        pq_encode_arrow,
+        pq_train,
+        residual_vectors,
+    )
+    from assemblagedb_spark.operators.similarity import ivf_assign
+    from assemblagedb_spark.operators.vectors import kmeans_train
+
+    # tie-heavy: few distinct values -> many equidistant codewords
+    rows = [(i, [float((i * 5 + j) % 3) for j in range(8)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    book = pq_train(emb, m=2, sub_dim=4, k=4, iters=2)
+    a = sorted(map(tuple, pq_encode(emb, book, m=2, sub_dim=4).collect()))
+    b = sorted(map(tuple, pq_encode_arrow(emb, book, m=2, sub_dim=4).collect()))
+    assert a == b and len(a) == 100
+
+    state = kmeans_train(emb, k=3, iters=1)
+    coarse = coarse_centroid_vectors(state)
+    assign = ivf_assign(emb, centroids=state).withColumnRenamed("c_id", "vec_id")
+    resid = residual_vectors(emb, assign, coarse)
+    rbook = pq_train(resid, m=2, sub_dim=4, k=4, iters=2,
+                     vec_col="rvec", scale=None)
+    c = sorted(map(tuple, pq_encode(
+        resid, rbook, m=2, sub_dim=4, vec_col="rvec", scale=None).collect()))
+    d = sorted(map(tuple, pq_encode_arrow(
+        resid, rbook, m=2, sub_dim=4, vec_col="rvec", scale=None
+    ).collect()))
+    assert c == d and len(c) == 100
+    # carry_cols rides the cell through the same scan
+    e = pq_encode_arrow(resid, rbook, m=2, sub_dim=4, vec_col="rvec",
+                        scale=None, carry_cols=("cell",))
+    assert sorted(map(tuple, e.select("vec_id", "subspace", "code").collect())) == c
+
+
 def test_pq_encode_projection_matches_agg_path_and_never_shuffles(spark):
     # the literal-folded encode is a pure projection: same codes as the
     # broadcast-join + argmin-aggregate plan (incl. tie-breaks on a grid
