@@ -4867,20 +4867,27 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     per batch would be the anti-pattern at 100 TB. The bench times the
     cold build (cache cleared before the ann_pq_codes key) and the warm
     ADC serving separately."""
-    from assemblagedb_spark.operators.pq import pq_encode, pq_train
+    from assemblagedb_spark.operators.pq import pq_encode_arrow, pq_train_arrow
 
     key = (_session_key(spark), sf_dir)
     if key not in _PQ_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
-        book = pq_train(
+        # train runs the per-round numpy merge-state kernel — measured
+        # interleaved A/B at sf0.1: ~0.9s vs ~3.2s for the join+groupBy
+        # Lloyd rounds; bit-identical state (test_pq_train_arrow parity)
+        book = pq_train_arrow(
             emb, m=_PQ_M, sub_dim=_PQ_SUBDIM, k=_PQ_K, iters=_PQ_ITERS
-        ).localCheckpoint(eager=True)
+        )
         # codes is corpus-sized (n_vecs x m): persist, not localCheckpoint,
         # so clear_artifact_cache can actually release the blocks when the
         # bench cold-times a rebuild (unpersist is a no-op on checkpoint
         # blocks); the tiny codebook stays checkpoint-pinned to truncate
-        # the Lloyd-loop lineage
-        codes = pq_encode(emb, book, m=_PQ_M, sub_dim=_PQ_SUBDIM).persist()
+        # the Lloyd-loop lineage. Encode runs the Arrow kernel — measured
+        # interleaved A/B at sf0.1: 0.4s vs 1.7s for the literal-folded
+        # expression (m=32 evaluates 256 interpreted HOF distance terms
+        # per row, no lambda CSE); parity-pinned bit-identical
+        # (test_pq_encode_arrow_matches_literal_fold)
+        codes = pq_encode_arrow(emb, book, m=_PQ_M, sub_dim=_PQ_SUBDIM).persist()
         _PQ_CACHE[key] = (book, codes)
     return _PQ_CACHE[key]
 
@@ -5152,7 +5159,7 @@ def _ivfpq_index(
     from assemblagedb_spark.operators.pq import (
         coarse_centroid_vectors,
         pq_encode_arrow,
-        pq_train,
+        pq_train_arrow,
         residual_vectors,
     )
     from assemblagedb_spark.operators.similarity import ivf_assign
@@ -5166,10 +5173,10 @@ def _ivfpq_index(
             "c_id", "vec_id"
         )
         resid = residual_vectors(emb, assign, coarse)
-        rbook = pq_train(
+        rbook = pq_train_arrow(
             resid, m=_RPQ_M, sub_dim=_RPQ_SUBDIM, k=_RPQ_K,
             iters=_RPQ_ITERS, vec_col="rvec", scale=None,
-        ).localCheckpoint(eager=True)
+        )
         cell_codes = (
             pq_encode_arrow(
                 resid, rbook, m=_RPQ_M, sub_dim=_RPQ_SUBDIM,
@@ -5211,13 +5218,16 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _rpq_chain_ctes() -> tuple[list, int]:
+def _rpq_chain_ctes(include_query: bool = True) -> tuple[list, int]:
     """Per-subspace unrolled Lloyd CTE chains on the RESIDUAL grid:
-    expects CTEs ``resid`` (vec_id, pos, qv — full-dim residuals) and
-    ``qres`` (vec_id, cell, pos, qv — per-probed-cell query residuals) to
-    be in scope. Emits ra{sp}_{iters} (final corpus codes per subspace)
-    and rdq{sp} (each query's per-cell distance to every final residual
-    centroid) — the residual twins of _pq_chain_ctes, _RPQ constants."""
+    expects CTEs ``resid`` (vec_id, pos, qv — full-dim residuals) and,
+    when ``include_query``, ``qres`` (vec_id, cell, pos, qv —
+    per-probed-cell query residuals) to be in scope. Emits
+    ra{sp}_{iters} (final corpus codes per subspace) and — query side —
+    rdq{sp} (each query's per-cell distance to every final residual
+    centroid) — the residual twins of _pq_chain_ctes, _RPQ constants.
+    The build-only form (``include_query=False``) backs the
+    ann_ivfpq_codes / streaming_ivfpq_ingest oracles."""
     m, sd, k, iters = _RPQ_M, _RPQ_SUBDIM, _RPQ_K, _RPQ_ITERS
     ctes = [
         f"""rseeds AS (
@@ -5256,13 +5266,14 @@ def _rpq_chain_ctes() -> tuple[list, int]:
                     f"SUM(q.qv)::BIGINT AS sum_q, COUNT(*)::BIGINT AS n_vecs "
                     f"FROM ra{sp}_{t} a JOIN rq{sp} q USING (vec_id) GROUP BY 1, 2)"
                 )
-        ctes.append(
-            f"rdq{sp} AS (SELECT r.vec_id, r.cell, cv.label, "
-            f"SUM((r.qv - cv.c) * (r.qv - cv.c))::BIGINT AS dist "
-            f"FROM (SELECT vec_id, cell, pos - {lo} AS pos, qv FROM qres "
-            f"WHERE pos >= {lo} AND pos < {hi}) r "
-            f"JOIN rcv{sp}_{iters} cv USING (pos) GROUP BY 1, 2, 3)"
-        )
+        if include_query:
+            ctes.append(
+                f"rdq{sp} AS (SELECT r.vec_id, r.cell, cv.label, "
+                f"SUM((r.qv - cv.c) * (r.qv - cv.c))::BIGINT AS dist "
+                f"FROM (SELECT vec_id, cell, pos - {lo} AS pos, qv FROM qres "
+                f"WHERE pos >= {lo} AND pos < {hi}) r "
+                f"JOIN rcv{sp}_{iters} cv USING (pos) GROUP BY 1, 2, 3)"
+            )
     return ctes, iters
 
 
@@ -5335,6 +5346,114 @@ SELECT query_id, neighbor_id, adc_dist, rank FROM (
                             ORDER BY adc_dist, neighbor_id) AS rank
   FROM adc)
 WHERE rank <= {_PQ_TOPK}"""
+
+
+def _o_ivfpq_build_prefix() -> str:
+    """Shared oracle prefix for the IVFADC BUILD gates: coarse kmeans
+    chain + cosine cell assignment + integer residuals + residual Lloyd
+    chains (no query side)."""
+    km = _o_kmeans(k=_IVT_K, iters=2)
+    km_ctes = km[len("WITH "):km.rindex("\nSELECT")]
+    rpq_ctes, _ = _rpq_chain_ctes(include_query=False)
+    return f"""
+WITH {km_ctes},
+cvec2 AS (
+  SELECT label AS cell,
+         list(floor(sum_q / n_vecs) / 1000.0 ORDER BY pos) AS vec_cent
+  FROM c2 GROUP BY label
+),
+cellscore AS (
+  SELECT e.vec_id, ct.cell,
+         list_dot_product(e.embedding::DOUBLE[], ct.vec_cent::DOUBLE[]) /
+         (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(ct.vec_cent::DOUBLE[], ct.vec_cent::DOUBLE[]))) AS cos_c
+  FROM embeddings e CROSS JOIN cvec2 ct
+),
+rankedc AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cell) AS r
+  FROM cellscore
+),
+assign2 AS (SELECT vec_id AS c_id, cell FROM rankedc WHERE r = 1),
+ccent AS (SELECT label AS cell, pos, floor(sum_q / n_vecs)::BIGINT AS c
+          FROM c2),
+resid AS MATERIALIZED (
+  SELECT q.vec_id, q.pos, q.qv - cc.c AS qv
+  FROM q JOIN assign2 a ON a.c_id = q.vec_id
+  JOIN ccent cc ON cc.cell = a.cell AND cc.pos = q.pos
+),
+{",".join(rpq_ctes)}"""
+
+
+def _o_ivfpq_codes() -> str:
+    """Direct computation of the residual inverted lists: per subspace,
+    the final Lloyd assignment joined with the vector's coarse cell."""
+    _, iters = _rpq_chain_ctes(include_query=False)
+    sel = " UNION ALL ".join(
+        f"SELECT a.vec_id, {sp}::BIGINT AS subspace, "
+        f"a.label::BIGINT AS code, an.cell::BIGINT AS cell "
+        f"FROM ra{sp}_{iters} a JOIN assign2 an ON an.c_id = a.vec_id"
+        for sp in range(_RPQ_M)
+    )
+    return _o_ivfpq_build_prefix() + f"\n{sel}"
+
+
+def q_ann_ivfpq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVFADC BUILD end to end: trained coarse cells → integer
+    residuals y − q1(y) → residual PQ codebooks (m=32, k=16, 3 Lloyd
+    rounds on the residual grid) → (vec_id, subspace, code, cell)
+    inverted lists, the exact relation `ann_ivfpq` serves and the
+    streaming ingest appends to. The bench cold-times THIS key (the
+    whole residual index build) so the serving key's warm number is
+    honest. Oracle unrolls the full residual Lloyd chains plus the
+    coarse assignment."""
+    _, cell_codes, _ = _ivfpq_index(spark, sf_dir)
+    return cell_codes.select("vec_id", "subspace", "code", "cell")
+
+
+def q_streaming_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming IVFPQ ingest, gate-checked: the embeddings
+    table arrives as THREE parquet files consumed one micro-batch each
+    (maxFilesPerTrigger=1, availableNow), each batch residual-encoded by
+    streaming.ann.ivfpq_ingest against the session's FROZEN trained
+    states; the accumulated sink must equal the direct batch build — the
+    oracle is the same residual-chain SQL as `ann_ivfpq_codes`
+    (state after N batches ≡ direct computation; the stream is stateless
+    by construction, which is exactly what this gate pins)."""
+    import shutil
+    import tempfile
+
+    from assemblagedb_spark.streaming.ann import ivfpq_ingest
+
+    rbook, _, _ = _ivfpq_index(spark, sf_dir)
+    state = _trained_kmeans(spark, sf_dir, _IVT_K, 2)
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="ivfpq_ingest_gate_")
+    src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
+    try:
+        # three source files -> three micro-batches
+        emb.withColumn("__b", F.pmod(F.col("vec_id"), F.lit(3))) \
+            .repartition(3, "__b").drop("__b") \
+            .write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(emb.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        q = (
+            ivfpq_ingest(stream, rbook, state, m=_RPQ_M, sub_dim=_RPQ_SUBDIM)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # pin the result in memory so the tmp dir can be removed before
+        # the caller collects
+        return spark.read.parquet(sink).select(
+            "vec_id", "subspace", "code", "cell"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5594,6 +5713,8 @@ SPARK_QUERIES = {
     "events_drift_state": q_events_drift_state,
     "events_histogram": q_events_histogram,
     "ann_ivfpq": q_ann_ivfpq,
+    "ann_ivfpq_codes": q_ann_ivfpq_codes,
+    "streaming_ivfpq_ingest": q_streaming_ivfpq_ingest,
 }
 
 ORACLES = {
@@ -5731,6 +5852,8 @@ ORACLES = {
     "events_drift_state": O_EVENTS_DRIFT_STATE,
     "events_histogram": O_EVENTS_HISTOGRAM,
     "ann_ivfpq": _o_ann_ivfpq(),
+    "ann_ivfpq_codes": _o_ivfpq_codes(),
+    "streaming_ivfpq_ingest": _o_ivfpq_codes(),
 }
 
 

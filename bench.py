@@ -107,8 +107,11 @@ BENCH_QUERIES = [
     "events_twa",
     "events_drift_state",
     "events_histogram",
-    # round-4 additions
+    # round-5 additions: residual IVFADC build (cold) + serving (warm)
+    # + gate-checked streaming ingest
+    "ann_ivfpq_codes",
     "ann_ivfpq",
+    "streaming_ivfpq_ingest",
 ]
 
 
@@ -125,6 +128,7 @@ COLD_KEY_CACHES = {
     "dedup_lsh_verify": "_OVERLAP_CACHE",  # dedup_containment serves warm
     "kmeans_train": "_KMEANS_CACHE",       # ann_ivf_trained serves warm
     "ann_pq_codes": "_PQ_CACHE",           # ann_pq_adc serves warm
+    "ann_ivfpq_codes": "_IVFPQ_CACHE",     # ann_ivfpq serves warm
 }
 
 

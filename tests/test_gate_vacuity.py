@@ -70,6 +70,34 @@ def test_ivfpq_gate_prunes_but_not_vacuous(spark, sf_dir):
     assert 10 * n_queries <= n_pairs < n_queries * (n_corpus - 1)
 
 
+def test_ivfpq_codes_gate_covers_corpus_with_live_codebooks(spark, sf_dir):
+    # the residual inverted lists must (a) cover every corpus vector in
+    # all m subspaces and (b) actually use multiple codewords per
+    # subspace — a degenerate residual codebook (all vectors on one
+    # code) would still match a degenerate oracle
+    from pyspark.sql import functions as F
+
+    codes = h.SPARK_QUERIES["ann_ivfpq_codes"](spark, sf_dir)
+    n = h.load_table(spark, sf_dir, "embeddings").count()
+    assert codes.count() == n * h._RPQ_M
+    per_sp = codes.groupBy("subspace").agg(
+        F.countDistinct("code").alias("k")
+    ).collect()
+    assert len(per_sp) == h._RPQ_M
+    assert all(r["k"] >= 2 for r in per_sp)
+    assert codes.select("cell").distinct().count() >= 2
+
+
+def test_streaming_ingest_gate_equals_batch_build(spark, sf_dir):
+    # state after the gate's 3 micro-batches == the direct batch build
+    # (the stateless-projection property the gate exists to pin)
+    got = sorted(map(tuple, h.SPARK_QUERIES["streaming_ivfpq_ingest"](
+        spark, sf_dir).collect()))
+    want = sorted(map(tuple, h.SPARK_QUERIES["ann_ivfpq_codes"](
+        spark, sf_dir).collect()))
+    assert got == want and len(got) > 0
+
+
 def test_simhash_candidate_stage_not_vacuous(spark, sf_dir):
     # the hamming<=4 OUTPUT is structurally tiny (6 rows — pigeonhole-exact
     # near-identical fingerprints), so pin the CANDIDATE stage instead:

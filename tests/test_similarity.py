@@ -262,6 +262,41 @@ def test_residual_ivfpq_consistent_with_all_cell_scan(spark):
     assert got == want and len(got) > 0
 
 
+def test_pq_train_arrow_matches_expression(spark):
+    # the per-round numpy merge-state trainer must reproduce the
+    # join+groupBy Lloyd loop EXACTLY — same seeds, assignments,
+    # integer sums and dropped-cluster behavior — on the raw grid and on
+    # a pre-quantized residual grid (negative components exercise the
+    # floor-division parity)
+    from assemblagedb_spark.operators.pq import (
+        coarse_centroid_vectors,
+        pq_train,
+        pq_train_arrow,
+        residual_vectors,
+    )
+    from assemblagedb_spark.operators.similarity import ivf_assign
+    from assemblagedb_spark.operators.vectors import kmeans_train
+
+    rows = [(i, [float((i * 7 + j * 3) % 13) for j in range(8)])
+            for i in range(48)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(map(tuple, pq_train(emb, m=2, sub_dim=4, k=4, iters=2).collect()))
+    b = sorted(map(tuple, pq_train_arrow(emb, m=2, sub_dim=4, k=4, iters=2).collect()))
+    assert a == b and len(a) > 0
+
+    state = kmeans_train(emb, k=3, iters=1)
+    coarse = coarse_centroid_vectors(state)
+    assign = ivf_assign(emb, centroids=state).withColumnRenamed("c_id", "vec_id")
+    resid = residual_vectors(emb, assign, coarse)
+    c = sorted(map(tuple, pq_train(
+        resid, m=2, sub_dim=4, k=4, iters=3, vec_col="rvec", scale=None
+    ).collect()))
+    d = sorted(map(tuple, pq_train_arrow(
+        resid, m=2, sub_dim=4, k=4, iters=3, vec_col="rvec", scale=None
+    ).collect()))
+    assert c == d and len(c) > 0
+
+
 def test_pq_encode_arrow_matches_literal_fold(spark):
     # the numpy encode kernel and the literal-folded expression must emit
     # bit-identical codes — raw grid, pre-quantized residual grid, and a
