@@ -583,3 +583,146 @@ def test_kmeans_state_label_is_bigint(spark):
     # schema compare is dtype-strict, so label must stay BIGINT end to end
     for c in ("label", "pos", "sum_q", "n_vecs"):
         assert isinstance(state.schema[c].dataType, LongType), c
+
+
+# ---------------------------------------------------------------------------
+# shared-formula degeneracy pins (round 5). The LCG-hyperplane and simhash
+# bit-31 episodes proved oracle parity cannot catch a silently-degenerate
+# hash — both engines share the formula, so the gates stay green while the
+# statistics the formula feeds turn to garbage. Each remaining
+# shared-formula gate gets a distribution-level assertion that fails on a
+# constant / low-entropy substitution.
+# ---------------------------------------------------------------------------
+
+def test_countmin_overestimate_eps_delta():
+    """Count-min ACCURACY, not just the upper-bound property: with d rows
+    of w counters over a stream of total weight N, est(x) <= true(x) +
+    e*N/w holds with probability >= 1 - e^-d per item (Cormode &
+    Muthukrishnan J.Alg'05 Thm 1). Replays the gate's exact formula
+    (strhash -> mix32 per row; parity pinned by
+    test_countmin_point_estimates_upper_bound) over a skewed stream. A
+    degenerate row hash funnels every item into one counter: overestimates
+    blow past the bound for ALL items, not the allowed e^-d fraction."""
+    import math
+
+    d, w = 3, 256
+    true = {f"hh{i}": 50 - i for i in range(40)}
+    true.update({f"tail{i}": 1 for i in range(3000)})
+    n_total = sum(true.values())
+    rows: list[dict[int, int]] = [dict() for _ in range(d)]
+    for term, c in true.items():
+        h = strhash_py(term)
+        for r in range(d):
+            col = mix32_py(h, r) % w
+            rows[r][col] = rows[r].get(col, 0) + c
+    eps_n = math.e * n_total / w
+    fails, over_sum = 0, 0
+    for term, c in true.items():
+        h = strhash_py(term)
+        est = min(rows[r][mix32_py(h, r) % w] for r in range(d))
+        assert est >= c  # count-min never underestimates
+        over_sum += est - c
+        if est > c + eps_n:
+            fails += 1
+    assert fails / len(true) < 2 * math.exp(-d), (fails, len(true))
+    # mean overestimate ~ N/w for a healthy hash, ~ N for a degenerate one
+    assert over_sum / len(true) < 3 * n_total / w
+
+
+def test_text_fingerprint_collision_behavior(spark):
+    """fingerprints() (the text_fingerprint gate) must be collision-free on
+    distinct canonical texts and collide EXACTLY on texts equal after
+    lower + whitespace-collapse + trim — the dedup contract it serves.
+    2k distinct random strings -> 2k distinct fingerprints; three
+    formatting variants of one sentence -> one fingerprint."""
+    import random
+
+    from assemblagedb_spark.operators.textstats import fingerprints
+
+    rng = random.Random(11)
+    texts = [
+        "".join(rng.choice("abcdefg hij") for _ in range(30)) + f" #{i}"
+        for i in range(2000)
+    ]
+    variants = [
+        (9001, "Foo\t Bar  baz"),
+        (9002, "foo bar BAZ "),
+        (9003, " FOO  bar baz"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)] + variants,
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fingerprint"] for r in fingerprints(df).collect()}
+    base = {fps[i] for i in range(2000)}
+    assert len(base) == 2000
+    assert fps[9001] == fps[9002] == fps[9003]
+    assert fps[9001] not in base
+
+
+def test_minhash_band_bucket_uniformity():
+    """Band-bucket health for the LSH equi-join: n unrelated docs (disjoint
+    random shingle sets) must land in ~n distinct buckets per band with no
+    giant bucket — a degenerate coefficient family (a=0, a parity-class
+    LCG, a shared-factor modulus) funnels unrelated docs into one band
+    signature, turning the bucket equi-join quadratic and every LSH
+    probability wrong, while oracle parity stays green. Replays the exact
+    dedup formula: k universal-hash mins, bands of r consecutive sig
+    positions; plus a per-coefficient chi-square coarse bound."""
+    import random
+
+    from assemblagedb_spark.functions.core import MINHASH_PRIME, minhash_coeffs
+
+    k, bands, r = 16, 4, 4
+    coeffs = minhash_coeffs(k)
+    rng = random.Random(5)
+    n = 1500
+    sigs = []
+    for _ in range(n):
+        grams = [rng.randrange(1, 1 << 32) for _ in range(60)]
+        sigs.append(
+            [min((a * g + b) % MINHASH_PRIME for g in grams) for a, b in coeffs]
+        )
+    collisions = 0
+    for band in range(bands):
+        buckets: dict[tuple, int] = {}
+        for s in sigs:
+            key = tuple(s[band * r : (band + 1) * r])
+            buckets[key] = buckets.get(key, 0) + 1
+        # accidental 4x31-bit signature agreement between disjoint docs is
+        # ~(60/P)^4 per pair — essentially impossible for a healthy family
+        assert max(buckets.values()) <= 2, (band, max(buckets.values()))
+        collisions += n - len(buckets)
+    assert collisions <= 2, collisions
+    # per-coefficient uniformity, chi-square over 64 buckets (df=63: mean
+    # 63, std ~11.2; 150 is ~+8 sigma — random never trips it, a constant
+    # hash scores ~126k and a parity-class one ~2k)
+    xs = [rng.randrange(1, 1 << 32) for _ in range(2000)]
+    for a, b in coeffs:
+        counts = [0] * 64
+        for x in xs:
+            counts[((a * x + b) % MINHASH_PRIME) % 64] += 1
+        exp = 2000 / 64
+        chi2 = sum((c - exp) ** 2 / exp for c in counts)
+        assert chi2 < 150, (a, b, chi2)
+
+
+def test_trained_ivf_cell_balance(spark, sf_dir):
+    """Trained-IVF coarse cells must be BALANCED on the real embedding
+    corpus: serving cost of ann_ivf_trained / ann_ivfpq is ~nprobe/k of
+    the corpus ONLY if cells hold comparable mass — a degenerate
+    distance/assign formula collapses everything into one cell (probe =
+    full scan, the recall/work curve a lie) while state-vs-oracle parity
+    stays green. Pins the gate's own trained state on the real table."""
+    from assemblagedb_spark.harness import load_table
+    from assemblagedb_spark.operators.vectors import kmeans_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    state = kmeans_train(emb, k=8, iters=2)
+    sizes = {
+        r["label"]: r["n_vecs"] for r in state.filter(F.col("pos") == 0).collect()
+    }
+    assert sum(sizes.values()) == n
+    assert len(sizes) >= 6, sizes
+    assert max(sizes.values()) <= 0.45 * n, sizes
