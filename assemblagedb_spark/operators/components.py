@@ -684,6 +684,7 @@ def k_core_delta(
     *,
     max_rounds: int = 100,
     assume_distinct: bool = False,
+    broadcast_max_dead: int = 2_000_000,
 ) -> DataFrame:
     """Frontier-delta formulation of :func:`k_core` (parity-tested
     equivalent): instead of re-scanning the full alive-restricted edge
@@ -705,7 +706,17 @@ def k_core_delta(
     set only), so each edge to a dead endpoint is decremented exactly
     once and the final degree equals the degree within the surviving
     core — identical output columns (node_id, degree).
-    """
+
+    ``broadcast_max_dead``: the convergence probe counts each round's
+    dead frontier exactly, so the frontier join broadcasts the dead
+    side only while ``n_dead <= broadcast_max_dead`` (~2M ids ≈ tens of
+    MB) and otherwise lets the planner shuffle — the same guarded
+    pattern as :func:`k_core`'s ``broadcast_max_alive``. Without the
+    hint the checkpointed edge blocks expose no partitioning, so the
+    round-0 frontier join (the one big frontier: every initially-
+    under-k node) re-shuffles the FULL edge relation; broadcasting the
+    frontier keeps every round's scan exchange-free (interleaved A/B at
+    sf0.1: ~8.6s → ~5.4s end to end, identical output)."""
     sym = _symmetrized(edges)
     if not assume_distinct:
         sym = sym.distinct()
@@ -726,13 +737,18 @@ def k_core_delta(
     )
     alive_deg = deg.filter(F.col("deg") >= k)
     converged = False
+    n_dead = dead.count()
     for _ in range(max_rounds):
-        if dead.isEmpty():
+        if n_dead == 0:
             converged = True
             break
-        # decrements: surviving neighbors of last round's deaths
+        # decrements: surviving neighbors of last round's deaths. The
+        # probe's exact count gates the broadcast (see docstring).
+        dead_v = dead.select(F.col("u").alias("v"))
+        if n_dead <= broadcast_max_dead:
+            dead_v = F.broadcast(dead_v)
         dec = (
-            e.join(dead.select(F.col("u").alias("v")), "v")
+            e.join(dead_v, "v")
             .groupBy("u")
             .agg(F.count(F.lit(1)).cast("long").alias("dec"))
         )
@@ -746,12 +762,13 @@ def k_core_delta(
             .localCheckpoint(eager=True)
         )
         # dead/alive stay lazy filters over the checkpointed blocks: the
-        # isEmpty probe and next round's frontier join each rescan the
+        # count probe and next round's frontier join each rescan the
         # in-memory degree table, which is cheaper than a third
         # materialization job per round
         dead = updated.filter(F.col("deg") < k).select("u")
         alive_deg = updated.filter(F.col("deg") >= k)
-    if not converged and not dead.isEmpty():
+        n_dead = dead.count()
+    if not converged and n_dead > 0:
         # a pending dead frontier means surviving degrees were never
         # decremented for those deaths — returning would be silently
         # wrong AND diverge from k_core; fail loudly (same contract)
