@@ -51,7 +51,12 @@ def label_propagation_components(
     und = fwd if directed else fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    und = und.distinct().persist()
+    # hash-partition on src before caching: the InMemoryRelation keeps
+    # its outputPartitioning, so every round's label join reuses the
+    # cached layout instead of re-shuffling |E| per round (same
+    # co-location move as pagerank_rounds; A/B-measured there)
+    parts = edges.sparkSession.sparkContext.defaultParallelism
+    und = und.distinct().repartition(parts, "src").persist()
     node_ids = und.select(F.col("src").alias("node_id"))
     if directed:
         # sink nodes appear only as dst — they still need label rows
