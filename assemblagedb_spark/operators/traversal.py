@@ -80,7 +80,16 @@ def descendants(
             out = out.unionByName(frontier.withColumn("depth", F.lit(depth)))
         return out
 
-    e = edges.select("parent_id", "child_id").persist()
+    e = edges.select("parent_id", "child_id")
+    if not broadcast_frontier:
+        # big-frontier regime: each level sort-merge-joins on parent_id,
+        # so co-partition the edge cache once — an InMemoryRelation keeps
+        # its outputPartitioning, leaving only the frontier side to
+        # shuffle per level (with a broadcast frontier the edge side is
+        # never shuffled, so the upfront exchange would be pure cost)
+        parts = edges.sparkSession.sparkContext.defaultParallelism
+        e = e.repartition(parts, "parent_id")
+    e = e.persist()
     visited = roots.select("node_id").distinct().withColumn("depth", F.lit(0))
     frontier = visited
     depth = 0
@@ -164,7 +173,7 @@ def ancestors(
         return out
 
     if assume_forest:
-        parent_of = edges.select("child_id", "parent_id").persist()
+        parent_of = edges.select("child_id", "parent_id")
     elif single_parent_only:
         # scalar aggregate instead of collect_set+explode: no array building
         # over the full edge relation, same (child, unique parent) rows
@@ -176,10 +185,17 @@ def ancestors(
             )
             .filter(F.col("np") == 1)
             .select("child_id", "parent_id")
-            .persist()
         )
     else:
-        parent_of = edges.select("child_id", "parent_id").distinct().persist()
+        parent_of = edges.select("child_id", "parent_id").distinct()
+    if not broadcast_frontier:
+        # big-frontier regime: every level joins parent_of on child_id
+        # (ProjectExec is alias-aware, so the current_id rename keeps the
+        # partitioning) — co-partition the cache once instead of
+        # re-shuffling it per level (see descendants)
+        parts = edges.sparkSession.sparkContext.defaultParallelism
+        parent_of = parent_of.repartition(parts, "child_id")
+    parent_of = parent_of.persist()
 
     frontier = starts.select(
         F.col("node_id").alias("start_id"),
@@ -282,7 +298,12 @@ def subtree_closure(
             frontier = nxt
         return out
 
-    e = edges.select("parent_id", "child_id", *(["idx"] if with_path else [])).persist()
+    e = edges.select("parent_id", "child_id", *(["idx"] if with_path else []))
+    if not broadcast_frontier:
+        # co-partition the per-level join key once (see descendants)
+        parts = edges.sparkSession.sparkContext.defaultParallelism
+        e = e.repartition(parts, "parent_id")
+    e = e.persist()
     frontier = roots.select(F.col("node_id").alias("root_id"), F.col("node_id"))
     if with_path:
         frontier = frontier.withColumn("path", F.lit(""))
