@@ -118,57 +118,102 @@ def kmeans_train(
     the SQL oracle's unrolled iteration chain.
 
     Scale shape: per round, ONE corpus scan computes assignments against
-    the broadcast k×dim centroid list (no shuffle of the corpus), and ONE
-    map-side-partial groupBy over (label, pos) rebuilds the ≤ k×dim-row
-    state — the same aggregate/broadcast cycle Spark ML's KMeans runs,
-    with integer sums so results are independent of partitioning. The
-    trained state feeds ``similarity.ivf_topk`` as its coarse quantizer.
+    the k×dim centroid list folded into the projection as literals (the
+    argmin is a per-row ``array_min(transform(...))`` over the candidate
+    structs — no crossJoin, no corpus-sized argmin groupBy, no
+    assignment⋈corpus re-join), and ONE map-side-partial groupBy over
+    (label, pos) rebuilds the ≤ k×dim-row state — so the only bytes that
+    ever shuffle per round are the aggregate partials, the same cycle
+    Spark ML's KMeans runs, with integer sums so results are independent
+    of partitioning. The per-round state collect is bounded (k×dim rows)
+    by construction; centroid components are exact integer floor
+    divisions (sum_q // n_vecs ≡ the SQL chain's floor(sum_q / n_vecs) —
+    |sum_q| stays far below 2^52, so the double division is exact). The
+    argmin tie-break is lexicographic (dist, label), identical to
+    ``centroid_assign``'s min-struct. The trained state feeds
+    ``similarity.ivf_topk`` as its coarse quantizer.
     """
     qvec = F.expr(
         f"transform({vec_col}, v -> CAST(floor(CAST(v AS DOUBLE) * {scale}) AS BIGINT))"
     )
-    quant = embeddings.select(
-        F.col(id_col).alias("vec_id"), qvec.alias("qvec")
-    ).persist()
+    quant = embeddings.select(F.col(id_col).alias("vec_id"), qvec.alias("qvec"))
+    # guarded repartition (the byte-small-file trap): Spark splits scans
+    # by bytes, so a small parquet parks the whole per-row distance fold
+    # in ONE task — and with the literal-folded argmin there is no
+    # downstream shuffle left to accidentally re-parallelize the rounds
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    if quant.rdd.getNumPartitions() < par // 2:
+        quant = quant.repartition(par, "vec_id")
+    quant = quant.persist()
 
-    # init: label j = j-th lowest id vector, state n_vecs=1. The k seed
-    # ids are enumerated DRIVER-side (a bounded k-row collect): a window
-    # would either be partition-less (single-partition WindowExec warning —
-    # Catalyst eliminates foldable partition keys) or need a dummy column;
-    # k rows on the driver is the cleaner exact plan.
-    seed_ids = [
-        r[0]
-        for r in quant.select("vec_id").orderBy("vec_id").limit(k).collect()
-    ]
-    id_type = quant.schema["vec_id"].dataType.simpleString()
-    seeds = quant.sparkSession.createDataFrame(
-        [(v, i) for i, v in enumerate(seed_ids)],
-        f"vec_id {id_type}, label long",
-    )
-    state = (
-        seeds.join(quant, "vec_id")
-        .select("label", F.posexplode("qvec").alias("pos", "sum_q"))
-        .withColumn("n_vecs", F.lit(1).cast("long"))
-        .withColumn("sum_q", F.col("sum_q").cast("long"))
-    )
+    # init: label j = j-th lowest id vector, n_vecs=1 — ONE bounded
+    # k-row TakeOrdered collect yields both the seed ids and their
+    # vectors (a window would either be partition-less or need a dummy
+    # column; k rows on the driver is the cleaner exact plan)
+    seed_rows = quant.orderBy("vec_id").limit(k).collect()
+    comps: dict[int, list[int]] = {
+        i: [int(v) for v in r["qvec"]] for i, r in enumerate(seed_rows)
+    }
 
-    for _ in range(iters):
-        assigned = centroid_assign(
-            quant.select("vec_id", F.col("qvec").alias(vec_col)), state,
-            vec_col=vec_col, id_col="vec_id", pre_quantized=True,
+    state = None
+    for it in range(iters):
+        # fold the current centroids into the scan as ONE parsed SQL
+        # literal (512 F.lit()/struct() Column calls cost ~1.5s of Py4J
+        # round-trips per round; one expr() string parses in ~ms). The
+        # per-row array_min over the candidate structs computes the
+        # identical lexicographic (dist, label) argmin as
+        # centroid_assign's min-struct — replacing its crossJoin + argmin
+        # groupBy + assignment⋈corpus re-join, so nothing corpus-sized
+        # ever shuffles
+        cands_sql = "array(" + ",".join(
+            f"named_struct('label', CAST({lab} AS BIGINT), 'cvec', "
+            "array(" + ",".join(f"{c}L" for c in comps[lab]) + "))"
+            for lab in sorted(comps)
+        ) + ")"
+        lab_expr = F.expr(
+            f"array_min(transform({cands_sql}, c -> named_struct("
+            "'dist', aggregate(zip_with(qvec, c.cvec, "
+            "(a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), "
+            "(acc, x) -> acc + x), "
+            "'label', c.label))).label"
         )
         state = (
-            assigned.join(quant, "vec_id")
-            .select("label", F.posexplode("qvec").alias("pos", "qv"))
+            quant.select(lab_expr.alias("label"),
+                         F.posexplode("qvec").alias("pos", "qv"))
             .groupBy("label", "pos")
             .agg(
                 F.sum("qv").cast("long").alias("sum_q"),
                 F.count(F.lit(1)).cast("long").alias("n_vecs"),
             )
         )
-        # tiny (≤ k×dim rows): pin it so the next round's broadcast plan
-        # doesn't recompute the whole lineage
+        # tiny (≤ k×dim rows): pin it so the next round's collect (or the
+        # caller's first action) doesn't recompute the whole lineage
         state = state.localCheckpoint(eager=True)
+        if it + 1 == iters:
+            break  # the last state is the result; no further centroids
+        # next round's centroids: exact integer floor division (≡ the SQL
+        # chain's floor(sum_q / n_vecs); |sum_q| << 2^52 so the double
+        # division is exact). Clusters that lost all members simply have
+        # no rows — they drop out of the candidate list, as before.
+        nxt: dict[int, dict[int, int]] = {}
+        for r in state.collect():
+            nxt.setdefault(int(r["label"]), {})[int(r["pos"])] = (
+                int(r["sum_q"]) // int(r["n_vecs"])
+            )
+        comps = {
+            lab: [by_pos[p] for p in sorted(by_pos)]
+            for lab, by_pos in nxt.items()
+        }
+    if state is None:
+        # iters=0: the init state itself, as the same bounded relation
+        state = quant.sparkSession.createDataFrame(
+            [
+                (lab, pos, cv, 1)
+                for lab in sorted(comps)
+                for pos, cv in enumerate(comps[lab])
+            ],
+            "label long, pos long, sum_q long, n_vecs long",
+        )
     # the final state is checkpointed — the quantized corpus cache is no
     # longer reachable from the result, so release it
     quant.unpersist()
