@@ -5456,6 +5456,53 @@ def q_streaming_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_streaming_rollup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming continuous-aggregate maintenance, gate-checked:
+    the events table arrives as THREE parquet files consumed one
+    micro-batch each (maxFilesPerTrigger=1, availableNow); each batch
+    folds only its own rows' finest-level partial into the RollupStore
+    (streaming/rollup.py foreachBatch merge — O(batch + state) per batch,
+    raw history never rescanned) and the cascade derived AFTER the last
+    batch must equal the direct batch computation over all rows — the
+    oracle is the same every-level-from-raw SQL as
+    `events_rollup_cascade`. Additive (n, sum) merge states compose
+    exactly, so state after N batches ≡ one shot; that composability is
+    what this gate pins (the TimescaleDB continuous-aggregate refresh
+    loop as a Structured Streaming sink)."""
+    import shutil
+    import tempfile
+
+    from assemblagedb_spark.streaming.rollup import RollupStore, rollup_sink
+
+    ev = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="rollup_ingest_gate_")
+    src, ckpt = f"{root}/src", f"{root}/ckpt"
+    try:
+        # three source files -> three micro-batches (ts arrives as the
+        # already-decoded epoch-ns BIGINT, so the reread needs no
+        # nanosAsLong handling)
+        ev.withColumn("__b", F.pmod(F.col("event_id"), F.lit(3))) \
+            .repartition(3, "__b").drop("__b") \
+            .write.mode("overwrite").parquet(src)
+        store = RollupStore(spark, bucket_ns=_CASCADE_LEVELS)
+        stream = spark.readStream.schema(ev.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                rollup_sink(store, F.round(F.col("value") * 100).cast("long"))
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # the store state is localCheckpoint-pinned; pin the derived
+        # cascade too so the tmp dir can be removed before the collect
+        return store.levels().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average of the metric per event_type (the hypertable
     ``time_weight`` aggregate): each sample holds its value until the next
@@ -5715,6 +5762,7 @@ SPARK_QUERIES = {
     "ann_ivfpq": q_ann_ivfpq,
     "ann_ivfpq_codes": q_ann_ivfpq_codes,
     "streaming_ivfpq_ingest": q_streaming_ivfpq_ingest,
+    "streaming_rollup_ingest": q_streaming_rollup_ingest,
 }
 
 ORACLES = {
@@ -5854,6 +5902,7 @@ ORACLES = {
     "ann_ivfpq": _o_ann_ivfpq(),
     "ann_ivfpq_codes": _o_ivfpq_codes(),
     "streaming_ivfpq_ingest": _o_ivfpq_codes(),
+    "streaming_rollup_ingest": _o_rollup_cascade(),
 }
 
 

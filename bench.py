@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "ann_ivfpq_codes",
     "ann_ivfpq",
     "streaming_ivfpq_ingest",
+    "streaming_rollup_ingest",
 ]
 
 

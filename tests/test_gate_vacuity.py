@@ -98,6 +98,19 @@ def test_streaming_ingest_gate_equals_batch_build(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_streaming_rollup_gate_equals_batch_cascade(spark, sf_dir):
+    # rollup state after the gate's 3 micro-batches == the one-shot batch
+    # cascade over all rows (additive merge-state composability — the
+    # property the gate exists to pin), with real multi-level content
+    got = sorted(map(tuple, h.SPARK_QUERIES["streaming_rollup_ingest"](
+        spark, sf_dir).collect()))
+    want = sorted(map(tuple, h.SPARK_QUERIES["events_rollup_cascade"](
+        spark, sf_dir).collect()))
+    assert got == want and len(got) > 0
+    levels = {r[0] for r in got}
+    assert levels == {name for name, _ in h._CASCADE_LEVELS}
+
+
 def test_simhash_candidate_stage_not_vacuous(spark, sf_dir):
     # the hamming<=4 OUTPUT is structurally tiny (6 rows — pigeonhole-exact
     # near-identical fingerprints), so pin the CANDIDATE stage instead:
