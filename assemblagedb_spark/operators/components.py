@@ -31,6 +31,7 @@ def label_propagation_components(
     directed: bool = False,
     max_rounds: int = 200,
     probe_from: int = 2,
+    copartition: bool = True,
 ) -> DataFrame:
     """(node_id, component) labels from synchronous min-label propagation.
 
@@ -51,12 +52,19 @@ def label_propagation_components(
     und = fwd if directed else fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    # hash-partition on src before caching: the InMemoryRelation keeps
-    # its outputPartitioning, so every round's label join reuses the
-    # cached layout instead of re-shuffling |E| per round (same
-    # co-location move as pagerank_rounds; A/B-measured there)
-    parts = edges.sparkSession.sparkContext.defaultParallelism
-    und = und.distinct().repartition(parts, "src").persist()
+    # ``copartition``: hash-partition on src before caching — the
+    # InMemoryRelation keeps its outputPartitioning, so every round's
+    # label join reuses the cached layout instead of re-shuffling |E|
+    # per round (same co-location move as pagerank_rounds; A/B-measured
+    # there). Callers feeding a provably-tiny relation (the union-find
+    # contraction finisher) pass False: a 32-way exchange + 32 tasks per
+    # round on a few hundred contracted edges is pure overhead
+    # (interleaved A/B on dedup_clusters: ~0.3s slower with it).
+    und = und.distinct()
+    if copartition:
+        parts = edges.sparkSession.sparkContext.defaultParallelism
+        und = und.repartition(parts, "src")
+    und = und.persist()
     node_ids = und.select(F.col("src").alias("node_id"))
     if directed:
         # sink nodes appear only as dst — they still need label rows
@@ -438,6 +446,7 @@ def contracted_components(
         rounds=None,
         max_rounds=max_rounds,
         probe_from=0,
+        copartition=False,  # contracted relation is tiny by construction
     )
 
 

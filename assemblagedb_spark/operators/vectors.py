@@ -110,7 +110,7 @@ def kmeans_train(
 ) -> DataFrame:
     """Distributed Lloyd's k-means on the quantized integer grid:
     deterministic init (the ``k`` lowest-id vectors), then ``iters`` rounds
-    of broadcast-assign → merge-state recompute.
+    of literal-folded assign → merge-state recompute.
 
     Returns the final centroid MERGE STATE (label, pos, sum_q, n_vecs) —
     the exact, engine-replayable form (float centroid = sum_q/(scale*n)).

@@ -37,7 +37,7 @@ PICKS = [
     ("sketch_countmin", "one string fold per token (single Project), d cells exploded inline, one partial-agg shuffle"),
     ("embedding_centroids", "posexplode + ONE hash aggregate with map-side partials; output bounded by labels x dim"),
     ("bloom_semijoin", "bit-set folded to one row and BroadcastExchange'd; orders scan filters per-row before the exact semi-join"),
-    ("kmeans_train", "per-round BroadcastNestedLoop against the k x dim centroid state; corpus scanned, never shuffled"),
+    ("kmeans_train", "per-round centroids literal-folded into one corpus scan (no join operator at all); only the k x dim aggregate partials shuffle"),
     ("layout_zorder", "pure projection: Morton key computed in WholeStageCodegen, no exchange"),
     ("ann_ivf_trained", "trained k x dim quantizer broadcast into the probe kernels; corpus scanned, never shuffled"),
     ("text_outliers", "exact quartiles off the two-phase rank; fence filter is a pure scan with literal bounds"),
