@@ -5503,6 +5503,47 @@ def q_streaming_rollup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_streaming_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming HLL maintenance, gate-checked: the events
+    table consumed as THREE micro-batches; each batch computes ITS OWN
+    rows' registers (one tiny partial aggregate) and the SketchStore
+    MAX-merges them (streaming/sketches.py foreachBatch) — registers are
+    replay-safe MAX-mergeable integer state, so the store after N batches
+    must equal the one-shot batch sketch bit for bit. The oracle is the
+    same register SQL as `distinct_hll`; what this gate pins is the
+    mergeability contract the 100 TB rollup story rests on."""
+    import shutil
+    import tempfile
+
+    from assemblagedb_spark.streaming.sketches import SketchStore, hll_sink
+
+    ev = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="hll_ingest_gate_")
+    src, ckpt = f"{root}/src", f"{root}/ckpt"
+    try:
+        ev.withColumn("__b", F.pmod(F.col("event_id"), F.lit(3))) \
+            .repartition(3, "__b").drop("__b") \
+            .write.mode("overwrite").parquet(src)
+        store = SketchStore(spark)
+        stream = spark.readStream.schema(ev.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                hll_sink(store, "user_id", ["event_type"], m=_HLL_M)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return store.hll().select(
+            "event_type", F.col("bucket").cast("long").alias("bucket"),
+            "register",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average of the metric per event_type (the hypertable
     ``time_weight`` aggregate): each sample holds its value until the next
@@ -5763,6 +5804,7 @@ SPARK_QUERIES = {
     "ann_ivfpq_codes": q_ann_ivfpq_codes,
     "streaming_ivfpq_ingest": q_streaming_ivfpq_ingest,
     "streaming_rollup_ingest": q_streaming_rollup_ingest,
+    "streaming_hll_ingest": q_streaming_hll_ingest,
 }
 
 ORACLES = {
@@ -5903,6 +5945,7 @@ ORACLES = {
     "ann_ivfpq_codes": _o_ivfpq_codes(),
     "streaming_ivfpq_ingest": _o_ivfpq_codes(),
     "streaming_rollup_ingest": _o_rollup_cascade(),
+    "streaming_hll_ingest": O_DISTINCT_HLL,
 }
 
 

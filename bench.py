@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "ann_ivfpq",
     "streaming_ivfpq_ingest",
     "streaming_rollup_ingest",
+    "streaming_hll_ingest",
 ]
 
 

@@ -111,6 +111,17 @@ def test_streaming_rollup_gate_equals_batch_cascade(spark, sf_dir):
     assert levels == {name for name, _ in h._CASCADE_LEVELS}
 
 
+def test_streaming_hll_gate_equals_batch_sketch(spark, sf_dir):
+    # MAX-merged registers after the gate's 3 micro-batches == the
+    # one-shot batch sketch, bit for bit (replay-safe mergeability — the
+    # property the gate exists to pin)
+    got = sorted(map(tuple, h.SPARK_QUERIES["streaming_hll_ingest"](
+        spark, sf_dir).collect()))
+    want = sorted(map(tuple, h.SPARK_QUERIES["distinct_hll"](
+        spark, sf_dir).collect()))
+    assert got == want and len(got) > 0
+
+
 def test_simhash_candidate_stage_not_vacuous(spark, sf_dir):
     # the hamming<=4 OUTPUT is structurally tiny (6 rows — pigeonhole-exact
     # near-identical fingerprints), so pin the CANDIDATE stage instead:
