@@ -5544,6 +5544,68 @@ def q_streaming_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_streaming_sessions_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization, gate-checked: events arrive in
+    THREE time-ordered micro-batches (ts-range terciles, one file per
+    trigger — FileStreamSource drains pending files oldest-first, so the
+    per-user event order the state function requires across batches is
+    the write order); ``sessionize_stream`` (applyInPandasWithState, O(1)
+    state per key) emits every session CLOSED by a later event. A user's
+    final session is never closed — no later event arrives — so the
+    exact oracle is the batch `events_sessions` SQL minus each user's
+    last session. This pins the cross-batch state carry (open sessions
+    surviving the micro-batch boundary) against a fully SQL-expressible
+    answer."""
+    import shutil
+    import tempfile
+
+    from assemblagedb_spark.streaming.sessions import sessionize_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    c1, c2 = lo + (hi - lo) // 3, lo + 2 * ((hi - lo) // 3)
+    root = tempfile.mkdtemp(prefix="sessions_ingest_gate_")
+    src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
+    try:
+        # sequential single-file writes -> strictly increasing mod times
+        # -> deterministic drain order (time-ordered per user)
+        for cond in (
+            F.col("ts") <= c1,
+            (F.col("ts") > c1) & (F.col("ts") <= c2),
+            F.col("ts") > c2,
+        ):
+            ev.filter(cond).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(ev.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        q = (
+            sessionize_stream(stream, gap=_SESSION_GAP_NS)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(sink).select(
+            "user_id", "session_idx", "n_events",
+            F.expr("start_ts div 1000").alias("start_ts"),
+            F.expr("end_ts div 1000").alias("end_ts"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _o_streaming_sessions() -> str:
+    return f"""
+WITH closed_base AS ({O_EVENTS_SESSIONS})
+SELECT * FROM closed_base
+QUALIFY session_idx < MAX(session_idx) OVER (PARTITION BY user_id)
+"""
+
+
 def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average of the metric per event_type (the hypertable
     ``time_weight`` aggregate): each sample holds its value until the next
@@ -5805,6 +5867,7 @@ SPARK_QUERIES = {
     "streaming_ivfpq_ingest": q_streaming_ivfpq_ingest,
     "streaming_rollup_ingest": q_streaming_rollup_ingest,
     "streaming_hll_ingest": q_streaming_hll_ingest,
+    "streaming_sessions_ingest": q_streaming_sessions_ingest,
 }
 
 ORACLES = {
@@ -5946,6 +6009,7 @@ ORACLES = {
     "streaming_ivfpq_ingest": _o_ivfpq_codes(),
     "streaming_rollup_ingest": _o_rollup_cascade(),
     "streaming_hll_ingest": O_DISTINCT_HLL,
+    "streaming_sessions_ingest": _o_streaming_sessions(),
 }
 
 

@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "streaming_ivfpq_ingest",
     "streaming_rollup_ingest",
     "streaming_hll_ingest",
+    "streaming_sessions_ingest",
 ]
 
 

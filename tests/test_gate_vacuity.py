@@ -122,6 +122,26 @@ def test_streaming_hll_gate_equals_batch_sketch(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_streaming_sessions_gate_equals_batch_minus_open(spark, sf_dir):
+    # closed sessions after three time-ordered micro-batches == the batch
+    # sessionization minus each user's final (never-closed) session —
+    # pins cross-batch state carry, and non-vacuously: sessions CLOSED
+    # across a micro-batch boundary must exist
+    got = sorted(map(tuple, h.SPARK_QUERIES["streaming_sessions_ingest"](
+        spark, sf_dir).collect()))
+    batch = h.SPARK_QUERIES["events_sessions"](spark, sf_dir).collect()
+    last = {}
+    for r in batch:
+        last[r["user_id"]] = max(last.get(r["user_id"], 0), r["session_idx"])
+    want = sorted(
+        tuple(r) for r in batch if r["session_idx"] < last[r["user_id"]]
+    )
+    assert got == want and len(got) > 0
+    # streaming must have emitted strictly fewer rows than batch (the
+    # open-session trim is real)
+    assert len(got) < len(batch)
+
+
 def test_simhash_candidate_stage_not_vacuous(spark, sf_dir):
     # the hamming<=4 OUTPUT is structurally tiny (6 rows — pigeonhole-exact
     # near-identical fingerprints), so pin the CANDIDATE stage instead:
