@@ -5411,6 +5411,41 @@ def q_ann_ivfpq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cell_codes.select("vec_id", "subspace", "code", "cell")
 
 
+def _stream_shuffle_scope(spark: SparkSession, n_rows: int):
+    """Size ``spark.sql.shuffle.partitions`` — and with it the streaming
+    state-store instance count and per-micro-batch task count — to the
+    actual ingest volume for the duration of a gate's streaming run.
+
+    The streaming gates feed three tiny micro-batches; at the session
+    default (32 here, 200 in a vanilla driver session) every trigger
+    schedules a full width of state/shuffle tasks plus one checkpoint
+    delta file PER STATE PARTITION per batch, and that fixed machinery —
+    not data — dominates the gate's wall time. Guarded like the
+    repartition helpers: computed from the row count (1 partition per
+    ~100k rows, floor 4), NEVER raised above the session setting, and
+    always restored — so a genuinely large stream keeps full
+    parallelism and the driver's vanilla-session grade takes the same
+    bounded state layout. Partition-count invariance of every gate's
+    VALUES is separately pinned by the ``--parts=N`` oracle sweep."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def scope():
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key)
+        fit = max(4, min(int(prev), n_rows // 100_000 + 1))
+        if fit >= int(prev):
+            yield
+            return
+        spark.conf.set(key, str(fit))
+        try:
+            yield
+        finally:
+            spark.conf.set(key, prev)
+
+    return scope()
+
+
 def q_streaming_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming IVFPQ ingest, gate-checked: the embeddings
     table arrives as THREE parquet files consumed one micro-batch each
@@ -5437,16 +5472,17 @@ def q_streaming_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite").parquet(src)
         stream = spark.readStream.schema(emb.schema) \
             .option("maxFilesPerTrigger", 1).parquet(src)
-        q = (
-            ivfpq_ingest(stream, rbook, state, m=_RPQ_M, sub_dim=_RPQ_SUBDIM)
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        with _stream_shuffle_scope(spark, emb.count()):
+            q = (
+                ivfpq_ingest(stream, rbook, state, m=_RPQ_M, sub_dim=_RPQ_SUBDIM)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
         # pin the result in memory so the tmp dir can be removed before
         # the caller collects
         return spark.read.parquet(sink).select(
@@ -5487,15 +5523,16 @@ def q_streaming_rollup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         store = RollupStore(spark, bucket_ns=_CASCADE_LEVELS)
         stream = spark.readStream.schema(ev.schema) \
             .option("maxFilesPerTrigger", 1).parquet(src)
-        q = (
-            stream.writeStream.foreachBatch(
-                rollup_sink(store, F.round(F.col("value") * 100).cast("long"))
+        with _stream_shuffle_scope(spark, ev.count()):
+            q = (
+                stream.writeStream.foreachBatch(
+                    rollup_sink(store, F.round(F.col("value") * 100).cast("long"))
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
             )
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+            q.awaitTermination(300)
         # the store state is localCheckpoint-pinned; pin the derived
         # cascade too so the tmp dir can be removed before the collect
         return store.levels().localCheckpoint(eager=True)
@@ -5527,15 +5564,16 @@ def q_streaming_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         store = SketchStore(spark)
         stream = spark.readStream.schema(ev.schema) \
             .option("maxFilesPerTrigger", 1).parquet(src)
-        q = (
-            stream.writeStream.foreachBatch(
-                hll_sink(store, "user_id", ["event_type"], m=_HLL_M)
+        with _stream_shuffle_scope(spark, ev.count()):
+            q = (
+                stream.writeStream.foreachBatch(
+                    hll_sink(store, "user_id", ["event_type"], m=_HLL_M)
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
             )
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+            q.awaitTermination(300)
         return store.hll().select(
             "event_type", F.col("bucket").cast("long").alias("bucket"),
             "register",
@@ -5564,7 +5602,7 @@ def q_streaming_sessions_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts"
     )
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    lo, hi, n_rows = ev.agg(F.min("ts"), F.max("ts"), F.count("*")).collect()[0]
     c1, c2 = lo + (hi - lo) // 3, lo + 2 * ((hi - lo) // 3)
     root = tempfile.mkdtemp(prefix="sessions_ingest_gate_")
     src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
@@ -5579,16 +5617,17 @@ def q_streaming_sessions_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev.filter(cond).coalesce(1).write.mode("append").parquet(src)
         stream = spark.readStream.schema(ev.schema) \
             .option("maxFilesPerTrigger", 1).parquet(src)
-        q = (
-            sessionize_stream(stream, gap=_SESSION_GAP_NS)
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        with _stream_shuffle_scope(spark, n_rows):
+            q = (
+                sessionize_stream(stream, gap=_SESSION_GAP_NS)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
         return spark.read.parquet(sink).select(
             "user_id", "session_idx", "n_events",
             F.expr("start_ts div 1000").alias("start_ts"),
