@@ -5277,14 +5277,17 @@ def _rpq_chain_ctes(include_query: bool = True) -> tuple[list, int]:
     return ctes, iters
 
 
-def _o_ann_ivfpq() -> str:
+def _o_ann_ivfpq(limit: int = _PQ_TOPK) -> str:
     """Coarse-cell chain (the ann_ivf_trained oracle's cvec2→cand2 block)
     composed with the RESIDUAL PQ Lloyd chains: residuals are the km
     chain's quantized vectors minus their assigned cell's integer
     centroid; the query side residualizes against each PROBED cell. A
     neighbor's ADC distance is the sum over subspaces of the query's
     per-cell distance to the neighbor's assigned residual centroid,
-    summed only over candidate pairs sharing a probed cell."""
+    summed only over candidate pairs sharing a probed cell. ``limit``
+    sizes the emitted per-query ADC ranking — ``_PQ_TOPK`` for the
+    serving gate itself, ``_IVFPQ_RERANK_R`` when the rerank oracle
+    reuses this text as its shortlist CTE."""
     km = _o_kmeans(k=_IVT_K, iters=2)
     km_ctes = km[len("WITH "):km.rindex("\nSELECT")]
     rpq_ctes, iters = _rpq_chain_ctes()
@@ -5345,7 +5348,7 @@ SELECT query_id, neighbor_id, adc_dist, rank FROM (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY adc_dist, neighbor_id) AS rank
   FROM adc)
-WHERE rank <= {_PQ_TOPK}"""
+WHERE rank <= {limit}"""
 
 
 def _o_ivfpq_build_prefix() -> str:
@@ -5409,6 +5412,71 @@ def q_ann_ivfpq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse assignment."""
     _, cell_codes, _ = _ivfpq_index(spark, sf_dir)
     return cell_codes.select("vec_id", "subspace", "code", "cell")
+
+
+# Shortlist depth for the refined IVFADC leg: R = 5×k. Measured on the
+# recall grid (tools/recall_report.py): the nprobe=2 candidate ceiling is
+# what bounds ANY rerank depth, and R=50 already closes ADC's metric loss
+# against it (recall@10 0.46 → ≈ceiling at sf0.01) for 50 exact cosines
+# per query — ~1% of a brute-force scan at sf0.01 and vanishing at scale.
+_IVFPQ_RERANK_R = 50
+
+
+def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC + exact rerank — the two-tier serving plan (FAISS
+    ``IndexRefineFlat`` over ``IVFPQ``; Jégou et al. TPAMI'11 §V.C):
+    the residual-encoded ADC stage ranks each query's probed inverted
+    lists and keeps an R=50 shortlist; the refine stage fetches ONLY
+    those R raw vectors per query via broadcast hash joins and re-ranks
+    by true cosine, top-10. Compressed codes bound the candidate volume
+    (never the corpus), the exact pass restores metric fidelity — ADC
+    quantization loss no longer costs recall, only the coarse-cell
+    candidate ceiling does (RECALL.md holds the measured gap). The
+    oracle replays the full ADC chain as its shortlist CTE and the
+    same sequential-fold cosine on top."""
+    from assemblagedb_spark.operators.pq import (
+        ivfpq_adc_topk_residual,
+        query_residuals,
+    )
+    from assemblagedb_spark.operators.similarity import (
+        exact_rerank_topk,
+        ivf_probes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rbook, cell_codes, coarse = _ivfpq_index(spark, sf_dir)
+    state = _trained_kmeans(spark, sf_dir, _IVT_K, 2)
+    queries = emb.filter(F.col("vec_id") % _PQ_QUERY_MOD == 0)
+    probes = ivf_probes(queries, nprobe=_IVT_PROBE, centroids=state)
+    qres = query_residuals(queries, probes, coarse)
+    shortlist = ivfpq_adc_topk_residual(
+        cell_codes, rbook, qres,
+        k=_IVFPQ_RERANK_R, m=_RPQ_M, sub_dim=_RPQ_SUBDIM,
+    )
+    return exact_rerank_topk(shortlist, emb, k=_PQ_TOPK)
+
+
+def _o_ann_ivfpq_rerank() -> str:
+    """The full IVFADC oracle chain emits the R-deep ADC shortlist as a
+    CTE; the refine tail joins both raw vectors back and re-ranks by
+    the identical sequential-fold cosine the exact baseline uses."""
+    return f"""
+WITH shortlist AS MATERIALIZED ({_o_ann_ivfpq(_IVFPQ_RERANK_R)}
+),
+refined AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_dot_product(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(n.embedding::DOUBLE[], n.embedding::DOUBLE[]))) AS cos
+  FROM shortlist s
+  JOIN embeddings q ON q.vec_id = s.query_id
+  JOIN embeddings n ON n.vec_id = s.neighbor_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM refined)
+WHERE rank <= {_PQ_TOPK}"""
 
 
 def _stream_shuffle_scope(spark: SparkSession, n_rows: int):
@@ -5907,6 +5975,7 @@ SPARK_QUERIES = {
     "streaming_rollup_ingest": q_streaming_rollup_ingest,
     "streaming_hll_ingest": q_streaming_hll_ingest,
     "streaming_sessions_ingest": q_streaming_sessions_ingest,
+    "ann_ivfpq_rerank": q_ann_ivfpq_rerank,
 }
 
 ORACLES = {
@@ -6049,6 +6118,7 @@ ORACLES = {
     "streaming_rollup_ingest": _o_rollup_cascade(),
     "streaming_hll_ingest": O_DISTINCT_HLL,
     "streaming_sessions_ingest": _o_streaming_sessions(),
+    "ann_ivfpq_rerank": _o_ann_ivfpq_rerank(),
 }
 
 

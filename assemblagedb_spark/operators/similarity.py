@@ -165,6 +165,52 @@ def cosine_topk_arrow(
     )
 
 
+def exact_rerank_topk(
+    shortlist: DataFrame,
+    vectors: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine refinement of an approximate shortlist — the FAISS
+    ``IndexRefineFlat`` step layered over any ANN leg (Jégou et al.
+    TPAMI'11 §V.C evaluate the same re-rank over IVFADC shortlists):
+    fetch the raw vectors for each (query_id, neighbor_id) candidate,
+    score with true cosine, keep the top ``k`` per query.
+
+    Scale shape: the shortlist is |Q| × R rows of ids — broadcast-sized
+    by construction — so BOTH raw-vector fetches are broadcast hash
+    joins against the (huge) vector table: the corpus is scanned, never
+    shuffled, and the rank window sees only |Q| × R scored rows. At
+    100 TB this is the standard two-tier serving plan: compressed codes
+    bound the candidate set, a bounded exact pass restores metric
+    fidelity (recall approaches the candidate ceiling as R grows —
+    measured in RECALL.md).
+
+    Cosine is the same sequential double fold as :func:`cosine_topk`,
+    so the DuckDB oracle replays it bit-for-bit; ties break by
+    ascending neighbor id.
+    """
+    pairs = shortlist.select("query_id", "neighbor_id")
+    nb = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec_b")
+    )
+    fetched = F.broadcast(pairs).join(nb, "neighbor_id")
+    qv = vectors.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("vec_a")
+    )
+    scored = with_cosine(qv.join(F.broadcast(fetched), "query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def _cosine_pair_udf():
     """Arrow-batched exact cosine over two ARRAY<FLOAT> columns.
 

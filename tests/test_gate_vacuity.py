@@ -88,6 +88,33 @@ def test_ivfpq_codes_gate_covers_corpus_with_live_codebooks(spark, sf_dir):
     assert codes.select("cell").distinct().count() >= 2
 
 
+def test_ivfpq_rerank_gate_refines_not_copies(spark, sf_dir):
+    # the refined leg must (a) return full top-10 lists, (b) genuinely
+    # REFINE — if its lists equal the pure-ADC lists the exact pass is
+    # dead code and the gate is ann_ivfpq in disguise — and (c) never
+    # lose recall vs pure ADC (its shortlist is a superset of the ADC
+    # top-10 rescored with the true metric, so equality is the floor)
+    def by_q(name):
+        out: dict = {}
+        for r in h.SPARK_QUERIES[name](spark, sf_dir).collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    refined, adc, exact = (
+        by_q("ann_ivfpq_rerank"), by_q("ann_ivfpq"), by_q("ann_topk")
+    )
+    assert set(refined) == set(adc) and len(refined) >= 10
+    assert all(len(v) == 10 for v in refined.values())
+    assert refined != adc  # at least one query's list actually changed
+
+    def recall(got):
+        return sum(
+            len(got.get(q, set()) & e) / len(e) for q, e in exact.items()
+        ) / len(exact)
+
+    assert recall(refined) >= recall(adc)
+
+
 def test_streaming_ingest_gate_equals_batch_build(spark, sf_dir):
     # state after the gate's 3 micro-batches == the direct batch build
     # (the stateless-projection property the gate exists to pin)

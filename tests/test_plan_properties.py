@@ -217,6 +217,16 @@ def test_ivfpq_serving_broadcasts_probes_and_dtable(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_ivfpq_rerank_fetches_vectors_by_broadcast(spark, sf_dir):
+    # the refine tier layers TWO more broadcast hash joins (shortlist →
+    # neighbor vectors, fetched pairs → query vectors) on the IVFADC
+    # plan: the raw-vector table is scanned, never shuffled, and no
+    # cartesian product appears anywhere in the two-tier plan
+    plan = formatted_plan(h.q_ann_ivfpq_rerank(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
 def test_split_assign_is_pure_projection(spark, sf_dir):
     # a per-row hash gate must not shuffle anything
     assert count_exchanges(h.q_split_assign(spark, sf_dir)) == 0
