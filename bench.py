@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     # + gate-checked streaming ingest
     "ann_ivfpq_codes",
     "ann_ivfpq",
+    "ann_ivfpq_rerank",  # two-tier refine serves warm off the same index
     "streaming_ivfpq_ingest",
     "streaming_rollup_ingest",
     "streaming_hll_ingest",
