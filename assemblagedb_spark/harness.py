@@ -1572,20 +1572,57 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def _ansi_grouping_agg(ev: DataFrame, *, cube: bool) -> DataFrame:
+    """Day × event_type grouping-sets aggregate with ANSI empty-input
+    semantics in ONE Expand pass.
+
+    Spark's native rollup()/cube() over an EMPTY relation emit zero
+    rows, but ANSI (and DuckDB/PostgreSQL) treat the () grouping set as
+    a global aggregate — one n=0 row (degenerate-input sweep finding,
+    round 5). Rather than a second scan or a cells cascade (both
+    measured 2-4x slower than Expand at sf0.1), union ONE all-NULL
+    sentinel row into the input: ``count(__real)`` and ``sum(__cents)``
+    skip its NULLs in every grouping set, so it contributes 0 everywhere
+    it lands, and the post-filter ``n > 0 OR gid = <global>`` drops the
+    sentinel-only subtotal rows (a genuine group always has n >= 1)
+    while keeping the grand-total row the sentinel guarantees exists.
+    NULL-group rows in real data stay correct: the sentinel merely adds
+    zero to their aggregates."""
+    base = ev.select(
+        F.expr("ts div 86400000000000").alias("day_bucket"),
+        "event_type",
+        F.lit(1).alias("__real"),
+        F.round(F.col("value") * 100).cast("long").alias("__cents"),
+    )
+    sentinel = ev.sparkSession.range(1).select(
+        F.lit(None).cast("long").alias("day_bucket"),
+        F.lit(None).cast(ev.schema["event_type"].dataType).alias("event_type"),
+        F.lit(None).cast("int").alias("__real"),
+        F.lit(None).cast("long").alias("__cents"),
+    )
+    g = base.unionByName(sentinel)
+    grouped = (
+        g.cube("day_bucket", "event_type")
+        if cube
+        else g.rollup("day_bucket", "event_type")
+    )
+    out = grouped.agg(
+        F.count("__real").cast("long").alias("n"),
+        F.sum("__cents").alias("sum_value_cents"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+    return out.filter((F.col("n") > 0) | (F.col("gid") == 3))
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Day × event_type ROLLUP over the events stream: per-cell, per-day and
-    grand-total aggregates in one pass (grouping-sets coverage beyond the
-    reference's flat aggregates; one shuffle, partials expanded map-side).
-    grouping_id disambiguates subtotal rows from genuine NULL groups."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.withColumn("day_bucket", F.expr("ts div 86400000000000"))
-        .rollup("day_bucket", "event_type")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
-            F.grouping_id().cast("long").alias("gid"),
-        )
+    """Day × event_type ROLLUP over the events stream: per-cell, per-day
+    and grand-total aggregates in one pass (grouping-sets coverage beyond
+    the reference's flat aggregates; one shuffle, partials expanded
+    map-side). grouping_id disambiguates subtotal rows from genuine NULL
+    groups; the sentinel trick (`_ansi_grouping_agg`) keeps the ANSI
+    grand-total row on empty input. gid: cell=0, per-day=1, total=3."""
+    return _ansi_grouping_agg(
+        load_table(spark, sf_dir, "events"), cube=False
     )
 
 
@@ -1601,16 +1638,11 @@ FROM events GROUP BY ROLLUP (1, 2)
 def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day × event_type CUBE: all four grouping sets (cell, per-day,
     per-type, grand total) in one pass — the full grouping-sets surface
-    next to the rollup gate. Same single-shuffle expanded-partials plan."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.withColumn("day_bucket", F.expr("ts div 86400000000000"))
-        .cube("day_bucket", "event_type")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
-            F.grouping_id().cast("long").alias("gid"),
-        )
+    next to the rollup gate, same single-shuffle expanded-partials plan
+    and the same ANSI empty-input grand-total behavior
+    (`_ansi_grouping_agg`). gid: cell=0, per-day=1, per-type=2, total=3."""
+    return _ansi_grouping_agg(
+        load_table(spark, sf_dir, "events"), cube=True
     )
 
 
@@ -2767,8 +2799,11 @@ def q_graph_cyclic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_GRAPH_CYCLIC = """
-SELECT 'S' || s.s_suppkey AS root_id, (n.n_regionkey < 3) AS is_cyclic
-FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+SELECT 'S' || s.s_suppkey AS root_id,
+       EXISTS(SELECT 1 FROM nation n
+              WHERE n.n_nationkey = s.s_nationkey
+                AND n.n_regionkey < 3) AS is_cyclic
+FROM supplier s
 WHERE s.s_suppkey % 20 = 0
 """
 
@@ -5671,6 +5706,15 @@ def q_streaming_sessions_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts"
     )
     lo, hi, n_rows = ev.agg(F.min("ts"), F.max("ts"), F.count("*")).collect()[0]
+    if n_rows == 0:
+        # no events -> no sessions (and no ts range to tercile); the
+        # oracle's QUALIFY over an empty base is empty too
+        uid_t = ev.schema["user_id"].dataType.simpleString()
+        return spark.createDataFrame(
+            [],
+            f"user_id {uid_t}, session_idx long, n_events long, "
+            "start_ts long, end_ts long",
+        )
     c1, c2 = lo + (hi - lo) // 3, lo + 2 * ((hi - lo) // 3)
     root = tempfile.mkdtemp(prefix="sessions_ingest_gate_")
     src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"

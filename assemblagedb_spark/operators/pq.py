@@ -448,6 +448,17 @@ def pq_encode_arrow(
     import pandas as pd
 
     cb = _codebook_literal(codebook)
+    if not cb:
+        # a NEVER-trained codebook (empty corpus) encodes nothing — the
+        # aggregate path's broadcast join against zero codebook rows
+        # yields the same empty relation
+        id_type = embeddings.schema[id_col].dataType.simpleString()
+        carry_schema = "".join(
+            f", {c} {dict(embeddings.dtypes)[c]}" for c in carry_cols
+        )
+        return embeddings.sparkSession.createDataFrame(
+            [], f"vec_id {id_type}, subspace long, code long{carry_schema}"
+        )
     if any(not cb.get(sp) for sp in range(m)):
         raise ValueError(
             "pq_encode_arrow needs every subspace trained; use "
@@ -674,6 +685,12 @@ def pq_train_arrow(
         embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
         .orderBy("vec_id").limit(k).collect()
     )
+    if not seed_rows:
+        # empty corpus: no seeds, no codebook — the empty merge state
+        # (mirrors kmeans_train; the SQL oracle's seed CTE is empty too)
+        return spark.createDataFrame(
+            [], "subspace long, label long, pos long, sum_q long, n_vecs long"
+        )
 
     def quant(rows):
         V = np.stack([np.asarray(r, dtype=np.float64) for r in rows])

@@ -317,6 +317,16 @@ def iqr_outliers(
     q1, q3 = exact_quantiles(
         docs, value, [0.25, 0.75], num_partitions=num_partitions
     )
+    if q1 is None:
+        # empty input: no quartiles, no fences, no rows (the SQL twin's
+        # final cross join against the empty metric relation)
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            value.cast("long").alias("metric"),
+            F.lit(None).cast("long").alias("is_outlier"),
+            F.lit(None).cast("long").alias("fence_lo"),
+            F.lit(None).cast("long").alias("fence_hi"),
+        ).where(F.lit(False))
     iqr = q3 - q1
     lo, hi = q1 - whisker * iqr, q3 + whisker * iqr
     return docs.select(

@@ -317,6 +317,10 @@ def _ivf_centroids(corpus: DataFrame, nlist: int, id_col: str, vec_col: str):
     local relation (otherwise every downstream reference re-runs the
     TakeOrdered job and re-broadcasts its own copy)."""
     cent_rows = corpus.orderBy(id_col).limit(nlist).select(id_col, vec_col).collect()
+    if not cent_rows:
+        # empty corpus: zero cells (shaped empties — a bare np.array([])
+        # is 1-D and breaks the axis-1 norm below)
+        return np.zeros(0, dtype=np.int64), np.zeros((0, 0)), np.zeros(0)
     cent_ids = np.array([r[0] for r in cent_rows])
     CM = np.array([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
     return cent_ids, CM, np.sqrt((CM * CM).sum(1))
@@ -337,6 +341,10 @@ def centroid_matrix(state, *, scale: int = 1000):
         by_label.setdefault(r["label"], {})[r["pos"]] = (
             math.floor(r["sum_q"] / r["n_vecs"]) / scale
         )
+    if not by_label:
+        # untrained/empty state (empty corpus): zero cells, shaped so the
+        # axis-1 norm and downstream matmuls stay well-formed
+        return np.zeros(0, dtype=np.int64), np.zeros((0, 0)), np.zeros(0)
     ids = np.array(sorted(by_label))
     CM = np.array([
         [by_label[l][p] for p in sorted(by_label[l])] for l in ids
@@ -354,6 +362,10 @@ def _nearest_cells(
 
     @pandas_udf("array<bigint>")
     def cells(v: pd.Series) -> pd.Series:
+        if len(v) == 0 or len(cent_ids) == 0:
+            # empty batch, or no trained cells at all (empty corpus):
+            # nothing to probe — the explode below then emits no rows
+            return pd.Series([np.zeros(0, dtype=np.int64)] * len(v))
         V = np.stack([np.asarray(x, dtype=np.float64) for x in v.values])
         cos = (V @ CM.T) / np.outer(np.sqrt((V * V).sum(1)), cnorm)
         out = []

@@ -154,6 +154,14 @@ def kmeans_train(
     comps: dict[int, list[int]] = {
         i: [int(v) for v in r["qvec"]] for i, r in enumerate(seed_rows)
     }
+    if not comps:
+        # empty corpus: no seeds, no clusters — the empty merge state
+        # (the SQL oracle's row_number() seed CTE yields zero rows too;
+        # an array() literal here would type as VOID and fail analysis)
+        quant.unpersist()
+        return embeddings.sparkSession.createDataFrame(
+            [], "label long, pos long, sum_q long, n_vecs long"
+        )
 
     state = None
     for it in range(iters):

@@ -94,6 +94,16 @@ def ivfpq_ingest(
     (`pq.residual_vectors` + `pq.pq_encode(..., scale=None)` over
     `similarity.ivf_assign(centroids=)`). One projection chain + one
     explode: zero exchanges, append-mode safe."""
+    if codebook.limit(1).count() == 0:
+        # NEVER-trained states (empty offline corpus): nothing can be
+        # encoded or cell-assigned — an empty streaming projection with
+        # the output schema (still a stream transformation, append-safe)
+        return stream.select(
+            F.col(id_col).alias("vec_id"),
+            F.lit(None).cast("long").alias("subspace"),
+            F.lit(None).cast("long").alias("code"),
+            F.lit(None).cast("long").alias("cell"),
+        ).where(F.lit(False))
     codes_expr = encode_codes_column(
         codebook, m=m, sub_dim=sub_dim, vec_col="rvec", scale=None
     )

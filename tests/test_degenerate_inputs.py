@@ -1,0 +1,104 @@
+"""Degenerate-input regression pins: the gates the round-5 empty/one-row
+sweep broke, each re-run against an EMPTY (and where relevant a ONE-ROW)
+copy of the tables and value-compared to its DuckDB oracle.
+
+The failure classes this pins (all found by sweeping
+tools/check_oracles.py over tools/make_degenerate_data.py output):
+
+- k-means / PQ seed collects building VOID ``array()`` literals or
+  ``np.stack``-ing zero seeds (kmeans_train, ann_ivf*, ann_pq*,
+  ann_ivfpq*, streaming_ivfpq_ingest);
+- driver-side ``None`` arithmetic on min/max aggregates of an empty
+  table (streaming_sessions_ingest terciles, iqr_outliers quartiles);
+- Spark's native rollup()/cube() emitting ZERO rows over an empty
+  relation where ANSI (and DuckDB) emit the global-aggregate row —
+  fixed by deriving the coarser grouping sets from the finest cells;
+- an oracle (graph_cyclic) whose closed form assumed referential
+  integrity the operator itself never required.
+
+A crash on empty input is a real 100 TB bug: filters drain tables,
+days have no events, shards hold one document.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from assemblagedb_spark import harness as h
+from assemblagedb_spark.sources.tpch import TABLES
+from tools.check_oracles import normalize
+from tools.make_degenerate_data import write_degenerate
+
+# gates the sweep actually broke, by input class
+EMPTY_GATES = [
+    "kmeans_train",
+    "ann_ivf_topk",
+    "ann_ivf_trained",
+    "ann_pq_codes",
+    "ann_pq_adc",
+    "ann_ivfpq_codes",
+    "ann_ivfpq",
+    "ann_ivfpq_rerank",
+    "streaming_ivfpq_ingest",
+    "streaming_sessions_ingest",
+    "text_outliers",
+    "events_rollup",
+    "events_cube",
+]
+ONE_ROW_GATES = ["graph_cyclic"]
+
+
+@pytest.fixture(scope="module")
+def degenerate_dirs(tmp_path_factory):
+    src = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    root = tmp_path_factory.mktemp("degenerate")
+    return write_degenerate(src, str(root))
+
+
+def _assert_matches_oracle(spark, sf_dir: str, name: str) -> None:
+    sdf = h.SPARK_QUERIES[name](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    odf = con.execute(h.ORACLES[name]).fetchdf()
+    con.close()
+    assert sorted(sdf.columns) == sorted(odf.columns), name
+    assert len(sdf) == len(odf), f"{name}: spark={len(sdf)} oracle={len(odf)}"
+    if len(sdf):
+        import pandas.testing as pdt
+
+        # NaN-aware value compare (tolist() would make NaN != NaN)
+        pdt.assert_frame_equal(
+            normalize(sdf), normalize(odf), check_dtype=False
+        )
+
+
+@pytest.mark.parametrize("name", EMPTY_GATES)
+def test_gate_on_empty_tables(spark, degenerate_dirs, name):
+    empty_dir, _ = degenerate_dirs
+    _assert_matches_oracle(spark, empty_dir, name)
+
+
+@pytest.mark.parametrize("name", ONE_ROW_GATES)
+def test_gate_on_one_row_tables(spark, degenerate_dirs, name):
+    _, one_dir = degenerate_dirs
+    _assert_matches_oracle(spark, one_dir, name)
+
+
+def test_rollup_empty_emits_ansi_global_row(spark, degenerate_dirs):
+    """The () grouping set is a global aggregate: one n=0 row on empty
+    input (the exact divergence Spark's native rollup()/cube() has)."""
+    empty_dir, _ = degenerate_dirs
+    rows = h.SPARK_QUERIES["events_rollup"](spark, empty_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["gid"], r["n"], r["day_bucket"], r["event_type"]) == (
+        3, 0, None, None,
+    )
+    assert r["sum_value_cents"] is None
