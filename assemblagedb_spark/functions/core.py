@@ -49,7 +49,15 @@ def gram_term_sql(col: str, var: str) -> str:
 
 def spark_grams_array_expr(col: str) -> str:
     """Spark SQL expression: ARRAY<BIGINT> of all grams of string column
-    ``col`` (n+3 grams for n bytes, 3 zero grams for empty text).
+    ``col`` (n+3 grams for n bytes, 3 zero grams for empty text, NULL —
+    i.e. no rows once exploded — for NULL text).
+
+    NULL text indexes NOTHING: the DuckDB twin's ``range(-2,
+    length(NULL))`` unnests no rows, so the NULL must propagate here too
+    (a ``coalesce(col, '')`` emitted 3 padding grams per NULL document
+    and silently made missing docs dedup candidates — NULL-content sweep
+    finding, round 5). Empty text '' keeps its 3 padding grams in both
+    engines.
 
     O(n) formulation: the text's codepoint array B is windowed by zipping
     four shifted copies (three-zero padding on each side), so no per-window
@@ -58,7 +66,7 @@ def spark_grams_array_expr(col: str) -> str:
     codegen'd), so constant factors matter here.
     """
     bytes_arr = (
-        f"transform(filter(split(coalesce({col}, ''), ''), c -> c <> ''), "
+        f"transform(filter(split({col}, ''), c -> c <> ''), "
         f"c -> CAST(ascii(c) AS BIGINT))"
     )
 

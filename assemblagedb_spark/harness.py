@@ -2153,7 +2153,8 @@ SELECT doc_id AS media_id, i AS frame_idx,
        sha256(substr(text, (i * 64 + 1)::INT, 64)) AS frame_sha256
 FROM (SELECT doc_id, text,
              unnest(range(0, LEAST(8, GREATEST(1, length(text) // 64)))) AS i
-      FROM documents)
+      FROM documents
+      WHERE text IS NOT NULL)
 """
 
 
@@ -3140,7 +3141,7 @@ def q_markup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_MARKUP_ROUNDTRIP = r"""
 WITH base AS (
-  SELECT doc_id,
+  SELECT doc_id, text,
          'b' || regexp_replace(substr(text, 1, 24), '[*_~`\\#>,\n\r-]', '', 'g') AS w1,
          'p' || regexp_replace(substr(text, 25, 24), '[*_~`\\#>,\n\r-]', '', 'g') AS w2,
          CASE doc_id % 6 WHEN 0 THEN '' WHEN 1 THEN '# ' WHEN 2 THEN '> '
@@ -3148,13 +3149,17 @@ WITH base AS (
          CASE doc_id % 6 WHEN 0 THEN '' WHEN 1 THEN 'heading' WHEN 2 THEN 'quote'
               WHEN 3 THEN 'list' WHEN 4 THEN 'aside' ELSE 'heading,quote' END AS styles
   FROM documents)
+-- NULL text -> NULL markup line -> the parser yields NULL everywhere
+-- (the restricted-construction literals only hold for real lines)
 SELECT doc_id,
        pfx || '*' || w1 || '*' || w2 AS markup,
        pfx || '*' || w1 || '*' || w2 AS canonical,
-       styles AS block_styles,
-       'bold' AS span1_styles, w1 AS span1_text,
-       '' AS span2_styles, w2 AS span2_text,
-       2::BIGINT AS n_spans
+       CASE WHEN text IS NULL THEN NULL ELSE styles END AS block_styles,
+       CASE WHEN text IS NULL THEN NULL ELSE 'bold' END AS span1_styles,
+       w1 AS span1_text,
+       CASE WHEN text IS NULL THEN NULL ELSE '' END AS span2_styles,
+       w2 AS span2_text,
+       CASE WHEN text IS NULL THEN NULL ELSE 2::BIGINT END AS n_spans
 FROM base
 """
 
@@ -4537,9 +4542,13 @@ def q_events_outliers_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_EVENTS_OUTLIERS_GROUPED = """
 WITH t AS (SELECT event_type, event_id, round(value * 100)::BIGINT AS v
            FROM events),
+-- NULL metric values are excluded from the quartile ranks (their sort
+-- position is engine-specific and they are not data); their rows stay
+-- in the output below with NULL flags. A NULL group key is a genuine
+-- group: the join is null-safe (IS NOT DISTINCT FROM).
 r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
              COUNT(*) OVER (PARTITION BY event_type) AS n
-      FROM t),
+      FROM t WHERE v IS NOT NULL),
 q AS (SELECT event_type, MIN(v) AS q1, MAX(v) AS q3 FROM r
       WHERE rn = ceil(n * 0.25) OR rn = ceil(n * 0.75)
       GROUP BY event_type)
@@ -4548,7 +4557,7 @@ SELECT t.event_type, t.event_id, t.v AS metric,
            AS is_outlier,
        (q.q1 - 3 * (q.q3 - q.q1))::BIGINT AS fence_lo,
        (q.q3 + 3 * (q.q3 - q.q1))::BIGINT AS fence_hi
-FROM t JOIN q USING (event_type)
+FROM t LEFT JOIN q ON t.event_type IS NOT DISTINCT FROM q.event_type
 """
 
 

@@ -10,8 +10,10 @@ from AQE like any other exchange.
 Right rows sort before left rows at equal timestamps, so a left row at
 exactly t matches a right row at t (inclusive semantics — DuckDB's
 ``ASOF JOIN ... ON l.ts >= r.ts`` matches, which is the oracle used in the
-harness). Right-side payload values are assumed non-null (a null payload is
-indistinguishable from "no match" after the forward fill).
+harness). The payload travels as ONE struct column, which is non-null
+whenever a right ROW exists — so a matched row's genuinely NULL field
+stays NULL instead of being backfilled from an older right row (the
+per-column fill conflated the two; NULL-content sweep finding, round 5).
 """
 
 from __future__ import annotations
@@ -41,11 +43,13 @@ def asof_join_backward(
     pandas ``merge_asof(tolerance=...)`` / kdb ``wj`` bound — applied AFTER
     the forward fill, so the plan is unchanged: still one shuffle, one
     window pass."""
+    p_struct = F.struct(*[F.col(p) for p in payload]).alias("__p")
+    p_type = right.select(p_struct).schema["__p"].dataType
     l_tag = left.select(
         key,
         ts,
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[p].dataType).alias(f"__p_{p}") for p in payload],
+        F.lit(None).cast(p_type).alias("__p"),
         *[F.lit(None).cast(right.schema[t].dataType).alias(f"__tb_{i}") for i, t in enumerate(right_tiebreak)],
         F.struct(*left.columns).alias("__left"),
     )
@@ -53,7 +57,7 @@ def asof_join_backward(
         key,
         ts,
         F.lit(0).alias("__side"),
-        *[F.col(p).alias(f"__p_{p}") for p in payload],
+        p_struct,
         *[F.col(t).alias(f"__tb_{i}") for i, t in enumerate(right_tiebreak)],
         F.lit(None).cast(l_tag.schema["__left"].dataType).alias("__left"),
     )
@@ -69,7 +73,7 @@ def asof_join_backward(
         "__left",
         F.col(ts).alias("__l_ts"),
         F.last(match_ts, ignorenulls=True).over(w).alias("__m_ts"),
-        *[F.last(f"__p_{p}", ignorenulls=True).over(w).alias(f"__f_{p}") for p in payload],
+        F.last("__p", ignorenulls=True).over(w).alias("__f"),
     )
     in_tol = (
         F.lit(True)
@@ -78,5 +82,5 @@ def asof_join_backward(
     )
     return filled.filter(F.col("__side") == 1).select(
         *[F.col(f"__left.{c}").alias(c) for c in left.columns],
-        *[F.when(in_tol, F.col(f"__f_{p}")).alias(p) for p in payload],
+        *[F.when(in_tol, F.col(f"__f.{p}")).alias(p) for p in payload],
     )

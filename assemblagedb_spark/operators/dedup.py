@@ -81,7 +81,12 @@ def minhash_signatures(
         f"(acc, g) -> zip_with(acc, sequence(0, {k - 1}), (m, i) -> "
         f"least(m, (g * element_at({arr_a}, i + 1) + element_at({arr_b}, i + 1)) % {MINHASH_PRIME})))"
     )
-    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+    # NULL text has no shingle set: no signature row, never a candidate
+    # (the SQL twin's gram CTE unnests nothing for it)
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+    )
 
 
 def _grams_sql(text_col: str) -> str:
@@ -371,6 +376,10 @@ def simhash_fingerprints(
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < parallelism // 2:
         docs = docs.repartition(parallelism, id_col)
+    # NULL text has no shingle set: no fingerprint row (the SQL twin's
+    # gram CTE unnests nothing for it; empty text '' keeps its 3
+    # padding shingles in both engines)
+    docs = docs.filter(F.col(text_col).isNotNull())
     if impl == "arrow":
         return _simhash_arrow(
             docs, id_col=id_col, text_col=text_col, bits=bits, seed=seed

@@ -40,8 +40,11 @@ def grams_array_arrow(text_col: str) -> Column:
         w = np.array([1 << 24, 1 << 16, 1 << 8, 1], dtype=np.int64)
         out = []
         for t in s:
+            if t is None:
+                out.append(None)  # NULL text indexes nothing (SQL twin)
+                continue
             b = np.frombuffer(
-                bytes(3) + (t or "").encode("utf-8") + bytes(3), dtype=np.uint8
+                bytes(3) + t.encode("utf-8") + bytes(3), dtype=np.uint8
             ).astype(np.int64)
             out.append((np.lib.stride_tricks.sliding_window_view(b, 4) @ w).tolist())
         return pd.Series(out)
@@ -72,8 +75,12 @@ def gram_multiset_arrow(text_col: str) -> Column:
         w = np.array([1 << 24, 1 << 16, 1 << 8, 1], dtype=np.int64)
         grams, counts = [], []
         for t in s:
+            if t is None:
+                grams.append(None)  # NULL text indexes nothing (SQL twin)
+                counts.append(None)
+                continue
             b = np.frombuffer(
-                bytes(3) + (t or "").encode("utf-8") + bytes(3), dtype=np.uint8
+                bytes(3) + t.encode("utf-8") + bytes(3), dtype=np.uint8
             ).astype(np.int64)
             u, c = np.unique(
                 np.lib.stride_tricks.sliding_window_view(b, 4) @ w,

@@ -166,7 +166,11 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
         for pdf in batches:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                data = bytes(payload) if payload is not None else b""
+                if payload is None:
+                    # a MISSING payload samples nothing — unlike an empty
+                    # payload, which keeps its designed minimum one frame
+                    continue
+                data = bytes(payload)
                 for i in range(min(max_frames, max(1, len(data) // every_n_bytes))):
                     window = data[i * every_n_bytes : (i + 1) * every_n_bytes]
                     rows.append((media_id, i, hashlib.sha256(window).hexdigest()))

@@ -43,9 +43,11 @@ def pii_scrub(
 
     Counts are detections in the ORIGINAL text; ``clean_text`` has each
     match replaced by its placeholder, applied email → IP → digit-run so
-    later patterns never re-match inside an earlier placeholder.
+    later patterns never re-match inside an earlier placeholder. NULL
+    text propagates: NULL counts and NULL clean_text (the SQL twin's
+    regexp functions over NULL), not zeros-for-missing.
     """
-    txt = F.coalesce(F.col(text_col), F.lit(""))
+    txt = F.col(text_col)
     n_email = F.size(F.regexp_extract_all(txt, F.lit(EMAIL_RE), F.lit(0)))
     after_email = F.regexp_replace(txt, EMAIL_RE, EMAIL_TOKEN)
     # IP/digit counts are measured on the email-scrubbed text (an email's

@@ -354,14 +354,23 @@ def grouped_iqr_outliers(
     The grouped form of :func:`iqr_outliers`: 'flag events whose value is
     extreme FOR THAT EVENT TYPE' — per-slice anomaly gating where a global
     fence would drown slices with different scales.
+
+    NULL handling (aggregate-natural, like SQL SUM/AVG): NULL metric
+    values are EXCLUDED from the quartile ranks (they'd otherwise shift
+    ceil(q·n) by their engine-specific sort position) but their rows stay
+    in the output with their group's fences and a NULL flag; a NULL group
+    key is a genuine group (null-safe join), not dropped.
     """
     from pyspark.sql import Window
 
-    ranked = df.select(
+    base = df.select(
         *group_cols, F.col(id_col).alias("doc_id"), value.alias("__v")
-    ).withColumn("__rn", F.row_number().over(
-        Window.partitionBy(*group_cols).orderBy(F.col("__v").asc())
-    )).withColumn("__n", F.count(F.lit(1)).over(
+    )
+    ranked = base.filter(F.col("__v").isNotNull()).withColumn(
+        "__rn", F.row_number().over(
+            Window.partitionBy(*group_cols).orderBy(F.col("__v").asc())
+        )
+    ).withColumn("__n", F.count(F.lit(1)).over(
         Window.partitionBy(*group_cols)
     ))
     qs = (
@@ -372,10 +381,15 @@ def grouped_iqr_outliers(
         .groupBy(*group_cols)
         .agg(F.min("__v").alias("q1"), F.max("__v").alias("q3"))
     )
+    b, q = base.alias("__b"), qs.alias("__q")
+    cond = None
+    for c in group_cols:
+        eq = F.col(f"__b.{c}").eqNullSafe(F.col(f"__q.{c}"))
+        cond = eq if cond is None else (cond & eq)
     return (
-        ranked.join(qs, list(group_cols))
+        b.join(q, cond, "left")
         .select(
-            *group_cols,
+            *[F.col(f"__b.{c}").alias(c) for c in group_cols],
             "doc_id",
             F.col("__v").cast("long").alias("metric"),
             (

@@ -229,9 +229,11 @@ def language_id_ngram(
 
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Canonical-text fingerprint: md5 of the whitespace-normalized,
-    lower-cased text (stable across engines). For shift-tolerant
-    fingerprinting use the minhash/simhash operators (dedup.py)."""
-    norm = F.trim(F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "))
+    lower-cased text (stable across engines); NULL text fingerprints to
+    NULL — a missing document must not share d41d8cd9... with genuinely
+    empty ones. For shift-tolerant fingerprinting use the minhash/simhash
+    operators (dedup.py)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return docs.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("fingerprint"))
 
 

@@ -71,7 +71,9 @@ def test_pii_scrub_counts_and_redaction(spark):
     assert (r1["n_emails"], r1["n_ips"], r1["n_digit_runs"]) == (1, 1, 1)
     assert r1["clean_text"] == "mail <EMAIL> or <IP> acct <NUMBER> end"
     assert rows[2]["clean_text"] == "no pii at all"
-    assert rows[3]["clean_text"] == ""
+    # NULL text propagates (missing != empty — degenerate-input sweep, r5)
+    assert rows[3]["clean_text"] is None
+    assert rows[3]["n_emails"] is None
 
 
 def test_pii_scrub_email_with_ip_host_is_one_email(spark):

@@ -1,10 +1,11 @@
-"""Degenerate-input regression pins: the gates the round-5 empty/one-row
-sweep broke, each re-run against an EMPTY (and where relevant a ONE-ROW)
-copy of the tables and value-compared to its DuckDB oracle.
+"""Degenerate-input regression pins: the gates the round-5 sweeps broke,
+each re-run against an EMPTY, ONE-ROW, or NULL-CONTENT copy of the
+tables and value-compared to its DuckDB oracle.
 
 The failure classes this pins (all found by sweeping
 tools/check_oracles.py over tools/make_degenerate_data.py output):
 
+empty/one-row (14 failures):
 - k-means / PQ seed collects building VOID ``array()`` literals or
   ``np.stack``-ing zero seeds (kmeans_train, ann_ivf*, ann_pq*,
   ann_ivfpq*, streaming_ivfpq_ingest);
@@ -12,12 +13,24 @@ tools/check_oracles.py over tools/make_degenerate_data.py output):
   table (streaming_sessions_ingest terciles, iqr_outliers quartiles);
 - Spark's native rollup()/cube() emitting ZERO rows over an empty
   relation where ANSI (and DuckDB) emit the global-aggregate row —
-  fixed by deriving the coarser grouping sets from the finest cells;
+  fixed with the all-NULL sentinel row in the same Expand pass;
 - an oracle (graph_cyclic) whose closed form assumed referential
   integrity the operator itself never required.
 
-A crash on empty input is a real 100 TB bug: filters drain tables,
-days have no events, shards hold one document.
+NULL content (19 failures):
+- ``coalesce(text, '')`` in the gram expression emitted 3 padding grams
+  per NULL document, silently making missing docs dedup candidates and
+  index entries (the whole minhash/simhash/gram-index family);
+- md5 fingerprints coalesced NULL to the empty-string digest;
+- the as-of join's per-column ``last(ignorenulls=True)`` backfilled a
+  matched row's genuinely NULL field from an OLDER right row;
+- grouped quantile fences ranked NULL metrics (engine-specific sort
+  position) instead of excluding them, and dropped the NULL group key;
+- closed-form oracles (markup literals, frame sampling) assumed
+  non-NULL text.
+
+A crash or silent coalesce on degenerate input is a real 100 TB bug:
+filters drain tables, days have no events, scrapes have missing bodies.
 """
 
 from __future__ import annotations
@@ -49,6 +62,27 @@ EMPTY_GATES = [
     "events_cube",
 ]
 ONE_ROW_GATES = ["graph_cyclic"]
+NULL_CONTENT_GATES = [
+    "gram_index",
+    "gram_counts",
+    "gram_stats",
+    "gram_index_delta",
+    "dedup_minhash_sig",
+    "dedup_lsh_pairs",
+    "dedup_minhash_est",
+    "dedup_lsh_verify",
+    "dedup_containment",
+    "dedup_simhash",
+    "dedup_clusters",
+    "text_fingerprint",
+    "markup_roundtrip",
+    "pii_scrub",
+    "multimodal_frames",
+    "graph_triangles",
+    "events_asof",
+    "events_asof_tolerance",
+    "events_outliers_grouped",
+]
 
 
 @pytest.fixture(scope="module")
@@ -81,20 +115,26 @@ def _assert_matches_oracle(spark, sf_dir: str, name: str) -> None:
 
 @pytest.mark.parametrize("name", EMPTY_GATES)
 def test_gate_on_empty_tables(spark, degenerate_dirs, name):
-    empty_dir, _ = degenerate_dirs
+    empty_dir, _, _ = degenerate_dirs
     _assert_matches_oracle(spark, empty_dir, name)
 
 
 @pytest.mark.parametrize("name", ONE_ROW_GATES)
 def test_gate_on_one_row_tables(spark, degenerate_dirs, name):
-    _, one_dir = degenerate_dirs
+    _, one_dir, _ = degenerate_dirs
     _assert_matches_oracle(spark, one_dir, name)
+
+
+@pytest.mark.parametrize("name", NULL_CONTENT_GATES)
+def test_gate_on_null_content(spark, degenerate_dirs, name):
+    _, _, nulls_dir = degenerate_dirs
+    _assert_matches_oracle(spark, nulls_dir, name)
 
 
 def test_rollup_empty_emits_ansi_global_row(spark, degenerate_dirs):
     """The () grouping set is a global aggregate: one n=0 row on empty
     input (the exact divergence Spark's native rollup()/cube() has)."""
-    empty_dir, _ = degenerate_dirs
+    empty_dir, _, _ = degenerate_dirs
     rows = h.SPARK_QUERIES["events_rollup"](spark, empty_dir).collect()
     assert len(rows) == 1
     r = rows[0]

@@ -1,23 +1,29 @@
 """Generate DEGENERATE variants of a testdata scale-factor directory:
-the same ten parquet tables with identical schemas but zero rows
-(``empty``) or exactly one row each (``one``, the first row — which also
-breaks referential integrity between tables, on purpose).
+
+- ``sfempty``: the same ten parquet tables, identical schemas, zero rows;
+- ``sfone``: exactly one row per table (the first — which also breaks
+  referential integrity between tables, on purpose);
+- ``sfnulls``: full sf0.001 rows with deterministic ~14-20% NULLs in the
+  CONTENT columns (documents.text/lang, events.event_type/value/props);
+  keys, timestamps and embeddings stay intact.
 
 Why: at 100 TB a pipeline constantly meets empty tables, empty
-partitions, and slices that violate cross-table invariants (a filter
-that drained a table, a day with no events, a shard with one document).
-Every declared gate must behave like its ANSI oracle on these inputs —
-not crash in a seed collect, a numpy stack, or a driver-side min/max.
-The round-5 sweep over these dirs found 14 real failures (13 empty-input
-crashes/divergences + 1 oracle referential-integrity artifact), all
-fixed and pinned by tests/test_degenerate_inputs.py.
+partitions, NULL content, and slices that violate cross-table
+invariants (a filter that drained a table, a day with no events, a
+scrape with missing bodies). Every declared gate must behave like its
+ANSI oracle on these inputs — not crash in a seed collect, a numpy
+stack, or a driver-side min/max, and not silently coalesce missing
+content into empty content. The round-5 sweeps over these dirs found
+14 (empty/one-row) + 19 (NULL-content) real failures, all fixed and
+pinned by tests/test_degenerate_inputs.py.
 
 Usage:
     python tools/make_degenerate_data.py [src_sf_dir] [out_root]
-    # defaults: /root/testdata/sf0.001 -> /tmp/sfempty + /tmp/sfone
+    # defaults: /root/testdata/sf0.001 -> /tmp/sfempty /tmp/sfone /tmp/sfnulls
 then sweep with the standard gate checker:
     python tools/check_oracles.py /tmp/sfempty
     python tools/check_oracles.py /tmp/sfone
+    python tools/check_oracles.py /tmp/sfnulls
 """
 
 from __future__ import annotations
@@ -25,10 +31,29 @@ from __future__ import annotations
 import os
 import sys
 
+# deterministic NULL injection for the content columns (key/ts columns
+# untouched; moduli chosen so the NULL sets of different columns overlap
+# only partially)
+_NULL_PLANS = {
+    "documents": (
+        "SELECT doc_id,"
+        " CASE WHEN doc_id % 5 = 3 THEN NULL ELSE text END AS text,"
+        " CASE WHEN doc_id % 7 = 2 THEN NULL ELSE lang END AS lang,"
+        " source, n_chars FROM t"
+    ),
+    "events": (
+        "SELECT event_id, ts, user_id,"
+        " CASE WHEN event_id % 5 = 3 THEN NULL ELSE event_type END AS event_type,"
+        " CASE WHEN event_id % 7 = 2 THEN NULL ELSE value END AS value,"
+        " CASE WHEN event_id % 11 = 5 THEN NULL ELSE props END AS props FROM t"
+    ),
+}
 
-def write_degenerate(src: str, out_root: str) -> tuple[str, str]:
-    """Write <out_root>/sfempty and <out_root>/sfone from ``src``;
-    returns the two directory paths."""
+
+def write_degenerate(src: str, out_root: str) -> tuple[str, str, str]:
+    """Write <out_root>/sfempty, <out_root>/sfone and <out_root>/sfnulls
+    from ``src``; returns the three directory paths."""
+    import duckdb
     import pyarrow.parquet as pq
 
     dirs = []
@@ -42,14 +67,29 @@ def write_degenerate(src: str, out_root: str) -> tuple[str, str]:
             out = t.schema.empty_table() if n == 0 else t.slice(0, 1)
             pq.write_table(out, os.path.join(dst, f))
         dirs.append(dst)
-    return dirs[0], dirs[1]
+
+    dst = os.path.join(out_root, "sfnulls")
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for f in sorted(os.listdir(src)):
+        if not f.endswith(".parquet"):
+            continue
+        sel = _NULL_PLANS.get(f[:-8], "SELECT * FROM t")
+        con.execute(
+            "CREATE OR REPLACE VIEW t AS SELECT * FROM "
+            f"read_parquet('{os.path.join(src, f)}')"
+        )
+        con.execute(f"COPY ({sel}) TO '{os.path.join(dst, f)}' (FORMAT PARQUET)")
+    con.close()
+    dirs.append(dst)
+    return dirs[0], dirs[1], dirs[2]
 
 
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out_root = sys.argv[2] if len(sys.argv) > 2 else "/tmp"
-    empty, one = write_degenerate(src, out_root)
-    print(f"wrote {empty} and {one} from {src}")
+    out = write_degenerate(src, out_root)
+    print(f"wrote {', '.join(out)} from {src}")
 
 
 if __name__ == "__main__":
