@@ -1006,13 +1006,15 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_ANN_TOPK = """
-WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           WHERE vec_id % 50 = 0 AND embedding IS NOT NULL),
 s AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
          list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
          (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
           sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos
-  FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.query_id)
+  FROM q CROSS JOIN embeddings c
+  WHERE c.vec_id <> q.query_id AND c.embedding IS NOT NULL)
 SELECT query_id, neighbor_id, rank FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s
 ) WHERE rank <= 10
@@ -3241,14 +3243,14 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_ANN_IVF_TOPK = f"""
 WITH cents AS (
   SELECT vec_id AS cell, embedding AS vec_cent FROM embeddings
-  ORDER BY vec_id LIMIT {_IVF_NLIST}
+  WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT {_IVF_NLIST}
 ),
 cellscore AS (
   SELECT e.vec_id, ct.cell,
          list_dot_product(e.embedding::DOUBLE[], ct.vec_cent::DOUBLE[]) /
          (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
           sqrt(list_dot_product(ct.vec_cent::DOUBLE[], ct.vec_cent::DOUBLE[]))) AS cos_c
-  FROM embeddings e CROSS JOIN cents ct
+  FROM embeddings e CROSS JOIN cents ct WHERE e.embedding IS NOT NULL
 ),
 ranked AS (
   SELECT vec_id, cell,
@@ -3942,7 +3944,7 @@ def _o_kmeans(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
         f"""c0 AS (
   SELECT s.label, q.pos, q.qv AS sum_q, 1::BIGINT AS n_vecs
   FROM (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1) AS label
-        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})) s
+        FROM (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT {k})) s
   JOIN q ON s.vec_id = q.vec_id)""",
     ]
     for t in range(iters):
@@ -4340,7 +4342,7 @@ cellscore AS (
          list_dot_product(e.embedding::DOUBLE[], ct.vec_cent::DOUBLE[]) /
          (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
           sqrt(list_dot_product(ct.vec_cent::DOUBLE[], ct.vec_cent::DOUBLE[]))) AS cos_c
-  FROM embeddings e CROSS JOIN cvec2 ct
+  FROM embeddings e CROSS JOIN cvec2 ct WHERE e.embedding IS NOT NULL
 ),
 rankedc AS (
   SELECT vec_id, cell,
@@ -4956,7 +4958,7 @@ def _pq_chain_ctes() -> tuple[list, int]:
     ctes = [
         f"""seeds AS (
   SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1) AS label
-  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))"""
+  FROM (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT {k}))"""
     ]
     selects = []
     for sp in range(m):
@@ -4964,7 +4966,8 @@ def _pq_chain_ctes() -> tuple[list, int]:
             f"""q{sp} AS (
   SELECT vec_id, t.i - 1 AS pos,
          floor(CAST(e.embedding[{sp * sd} + t.i] AS DOUBLE) * 1000)::BIGINT AS qv
-  FROM embeddings e, unnest(range(1, {sd} + 1)) t(i))"""
+  FROM embeddings e, unnest(range(1, {sd} + 1)) t(i)
+  WHERE e.embedding IS NOT NULL)"""
         )
         ctes.append(
             f"""c{sp}_0 AS (
@@ -5276,7 +5279,7 @@ def _rpq_chain_ctes(include_query: bool = True) -> tuple[list, int]:
     ctes = [
         f"""rseeds AS (
   SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1) AS label
-  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))"""
+  FROM (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT {k}))"""
     ]
     for sp in range(m):
         lo, hi = sp * sd, (sp + 1) * sd
@@ -5356,7 +5359,7 @@ cellscore AS (
          list_dot_product(e.embedding::DOUBLE[], ct.vec_cent::DOUBLE[]) /
          (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
           sqrt(list_dot_product(ct.vec_cent::DOUBLE[], ct.vec_cent::DOUBLE[]))) AS cos_c
-  FROM embeddings e CROSS JOIN cvec2 ct
+  FROM embeddings e CROSS JOIN cvec2 ct WHERE e.embedding IS NOT NULL
 ),
 rankedc AS (
   SELECT vec_id, cell,
@@ -5414,7 +5417,7 @@ cellscore AS (
          list_dot_product(e.embedding::DOUBLE[], ct.vec_cent::DOUBLE[]) /
          (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
           sqrt(list_dot_product(ct.vec_cent::DOUBLE[], ct.vec_cent::DOUBLE[]))) AS cos_c
-  FROM embeddings e CROSS JOIN cvec2 ct
+  FROM embeddings e CROSS JOIN cvec2 ct WHERE e.embedding IS NOT NULL
 ),
 rankedc AS (
   SELECT vec_id, cell,

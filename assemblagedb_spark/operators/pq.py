@@ -66,7 +66,7 @@ def pq_train(
     the same k seed vectors in every subspace — deterministic and
     oracle-replayable.
     """
-    sub = embeddings.select(
+    sub = embeddings.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         F.posexplode(
             F.expr(
@@ -81,7 +81,8 @@ def pq_train(
 
     seed_ids = [
         r[0]
-        for r in embeddings.select(F.col(id_col).alias("vec_id"))
+        for r in embeddings.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("vec_id"))
         .orderBy("vec_id").limit(k).collect()
     ]
     id_type = embeddings.schema[id_col].dataType.simpleString()
@@ -207,7 +208,7 @@ def pq_encode(
             embeddings, codebook, m=m, sub_dim=sub_dim,
             id_col=id_col, vec_col=vec_col, scale=scale,
         )
-    return embeddings.select(
+    return embeddings.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"), F.posexplode(codes_expr).alias("subspace", "code")
     ).select("vec_id", F.col("subspace").cast("long").alias("subspace"), "code")
 
@@ -258,7 +259,7 @@ def _pq_encode_agg(
 ) -> DataFrame:
     """Broadcast-join + argmin-aggregate encode (the pre-literal plan,
     kept as the oversized-codebook fallback and the parity reference)."""
-    sub = embeddings.select(
+    sub = embeddings.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         F.posexplode(
             F.expr(
@@ -298,7 +299,7 @@ def _adc_distance_table(
     """(query_id, subspace, code, d): each query's integer squared distance
     to every subspace centroid — the |Q| × m × k ADC lookup table, the
     broadcast side of every PQ serving join."""
-    qsub = queries.select(
+    qsub = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         F.posexplode(
             F.expr(
@@ -503,7 +504,7 @@ def pq_encode_arrow(
     carry_schema = "".join(
         f", {c} {dict(embeddings.dtypes)[c]}" for c in carry_cols
     )
-    return embeddings.select(
+    return embeddings.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("__vec"),
         *[F.col(c) for c in carry_cols],
@@ -682,7 +683,8 @@ def pq_train_arrow(
 
     spark = embeddings.sparkSession
     seed_rows = (
-        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("vec_id"), F.col(vec_col))
         .orderBy("vec_id").limit(k).collect()
     )
     if not seed_rows:
@@ -753,7 +755,7 @@ def pq_train_arrow(
 
         return kernel
 
-    src = embeddings.select(
+    src = embeddings.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__vec")
     )
     state_df = None

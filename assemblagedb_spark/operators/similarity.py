@@ -62,12 +62,14 @@ def cosine_topk(
     # norms are per-ROW, so compute them before the join: evaluating them
     # per pair would redo 2/3 of the higher-order-function work |Q|×|C| times
     # (bit-identical arithmetic either way — same dot/(na*nb) expression)
-    q = queries.select(
+    # NULL vectors neither query nor match (their NULL cosine would
+    # rank nondeterministically) — excluded like the SQL twin
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("vec_a"),
         _norm(vec_col).alias("norm_a"),
     )
-    c = corpus.select(
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec_b"),
         _norm(vec_col).alias("norm_b"),
@@ -115,7 +117,10 @@ def cosine_topk_arrow(
     # small; an unbounded collect of a fat query set would fail late with
     # an opaque >2 GiB task-binary error — cap it with a clear one instead
     # (same guard discipline as Db.from_tables, db.py:66-91)
-    qrows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    qrows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col).limit(max_queries + 1).collect()
+    )
     if len(qrows) > max_queries:
         raise ValueError(
             f"cosine_topk_arrow: query side exceeds max_queries="
@@ -156,7 +161,10 @@ def cosine_topk_arrow(
                 }
             )
 
-    part = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    part = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col).mapInPandas(score, out_schema)
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         part.withColumn("rank", F.row_number().over(w))
@@ -275,7 +283,9 @@ def hyperplane_sketch_arrow(
         H = _mix_hyperplanes(bits, V.shape[1], seed)
         return pd.Series(((V @ H.T) > 0) @ weights)
 
-    return df.select(F.col(id_col).alias("vec_id"), F.col(vec_col), sk(vec_col).alias("sketch"))
+    return df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col), sk(vec_col).alias("sketch")
+    )
 
 
 def hyperplane_sketch(
@@ -308,7 +318,11 @@ def hyperplane_sketch(
         f"THEN 1.0 ELSE -1.0 END)), CAST(0 AS DOUBLE), (s, v) -> s + v) > 0 "
         f"THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)"
     )
-    return df.select(F.col(id_col).alias("vec_id"), F.col(vec_col), F.expr(expr).alias("sketch"))
+    # NULL vectors sketch nothing (same exclusion as the arrow path and
+    # every other vector consumer)
+    return df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col), F.expr(expr).alias("sketch")
+    )
 
 
 def _ivf_centroids(corpus: DataFrame, nlist: int, id_col: str, vec_col: str):
@@ -316,7 +330,10 @@ def _ivf_centroids(corpus: DataFrame, nlist: int, id_col: str, vec_col: str):
     Centroids are nlist rows of metadata — collected once and reused as a
     local relation (otherwise every downstream reference re-runs the
     TakeOrdered job and re-broadcasts its own copy)."""
-    cent_rows = corpus.orderBy(id_col).limit(nlist).select(id_col, vec_col).collect()
+    cent_rows = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .orderBy(id_col).limit(nlist).select(id_col, vec_col).collect()
+    )
     if not cent_rows:
         # empty corpus: zero cells (shaped empties — a bare np.array([])
         # is 1-D and breaks the axis-1 norm below)
@@ -374,7 +391,7 @@ def _nearest_cells(
             out.append(cent_ids[idx])
         return pd.Series(out)
 
-    return df.select(
+    return df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias(f"{side}_id"), cells(vec_col).alias("cells")
     ).select(f"{side}_id", F.explode("cells").alias("cell"))
 

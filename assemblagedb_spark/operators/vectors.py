@@ -83,7 +83,9 @@ def centroid_assign(
             f"CAST(floor(CAST(v AS DOUBLE) * {scale}) AS BIGINT))"
         )
     )
-    pairs = embeddings.select(
+    # a NULL vector has no nearest centroid: its NULL distance would
+    # still win a min-struct tie — exclude it like the SQL twin does
+    pairs = embeddings.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"), qvec.alias("qvec")
     ).crossJoin(F.broadcast(cent))
     dist = F.expr(
@@ -136,7 +138,11 @@ def kmeans_train(
     qvec = F.expr(
         f"transform({vec_col}, v -> CAST(floor(CAST(v AS DOUBLE) * {scale}) AS BIGINT))"
     )
-    quant = embeddings.select(F.col(id_col).alias("vec_id"), qvec.alias("qvec"))
+    # NULL vectors train nothing (and a NULL seed would break the
+    # centroid literals) — excluded like every other vector consumer
+    quant = embeddings.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vec_id"), qvec.alias("qvec")
+    )
     # guarded repartition (the byte-small-file trap): Spark splits scans
     # by bytes, so a small parquet parks the whole per-row distance fold
     # in ONE task — and with the literal-folded argmin there is no

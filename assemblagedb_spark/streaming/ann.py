@@ -117,6 +117,9 @@ def ivfpq_ingest(
         )
     cell = _cell_udf(centroid_matrix(centroids, scale=scale))
     cmap = _coarse_map_sql(centroids)
+    # NULL vectors ingest nothing (same exclusion as the batch build) —
+    # a plain filter, so the stream stays append-mode stateless
+    stream = stream.filter(F.col(vec_col).isNotNull())
     rvec = (
         f"zip_with(transform({vec_col}, v -> "
         f"CAST(floor(CAST(v AS DOUBLE) * {scale}) AS BIGINT)), "

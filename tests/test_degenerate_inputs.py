@@ -29,6 +29,13 @@ NULL content (19 failures):
 - closed-form oracles (markup literals, frame sampling) assumed
   non-NULL text.
 
+NULL embeddings (14 failures): every vector consumer (k-means/PQ/IVF
+training seeds, encode kernels, cosine top-k, sketches, centroid
+assignment, streaming ingest) either crashed on a NULL vector or
+assigned it a nondeterministic NULL-distance rank; NULL vectors are
+now excluded from training, indexing, assignment and search on both
+engines.
+
 A crash or silent coalesce on degenerate input is a real 100 TB bug:
 filters drain tables, days have no events, scrapes have missing bodies.
 """
@@ -83,6 +90,22 @@ NULL_CONTENT_GATES = [
     "events_asof_tolerance",
     "events_outliers_grouped",
 ]
+NULL_VECTOR_GATES = [
+    "kmeans_train",
+    "embedding_assign",
+    "ann_topk",
+    "ann_ivf_topk",
+    "ann_ivf_trained",
+    "ann_lsh_topk",
+    "embedding_neardup",
+    "embedding_clusters",
+    "ann_pq_codes",
+    "ann_pq_adc",
+    "ann_ivfpq_codes",
+    "ann_ivfpq",
+    "ann_ivfpq_rerank",
+    "streaming_ivfpq_ingest",
+]
 
 
 @pytest.fixture(scope="module")
@@ -115,26 +138,32 @@ def _assert_matches_oracle(spark, sf_dir: str, name: str) -> None:
 
 @pytest.mark.parametrize("name", EMPTY_GATES)
 def test_gate_on_empty_tables(spark, degenerate_dirs, name):
-    empty_dir, _, _ = degenerate_dirs
+    empty_dir, _, _, _ = degenerate_dirs
     _assert_matches_oracle(spark, empty_dir, name)
 
 
 @pytest.mark.parametrize("name", ONE_ROW_GATES)
 def test_gate_on_one_row_tables(spark, degenerate_dirs, name):
-    _, one_dir, _ = degenerate_dirs
+    _, one_dir, _, _ = degenerate_dirs
     _assert_matches_oracle(spark, one_dir, name)
 
 
 @pytest.mark.parametrize("name", NULL_CONTENT_GATES)
 def test_gate_on_null_content(spark, degenerate_dirs, name):
-    _, _, nulls_dir = degenerate_dirs
+    _, _, nulls_dir, _ = degenerate_dirs
     _assert_matches_oracle(spark, nulls_dir, name)
+
+
+@pytest.mark.parametrize("name", NULL_VECTOR_GATES)
+def test_gate_on_null_embeddings(spark, degenerate_dirs, name):
+    _, _, _, vecnulls_dir = degenerate_dirs
+    _assert_matches_oracle(spark, vecnulls_dir, name)
 
 
 def test_rollup_empty_emits_ansi_global_row(spark, degenerate_dirs):
     """The () grouping set is a global aggregate: one n=0 row on empty
     input (the exact divergence Spark's native rollup()/cube() has)."""
-    empty_dir, _, _ = degenerate_dirs
+    empty_dir, _, _, _ = degenerate_dirs
     rows = h.SPARK_QUERIES["events_rollup"](spark, empty_dir).collect()
     assert len(rows) == 1
     r = rows[0]

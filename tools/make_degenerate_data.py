@@ -5,7 +5,11 @@
   referential integrity between tables, on purpose);
 - ``sfnulls``: full sf0.001 rows with deterministic ~14-20% NULLs in the
   CONTENT columns (documents.text/lang, events.event_type/value/props);
-  keys, timestamps and embeddings stay intact.
+  keys, timestamps and embeddings stay intact;
+- ``sfvecnulls``: full rows with ~11% NULL embedding vectors (keys and
+  every other table intact) — NULL vectors must be excluded from
+  training, indexing, assignment and search, not crash a seed collect
+  or a numpy stack.
 
 Why: at 100 TB a pipeline constantly meets empty tables, empty
 partitions, NULL content, and slices that violate cross-table
@@ -14,16 +18,17 @@ scrape with missing bodies). Every declared gate must behave like its
 ANSI oracle on these inputs — not crash in a seed collect, a numpy
 stack, or a driver-side min/max, and not silently coalesce missing
 content into empty content. The round-5 sweeps over these dirs found
-14 (empty/one-row) + 19 (NULL-content) real failures, all fixed and
-pinned by tests/test_degenerate_inputs.py.
+14 (empty/one-row) + 19 (NULL-content) + 14 (NULL-embedding) real
+failures, all fixed and pinned by tests/test_degenerate_inputs.py.
 
 Usage:
     python tools/make_degenerate_data.py [src_sf_dir] [out_root]
-    # defaults: /root/testdata/sf0.001 -> /tmp/sfempty /tmp/sfone /tmp/sfnulls
+    # defaults: /root/testdata/sf0.001 -> /tmp/sf{empty,one,nulls,vecnulls}
 then sweep with the standard gate checker:
     python tools/check_oracles.py /tmp/sfempty
     python tools/check_oracles.py /tmp/sfone
     python tools/check_oracles.py /tmp/sfnulls
+    python tools/check_oracles.py /tmp/sfvecnulls
 """
 
 from __future__ import annotations
@@ -49,10 +54,18 @@ _NULL_PLANS = {
     ),
 }
 
+_VECNULL_PLANS = {
+    "embeddings": (
+        "SELECT vec_id,"
+        " CASE WHEN vec_id % 9 = 4 THEN NULL ELSE embedding END AS embedding,"
+        " label FROM t"
+    ),
+}
 
-def write_degenerate(src: str, out_root: str) -> tuple[str, str, str]:
-    """Write <out_root>/sfempty, <out_root>/sfone and <out_root>/sfnulls
-    from ``src``; returns the three directory paths."""
+
+def write_degenerate(src: str, out_root: str) -> tuple[str, str, str, str]:
+    """Write <out_root>/sfempty, <out_root>/sfone, <out_root>/sfnulls and
+    <out_root>/sfvecnulls from ``src``; returns the four directory paths."""
     import duckdb
     import pyarrow.parquet as pq
 
@@ -68,21 +81,24 @@ def write_degenerate(src: str, out_root: str) -> tuple[str, str, str]:
             pq.write_table(out, os.path.join(dst, f))
         dirs.append(dst)
 
-    dst = os.path.join(out_root, "sfnulls")
-    os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
-    for f in sorted(os.listdir(src)):
-        if not f.endswith(".parquet"):
-            continue
-        sel = _NULL_PLANS.get(f[:-8], "SELECT * FROM t")
-        con.execute(
-            "CREATE OR REPLACE VIEW t AS SELECT * FROM "
-            f"read_parquet('{os.path.join(src, f)}')"
-        )
-        con.execute(f"COPY ({sel}) TO '{os.path.join(dst, f)}' (FORMAT PARQUET)")
+    for name, plans in (("sfnulls", _NULL_PLANS), ("sfvecnulls", _VECNULL_PLANS)):
+        dst = os.path.join(out_root, name)
+        os.makedirs(dst, exist_ok=True)
+        for f in sorted(os.listdir(src)):
+            if not f.endswith(".parquet"):
+                continue
+            sel = plans.get(f[:-8], "SELECT * FROM t")
+            con.execute(
+                "CREATE OR REPLACE VIEW t AS SELECT * FROM "
+                f"read_parquet('{os.path.join(src, f)}')"
+            )
+            con.execute(
+                f"COPY ({sel}) TO '{os.path.join(dst, f)}' (FORMAT PARQUET)"
+            )
+        dirs.append(dst)
     con.close()
-    dirs.append(dst)
-    return dirs[0], dirs[1], dirs[2]
+    return dirs[0], dirs[1], dirs[2], dirs[3]
 
 
 def main() -> None:
