@@ -11,11 +11,13 @@ UTF-8 bytes with three zero bytes on each side, slide a 4-byte window, read
 each window as a big-endian u32. A text of n bytes yields n+3 grams; the empty
 text yields three zero grams.
 
-The SQL form uses ``ascii(substring(text, p, 1))`` per byte. For ASCII text
-(all harness data; the reference's own fixtures) codepoint == byte, so the SQL
-form equals the byte-exact driver-side ``index_text``. Non-ASCII input would
-gram by codepoint instead of by UTF-8 byte — a documented deviation of the
-SQL fast path only; ``index_text`` itself stays byte-exact.
+The SQL form derives the UTF-8 byte array arithmetically from codepoints
+(``ascii``/``unicode`` per character, expanded by the standard UTF-8 encoding
+cases), so it is byte-exact on EVERY Unicode plane — identical to the
+driver-side ``index_text`` and the Arrow kernels. The earlier codepoint-window
+form grammed non-ASCII text by codepoint, overflowing the u32 packing (and
+DuckDB's INT32 arithmetic) for astral codepoints — Unicode sweep finding,
+round 5.
 """
 
 from __future__ import annotations
@@ -25,26 +27,48 @@ from __future__ import annotations
 # ---------------------------------------------------------------------------
 
 
-def _byte_at_sql(col: str, pos: str) -> str:
-    """Byte value of ``col`` at 1-indexed position ``pos``; 0 outside (the
-    reference's zero padding)."""
+def duckdb_utf8_bytes_sql(col: str) -> str:
+    """DuckDB expression: LIST of UTF-8 byte values of string ``col``
+    (NULL for NULL text), via the standard codepoint→UTF-8 arithmetic —
+    byte-exact on every plane, no BLOB indexing needed (DuckDB cannot
+    slice or hash BLOBs)."""
+    u = "unicode(c)"
     return (
-        f"(CASE WHEN {pos} BETWEEN 1 AND length({col}) "
-        f"THEN ascii(substring({col}, {pos}, 1)) ELSE 0 END)"
+        f"flatten(list_transform(list_filter(string_split({col}, ''), "
+        f"c -> c <> ''), c -> CASE"
+        f" WHEN {u} < 128 THEN [{u}]"
+        f" WHEN {u} < 2048 THEN [192 + {u} // 64, 128 + {u} % 64]"
+        f" WHEN {u} < 65536 THEN [224 + {u} // 4096,"
+        f" 128 + ({u} // 64) % 64, 128 + {u} % 64]"
+        f" ELSE [240 + {u} // 262144, 128 + ({u} // 4096) % 64,"
+        f" 128 + ({u} // 64) % 64, 128 + {u} % 64] END))"
     )
 
 
-def gram_term_sql(col: str, var: str) -> str:
-    """u32 big-endian gram of the window starting at text position ``var``
-    (positions -2..length, matching the reference's padded windows).
+def duckdb_padded_bytes_sql(col: str) -> str:
+    """DuckDB expression: the UTF-8 bytes of ``col`` padded with three
+    zero bytes on each side — the reference's gram window domain; NULL
+    for NULL text (DuckDB's list ``||`` treats a typed-NULL list operand
+    as empty, so the guard must be explicit — NULL text must window
+    NOTHING, not the 6 padding bytes)."""
+    return (
+        f"(CASE WHEN {col} IS NULL THEN NULL "
+        f"ELSE [0, 0, 0] || {duckdb_utf8_bytes_sql(col)} || [0, 0, 0] END)"
+    )
 
-    Portable across Spark SQL and DuckDB.
+
+def gram_term_sql(pb: str, var: str) -> str:
+    """u32 big-endian gram of the 4-byte window at 0-based index ``var``
+    of the PADDED byte list ``pb`` (from :func:`duckdb_padded_bytes_sql`;
+    valid window indexes are 0..len(pb)-4, i.e. n_bytes+3 windows).
+
+    Every term is cast through the BIGINT first operand: byte values
+    reach 255, so 255·2^24 would overflow DuckDB's INT32 literals.
     """
-    b0 = _byte_at_sql(col, f"({var})")
-    b1 = _byte_at_sql(col, f"({var}+1)")
-    b2 = _byte_at_sql(col, f"({var}+2)")
-    b3 = _byte_at_sql(col, f"({var}+3)")
-    return f"(CAST({b0} AS BIGINT) * 16777216 + {b1} * 65536 + {b2} * 256 + {b3})"
+    return (
+        f"({pb}[{var} + 1]::BIGINT * 16777216 + {pb}[{var} + 2] * 65536 "
+        f"+ {pb}[{var} + 3] * 256 + {pb}[{var} + 4])"
+    )
 
 
 def spark_grams_array_expr(col: str) -> str:
@@ -59,15 +83,27 @@ def spark_grams_array_expr(col: str) -> str:
     finding, round 5). Empty text '' keeps its 3 padding grams in both
     engines.
 
-    O(n) formulation: the text's codepoint array B is windowed by zipping
+    O(n) formulation: the text's UTF-8 byte array B is windowed by zipping
     four shifted copies (three-zero padding on each side), so no per-window
     substring scans — 12× faster than the positional ``substring`` form,
     entirely JVM-side. Higher-order functions are interpreted (not
-    codegen'd), so constant factors matter here.
+    codegen'd), so constant factors matter here. Bytes come from the
+    codepoint array via the standard UTF-8 encoding arithmetic (Spark's
+    ``split('')`` keeps surrogate pairs together, so ``ascii`` sees full
+    codepoints on every plane).
     """
-    bytes_arr = (
+    cps = (
         f"transform(filter(split({col}, ''), c -> c <> ''), "
         f"c -> CAST(ascii(c) AS BIGINT))"
+    )
+    bytes_arr = (
+        f"flatten(transform({cps}, p -> CASE"
+        f" WHEN p < 128 THEN array(p)"
+        f" WHEN p < 2048 THEN array(192 + p div 64, 128 + p % 64)"
+        f" WHEN p < 65536 THEN array(224 + p div 4096,"
+        f" 128 + (p div 64) % 64, 128 + p % 64)"
+        f" ELSE array(240 + p div 262144, 128 + (p div 4096) % 64,"
+        f" 128 + (p div 64) % 64, 128 + p % 64) END))"
     )
 
     def z(k: int) -> str:
@@ -85,11 +121,13 @@ def spark_grams_array_expr(col: str) -> str:
 
 def duckdb_grams_select(table: str, id_col: str, text_col: str) -> str:
     """DuckDB subquery text producing (``id_col``, gram) exploded rows with
-    semantics identical to :func:`spark_grams_array_expr`."""
+    semantics identical to :func:`spark_grams_array_expr` (UTF-8 byte
+    windows; n_bytes+3 grams per row, none for NULL text)."""
     return (
-        f"(SELECT {id_col}, {gram_term_sql(text_col, 'i')} AS gram FROM "
-        f"(SELECT {id_col}, {text_col}, "
-        f"unnest(range(-2, length({text_col}) + 1)) AS i FROM {table}))"
+        f"(SELECT {id_col}, {gram_term_sql('pb', 'i')} AS gram FROM "
+        f"(SELECT {id_col}, pb, unnest(range(0, len(pb) - 3)) AS i FROM "
+        f"(SELECT {id_col}, {duckdb_padded_bytes_sql(text_col)} AS pb "
+        f"FROM {table})))"
     )
 
 
@@ -134,8 +172,11 @@ def minhash_coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def universal_hash_sql(x: str, a: int, b: int, prime: int = MINHASH_PRIME) -> str:
-    """(a*x + b) mod prime — identical int64 arithmetic in Spark and DuckDB."""
-    return f"((CAST({x} AS BIGINT) * {a} + {b}) % {prime})"
+    """(a·(x mod P) + b) mod P — identical int64 arithmetic in Spark and
+    DuckDB. ``x`` reduces mod P FIRST: byte grams reach 2^32-1, and
+    (2^32)·a would overflow int64; (P-1)·(P-1) stays under 2^62. For
+    ASCII grams (always < P) the reduction is the identity."""
+    return f"(((CAST({x} AS BIGINT) % {prime}) * {a} + {b}) % {prime})"
 
 
 # ---------------------------------------------------------------------------

@@ -22,6 +22,8 @@ from collections import Counter
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from assemblagedb_spark.functions.core import (
+    duckdb_padded_bytes_sql,
+    duckdb_utf8_bytes_sql,
     gram_term_sql,
     index_text,
     mix32_sql,
@@ -50,8 +52,9 @@ SNAPSHOT_NS = 1705276800 * 1_000_000_000
 _DOC_GRAMS_CTE = (
     "doc_grams AS (SELECT node_id, gram, COUNT(*)::BIGINT AS occurrences FROM "
     "(SELECT doc_id AS node_id, "
-    f"{gram_term_sql('text', 'i')} AS gram "
-    "FROM (SELECT doc_id, text, unnest(range(-2, length(text) + 1)) AS i FROM documents)) "
+    f"{gram_term_sql('pb', 'i')} AS gram "
+    "FROM (SELECT doc_id, pb, unnest(range(0, len(pb) - 3)) AS i FROM "
+    f"(SELECT doc_id, {duckdb_padded_bytes_sql('text')} AS pb FROM documents))) "
     "GROUP BY node_id, gram)"
 )
 
@@ -700,8 +703,9 @@ O_OVERLAPS = f"""
 WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
 doc_grams AS (
   SELECT node_id, gram, COUNT(*)::BIGINT AS occurrences FROM
-  (SELECT doc_id AS node_id, {gram_term_sql('text', 'i')} AS gram
-   FROM (SELECT doc_id, text, unnest(range(-2, length(text) + 1)) AS i FROM sub))
+  (SELECT doc_id AS node_id, {gram_term_sql('pb', 'i')} AS gram
+   FROM (SELECT doc_id, pb, unnest(range(0, len(pb) - 3)) AS i FROM
+     (SELECT doc_id, {duckdb_padded_bytes_sql('text')} AS pb FROM sub)))
   GROUP BY node_id, gram),
 counts AS (SELECT node_id, SUM(occurrences)::BIGINT AS n FROM doc_grams GROUP BY node_id),
 inter AS (
@@ -759,8 +763,9 @@ O_OVERLAPS_INCREMENTAL = f"""
 WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
 doc_grams AS (
   SELECT node_id, gram, COUNT(*)::BIGINT AS occurrences FROM
-  (SELECT doc_id AS node_id, {gram_term_sql('text', 'i')} AS gram
-   FROM (SELECT doc_id, text, unnest(range(-2, length(text) + 1)) AS i FROM sub))
+  (SELECT doc_id AS node_id, {gram_term_sql('pb', 'i')} AS gram
+   FROM (SELECT doc_id, pb, unnest(range(0, len(pb) - 3)) AS i FROM
+     (SELECT doc_id, {duckdb_padded_bytes_sql('text')} AS pb FROM sub)))
   GROUP BY node_id, gram),
 counts AS (SELECT node_id, SUM(occurrences)::BIGINT AS n FROM doc_grams GROUP BY node_id),
 inter AS (
@@ -824,13 +829,14 @@ def _coeff_values_sql() -> str:
 
 _DOC_SHINGLES_CTE = (
     "shingles AS (SELECT DISTINCT doc_id, gram FROM "
-    f"(SELECT doc_id, {gram_term_sql('text', 'i')} AS gram "
-    "FROM (SELECT doc_id, text, unnest(range(-2, length(text) + 1)) AS i FROM documents)))"
+    f"(SELECT doc_id, {gram_term_sql('pb', 'i')} AS gram "
+    "FROM (SELECT doc_id, pb, unnest(range(0, len(pb) - 3)) AS i FROM "
+    f"(SELECT doc_id, {duckdb_padded_bytes_sql('text')} AS pb FROM documents))))"
 )
 
 _MINHASH_CTE = (
     f"coeffs(j, a, b) AS (VALUES {{coeffs}}), "
-    "mh AS (SELECT doc_id, j, MIN((gram * a + b) % 2147483647) AS minhash "
+    "mh AS (SELECT doc_id, j, MIN(((gram % 2147483647) * a + b) % 2147483647) AS minhash "
     "FROM shingles CROSS JOIN coeffs GROUP BY doc_id, j)"
 )
 
@@ -976,8 +982,9 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_DEDUP_JACCARD = f"""
 WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
 sh AS (SELECT DISTINCT doc_id, gram FROM
-  (SELECT doc_id, {gram_term_sql('text', 'i')} AS gram
-   FROM (SELECT doc_id, text, unnest(range(-2, length(text) + 1)) AS i FROM sub))),
+  (SELECT doc_id, {gram_term_sql('pb', 'i')} AS gram
+   FROM (SELECT doc_id, pb, unnest(range(0, len(pb) - 3)) AS i FROM
+     (SELECT doc_id, {duckdb_padded_bytes_sql('text')} AS pb FROM sub)))),
 sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS inter
@@ -2066,8 +2073,9 @@ gtext AS (
   FROM documents GROUP BY 1),
 affected AS (SELECT g.grp, g.text FROM gtext g JOIN changed c USING (grp)),
 g AS (
-  SELECT grp, {gram_term_sql('text', 'i')} AS gram
-  FROM (SELECT grp, text, unnest(range(-2, length(text) + 1)) AS i FROM affected))
+  SELECT grp, {gram_term_sql('pb', 'i')} AS gram
+   FROM (SELECT grp, pb, unnest(range(0, len(pb) - 3)) AS i FROM
+     (SELECT grp, {duckdb_padded_bytes_sql('text')} AS pb FROM affected)))
 SELECT grp AS node_id, gram, COUNT(*)::BIGINT AS occurrences FROM g GROUP BY 1, 2
 """
 
@@ -2129,9 +2137,12 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# n_bytes is BYTES, not characters: strlen is DuckDB's octet length of
+# the UTF-8 encoding, matching Spark's length(encode(text, 'utf-8'));
+# md5(VARCHAR) already hashes the UTF-8 bytes on both engines.
 O_MULTIMODAL_META = """
 SELECT doc_id AS media_id, 'image' AS kind,
-       length(text)::BIGINT AS n_bytes, md5(text) AS payload_md5
+       strlen(text)::BIGINT AS n_bytes, md5(text) AS payload_md5
 FROM documents
 """
 
@@ -2150,13 +2161,20 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_MULTIMODAL_FRAMES = """
-SELECT doc_id AS media_id, i AS frame_idx,
-       sha256(substr(text, (i * 64 + 1)::INT, 64)) AS frame_sha256
-FROM (SELECT doc_id, text,
-             unnest(range(0, LEAST(8, GREATEST(1, length(text) // 64)))) AS i
-      FROM documents
-      WHERE text IS NOT NULL)
+# the frame fingerprint is sha256 of the LOWERCASE-HEX rendering of the
+# 64-byte window (not of the raw bytes): DuckDB cannot slice or sha256
+# BLOBs, and a byte window of UTF-8 text is not generally valid VARCHAR —
+# the hex string is the portable exact form (operators/multimodal.py
+# sample_frames hashes window.hex() identically)
+O_MULTIMODAL_FRAMES = f"""
+SELECT media_id, i AS frame_idx,
+       sha256(array_to_string(list_transform(
+           bs[(i * 64 + 1)::INT : ((i + 1) * 64)::INT],
+           b -> printf('%02x', b)), '')) AS frame_sha256
+FROM (SELECT doc_id AS media_id, bs,
+             unnest(range(0, LEAST(8, GREATEST(1, len(bs) // 64)))) AS i
+      FROM (SELECT doc_id, {duckdb_utf8_bytes_sql('text')} AS bs
+            FROM documents WHERE text IS NOT NULL))
 """
 
 
@@ -2271,8 +2289,9 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_DEDUP_SIMHASH_PAIRS = f"""
 WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
 shingles AS (SELECT DISTINCT doc_id, gram FROM
-  (SELECT doc_id, {gram_term_sql('text', 'i')} AS gram
-   FROM (SELECT doc_id, text, unnest(range(-2, length(text) + 1)) AS i FROM sub))),
+  (SELECT doc_id, {gram_term_sql('pb', 'i')} AS gram
+   FROM (SELECT doc_id, pb, unnest(range(0, len(pb) - 3)) AS i FROM
+     (SELECT doc_id, {duckdb_padded_bytes_sql('text')} AS pb FROM sub)))),
 votes AS (
   SELECT doc_id, i,
          SUM(CASE WHEN ({mix32_sql("gram", 12345)}) // (1::BIGINT << i) % 2 = 1

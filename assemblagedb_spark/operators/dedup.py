@@ -75,11 +75,15 @@ def minhash_signatures(
     # Single fold over the shingle set: the (expensive) gram array is
     # evaluated exactly once per row; each shingle updates all k mins via an
     # element-wise zip_with. O(len + len*k) arithmetic per row.
+    # g reduces mod P FIRST: byte grams reach 2^32-1 and (2^32)·a would
+    # overflow int64; for ASCII grams (always < P) the reduction is the
+    # identity, so driver-data signatures are unchanged
     sig = F.expr(
         f"aggregate(array_distinct({_grams_sql(text_col)}), "
         f"transform(sequence(1, {k}), i -> CAST({MINHASH_PRIME} AS BIGINT)), "
         f"(acc, g) -> zip_with(acc, sequence(0, {k - 1}), (m, i) -> "
-        f"least(m, (g * element_at({arr_a}, i + 1) + element_at({arr_b}, i + 1)) % {MINHASH_PRIME})))"
+        f"least(m, ((g % {MINHASH_PRIME}) * element_at({arr_a}, i + 1) "
+        f"+ element_at({arr_b}, i + 1)) % {MINHASH_PRIME})))"
     )
     # NULL text has no shingle set: no signature row, never a candidate
     # (the SQL twin's gram CTE unnests nothing for it)
@@ -299,12 +303,11 @@ def _simhash_arrow(
     docs: DataFrame, *, id_col: str, text_col: str, bits: int, seed: int
 ) -> DataFrame:
     """Vectorized simhash kernel: per Arrow batch, each document's distinct
-    4-grams (CODEPOINT windows with 3-zero padding — the utf-32 decode
-    equals Spark's ``split(col, '') + ascii()``, which keeps surrogate
-    pairs together and returns full codepoints, so parity holds on every
-    Unicode plane, non-BMP included; property-pinned) are mix32-hashed as
-    whole numpy arrays and the bit votes as one (grams × bits) popcount
-    matrix — bit-identical to the jvm/HOF form."""
+    4-grams (UTF-8 BYTE windows with 3-zero padding — identical to
+    grams_array_arrow, index_text and the byte-exact SQL form, on every
+    Unicode plane; property-pinned) are mix32-hashed as whole numpy
+    arrays and the bit votes as one (grams × bits) popcount matrix —
+    bit-identical to the jvm/HOF form."""
     import numpy as np
     import pandas as pd
 
@@ -318,7 +321,7 @@ def _simhash_arrow(
             out = np.empty(len(pdf), dtype=np.int64)
             for row, s in enumerate(pdf["__s"]):
                 c = np.frombuffer(
-                    (s or "").encode("utf-32-le"), dtype=np.uint32
+                    (s or "").encode("utf-8"), dtype=np.uint8
                 ).astype(np.int64)
                 p = np.concatenate((np.zeros(3, np.int64), c, np.zeros(3, np.int64)))
                 g = np.unique(

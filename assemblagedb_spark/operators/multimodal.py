@@ -173,7 +173,14 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
                 data = bytes(payload)
                 for i in range(min(max_frames, max(1, len(data) // every_n_bytes))):
                     window = data[i * every_n_bytes : (i + 1) * every_n_bytes]
-                    rows.append((media_id, i, hashlib.sha256(window).hexdigest()))
+                    # fingerprint the LOWERCASE-HEX rendering of the window,
+                    # not the raw bytes: the portable exact form (an SQL
+                    # oracle cannot slice or sha256 BLOBs, and a byte window
+                    # of UTF-8 text is not generally a valid string)
+                    rows.append(
+                        (media_id, i,
+                         hashlib.sha256(window.hex().encode()).hexdigest())
+                    )
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_sha256"])
 
     return media.select("media_id", "payload").mapInPandas(sample, FRAME_SAMPLE_SCHEMA)

@@ -36,8 +36,20 @@ assigned it a nondeterministic NULL-distance rank; NULL vectors are
 now excluded from training, indexing, assignment and search on both
 engines.
 
-A crash or silent coalesce on degenerate input is a real 100 TB bug:
-filters drain tables, days have no events, scrapes have missing bodies.
+Unicode byte-exactness (22 failures): the portable gram SQL windowed
+CODEPOINTS (up to 0x10FFFF) through a byte-width packing — overflowing
+DuckDB's INT32 arithmetic and, via the minhash product, int64 under
+Spark ANSI mode, and deviating from the reference's UTF-8 byte-gram
+unit on any non-ASCII text. The SQL forms now derive true UTF-8 bytes
+arithmetically from codepoints on both engines (identical to
+grams_array_arrow / index_text on every plane), minhash reduces grams
+mod P before the universal hash, simhash shingles are byte windows, and
+the multimodal oracles measure bytes (strlen) and hash hex renderings
+(BLOBs are not SQL-sliceable).
+
+A crash, silent coalesce, or codepoint-for-byte approximation on
+degenerate input is a real 100 TB bug: filters drain tables, days have
+no events, scrapes have missing bodies, and the web is not ASCII.
 """
 
 from __future__ import annotations
@@ -90,6 +102,31 @@ NULL_CONTENT_GATES = [
     "events_asof_tolerance",
     "events_outliers_grouped",
 ]
+UNICODE_GATES = [
+    "gram_index",
+    "gram_counts",
+    "gram_stats",
+    "gram_index_delta",
+    "search",
+    "search_topk",
+    "find_symmetric",
+    "overlaps",
+    "overlaps_incremental",
+    "reindex_parents",
+    "dedup_minhash_sig",
+    "dedup_lsh_pairs",
+    "dedup_minhash_est",
+    "dedup_lsh_verify",
+    "dedup_containment",
+    "dedup_jaccard",
+    "dedup_incremental",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_clusters",
+    "graph_triangles",
+    "multimodal_meta",
+    "multimodal_frames",
+]
 NULL_VECTOR_GATES = [
     "kmeans_train",
     "embedding_assign",
@@ -138,32 +175,38 @@ def _assert_matches_oracle(spark, sf_dir: str, name: str) -> None:
 
 @pytest.mark.parametrize("name", EMPTY_GATES)
 def test_gate_on_empty_tables(spark, degenerate_dirs, name):
-    empty_dir, _, _, _ = degenerate_dirs
+    empty_dir = degenerate_dirs[0]
     _assert_matches_oracle(spark, empty_dir, name)
 
 
 @pytest.mark.parametrize("name", ONE_ROW_GATES)
 def test_gate_on_one_row_tables(spark, degenerate_dirs, name):
-    _, one_dir, _, _ = degenerate_dirs
+    one_dir = degenerate_dirs[1]
     _assert_matches_oracle(spark, one_dir, name)
 
 
 @pytest.mark.parametrize("name", NULL_CONTENT_GATES)
 def test_gate_on_null_content(spark, degenerate_dirs, name):
-    _, _, nulls_dir, _ = degenerate_dirs
+    nulls_dir = degenerate_dirs[2]
     _assert_matches_oracle(spark, nulls_dir, name)
 
 
 @pytest.mark.parametrize("name", NULL_VECTOR_GATES)
 def test_gate_on_null_embeddings(spark, degenerate_dirs, name):
-    _, _, _, vecnulls_dir = degenerate_dirs
+    vecnulls_dir = degenerate_dirs[3]
     _assert_matches_oracle(spark, vecnulls_dir, name)
+
+
+@pytest.mark.parametrize("name", UNICODE_GATES)
+def test_gate_on_unicode_text(spark, degenerate_dirs, name):
+    unicode_dir = degenerate_dirs[4]
+    _assert_matches_oracle(spark, unicode_dir, name)
 
 
 def test_rollup_empty_emits_ansi_global_row(spark, degenerate_dirs):
     """The () grouping set is a global aggregate: one n=0 row on empty
     input (the exact divergence Spark's native rollup()/cube() has)."""
-    empty_dir, _, _, _ = degenerate_dirs
+    empty_dir = degenerate_dirs[0]
     rows = h.SPARK_QUERIES["events_rollup"](spark, empty_dir).collect()
     assert len(rows) == 1
     r = rows[0]

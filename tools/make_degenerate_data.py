@@ -9,7 +9,12 @@
 - ``sfvecnulls``: full rows with ~11% NULL embedding vectors (keys and
   every other table intact) — NULL vectors must be excluded from
   training, indexing, assignment and search, not crash a seed collect
-  or a numpy stack.
+  or a numpy stack;
+- ``sfunicode``: documents.text injected with multilingual and
+  SUPPLEMENTARY-PLANE characters (Greek/Cyrillic/CJK/emoji/musical
+  symbols) at deterministic positions — text operators must be UTF-8
+  BYTE-exact (the reference's gram unit), not codepoint-approximate,
+  and nothing may overflow on astral codepoints.
 
 Why: at 100 TB a pipeline constantly meets empty tables, empty
 partitions, NULL content, and slices that violate cross-table
@@ -18,17 +23,19 @@ scrape with missing bodies). Every declared gate must behave like its
 ANSI oracle on these inputs — not crash in a seed collect, a numpy
 stack, or a driver-side min/max, and not silently coalesce missing
 content into empty content. The round-5 sweeps over these dirs found
-14 (empty/one-row) + 19 (NULL-content) + 14 (NULL-embedding) real
-failures, all fixed and pinned by tests/test_degenerate_inputs.py.
+14 (empty/one-row) + 19 (NULL-content) + 14 (NULL-embedding) + 22
+(Unicode byte-exactness) real failures, all fixed and pinned by
+tests/test_degenerate_inputs.py.
 
 Usage:
     python tools/make_degenerate_data.py [src_sf_dir] [out_root]
-    # defaults: /root/testdata/sf0.001 -> /tmp/sf{empty,one,nulls,vecnulls}
+    # defaults: /root/testdata/sf0.001 -> /tmp/sf{empty,one,nulls,vecnulls,unicode}
 then sweep with the standard gate checker:
     python tools/check_oracles.py /tmp/sfempty
     python tools/check_oracles.py /tmp/sfone
     python tools/check_oracles.py /tmp/sfnulls
     python tools/check_oracles.py /tmp/sfvecnulls
+    python tools/check_oracles.py /tmp/sfunicode
 """
 
 from __future__ import annotations
@@ -62,10 +69,21 @@ _VECNULL_PLANS = {
     ),
 }
 
+_UNICODE_PLANS = {
+    "documents": (
+        "SELECT doc_id, CASE"
+        " WHEN doc_id % 4 = 1 THEN 'Ünïçødé πρόλογος 漢字テスト ' || text"
+        " WHEN doc_id % 4 = 3 THEN text || ' эпилог 🎉𝄞😀'"
+        " WHEN doc_id % 8 = 6 THEN"
+        "   substr(text, 1, 40) || ' 🤖中文 ' || substr(text, 41)"
+        " ELSE text END AS text, lang, source, n_chars FROM t"
+    ),
+}
 
-def write_degenerate(src: str, out_root: str) -> tuple[str, str, str, str]:
-    """Write <out_root>/sfempty, <out_root>/sfone, <out_root>/sfnulls and
-    <out_root>/sfvecnulls from ``src``; returns the four directory paths."""
+
+def write_degenerate(src: str, out_root: str) -> tuple[str, ...]:
+    """Write <out_root>/sf{empty,one,nulls,vecnulls,unicode} from ``src``;
+    returns the five directory paths."""
     import duckdb
     import pyarrow.parquet as pq
 
@@ -82,7 +100,11 @@ def write_degenerate(src: str, out_root: str) -> tuple[str, str, str, str]:
         dirs.append(dst)
 
     con = duckdb.connect()
-    for name, plans in (("sfnulls", _NULL_PLANS), ("sfvecnulls", _VECNULL_PLANS)):
+    for name, plans in (
+        ("sfnulls", _NULL_PLANS),
+        ("sfvecnulls", _VECNULL_PLANS),
+        ("sfunicode", _UNICODE_PLANS),
+    ):
         dst = os.path.join(out_root, name)
         os.makedirs(dst, exist_ok=True)
         for f in sorted(os.listdir(src)):
@@ -98,7 +120,7 @@ def write_degenerate(src: str, out_root: str) -> tuple[str, str, str, str]:
             )
         dirs.append(dst)
     con.close()
-    return dirs[0], dirs[1], dirs[2], dirs[3]
+    return tuple(dirs)
 
 
 def main() -> None:
