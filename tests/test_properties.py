@@ -98,15 +98,16 @@ def test_kvstore_matches_model(ops):
 @settings(max_examples=30, suppress_health_check=[HealthCheck.too_slow], deadline=None)
 @given(
     st.lists(
-        st.text(alphabet=string.printable.replace("\x0b", "").replace("\x0c", ""), max_size=40),
+        st.text(max_size=40),  # full unicode — the SQL form is byte-exact
         min_size=1,
         max_size=8,
     )
 )
 def test_spark_grams_equal_driver_grams(spark, texts):
-    """The JVM zip_with gram expression equals byte-exact index_text for
-    ASCII inputs (the SQL form grams by codepoint; printable ASCII keeps
-    codepoint == byte)."""
+    """The JVM zip_with gram expression equals byte-exact index_text on
+    ARBITRARY unicode (the SQL form derives true UTF-8 bytes from
+    codepoints — round-5 Unicode sweep fix; before that it grammed by
+    codepoint and was only correct for ASCII)."""
     from pyspark.sql import functions as F
 
     from assemblagedb_spark.operators.grams import grams_array
@@ -754,7 +755,11 @@ def test_duckdb_grams_select_matches_spark_grams(spark):
     )
     from pyspark.sql import functions as F
 
-    rows = [(1, "foobar"), (2, ""), (3, "a"), (4, "foo bar baz")]
+    rows = [
+        (1, "foobar"), (2, ""), (3, "a"), (4, "foo bar baz"),
+        (5, "Ünïçødé πρόλογος"), (6, "漢字テスト"), (7, "🎉𝄞😀"),
+        (8, "mixed ascii 漢 and 🎉 astral"),
+    ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got_spark = sorted(
         (r["doc_id"], g)
