@@ -220,13 +220,16 @@ def encode_codes_column(
     sub_dim: int = 8,
     vec_col: str = "embedding",
     scale: int | None = 1000,
+    literal: dict[int, list[tuple[int, list[int]]]] | None = None,
 ):
     """The literal-folded encode expression: an ``array<bigint>`` of the
     row's m argmin codes (index = subspace). Stateless, so it encodes a
     STREAM per micro-batch unchanged (streaming/ann.py). Returns ``None``
     when the codebook exceeds the literal budget or a subspace trained no
-    labels — callers fall back to :func:`_pq_encode_agg`."""
-    cb = _codebook_literal(codebook)
+    labels — callers fall back to :func:`_pq_encode_agg`. Callers that
+    already hold the collected :func:`_codebook_literal` pass it via
+    ``literal`` so the codebook is collected exactly once."""
+    cb = _codebook_literal(codebook) if literal is None else literal
     n_cells = sum(len(v) for v in cb.values())
     if n_cells > _ENCODE_LITERAL_MAX_CELLS or any(
         not cb.get(sp) for sp in range(m)

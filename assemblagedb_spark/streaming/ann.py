@@ -34,7 +34,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
-from assemblagedb_spark.operators.pq import _pq_encode_agg, encode_codes_column
+from assemblagedb_spark.operators.pq import (
+    _codebook_literal,
+    _pq_encode_agg,
+    encode_codes_column,
+)
 from assemblagedb_spark.operators.similarity import centroid_matrix
 
 
@@ -94,7 +98,11 @@ def ivfpq_ingest(
     (`pq.residual_vectors` + `pq.pq_encode(..., scale=None)` over
     `similarity.ivf_assign(centroids=)`). One projection chain + one
     explode: zero exchanges, append-mode safe."""
-    if codebook.limit(1).count() == 0:
+    # ONE codebook collect serves both the never-trained check and the
+    # encode literal (an eager count() job here would block the streaming
+    # setup path for information the literal already carries)
+    cb = _codebook_literal(codebook)
+    if not cb:
         # NEVER-trained states (empty offline corpus): nothing can be
         # encoded or cell-assigned — an empty streaming projection with
         # the output schema (still a stream transformation, append-safe)
@@ -105,7 +113,8 @@ def ivfpq_ingest(
             F.lit(None).cast("long").alias("cell"),
         ).where(F.lit(False))
     codes_expr = encode_codes_column(
-        codebook, m=m, sub_dim=sub_dim, vec_col="rvec", scale=None
+        codebook, m=m, sub_dim=sub_dim, vec_col="rvec", scale=None,
+        literal=cb,
     )
     if codes_expr is None:
         raise ValueError(

@@ -1,0 +1,38 @@
+"""Historical measurement artifacts are immutable.
+
+Round-5 advice: the frozen round-5 bench snapshot was overwritten
+mid-round with a later run's numbers, erasing the prior record and
+masking per-query regressions. The rule going forward: each round's
+final local bench line is COPIED to ``BENCH_LOCAL_r{N}.json`` once the
+round closes and never rewritten — new results go to a NEW file. These
+hash pins make an accidental overwrite a test failure instead of a
+silent history rewrite. When a new round closes, append its snapshot's
+hash here; never change an existing entry.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# sha256 of each CLOSED round's committed snapshot (r05 is the final
+# round-5 state — the intermediate 74.57s record it replaced is only in
+# git history, which is exactly what this pin prevents happening again)
+FROZEN = {
+    "BENCH_LOCAL_r04.json":
+        "bac984ed5d5d729467787e4bad5b285304547142a6f8d7722f3429a58f43935d",
+    "BENCH_LOCAL_r05.json":
+        "3a0e3618a5a150a3f39014e4179e2703cb356925adbebe204752c81f2bd8297f",
+}
+
+
+def test_bench_snapshots_unchanged():
+    for name, want in FROZEN.items():
+        with open(os.path.join(REPO, name), "rb") as fh:
+            got = hashlib.sha256(fh.read()).hexdigest()
+        assert got == want, (
+            f"{name} was modified — historical bench snapshots are "
+            "immutable; write new results to a new BENCH_LOCAL_r{N}.json"
+        )

@@ -97,19 +97,33 @@ def test_ivfpq_rerank_gate_refines_not_copies(spark, sf_dir):
     def by_q(name):
         out: dict = {}
         for r in h.SPARK_QUERIES[name](spark, sf_dir).collect():
-            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-        return out
+            out.setdefault(r["query_id"], {})[r["rank"]] = r["neighbor_id"]
+        return {
+            q: [v[rk] for rk in sorted(v)] for q, v in out.items()
+        }
 
     refined, adc, exact = (
         by_q("ann_ivfpq_rerank"), by_q("ann_ivfpq"), by_q("ann_topk")
     )
     assert set(refined) == set(adc) and len(refined) >= 10
     assert all(len(v) == 10 for v in refined.values())
-    assert refined != adc  # at least one query's list actually changed
+    # RANK-ORDERED comparison: the exact-cosine pass must change at least
+    # one query's ordered top-10 (membership OR order) — order is strictly
+    # more sensitive than set equality, so this only fails if ADC's
+    # integer-grid ranking coincides with true cosine on EVERY query
+    diverging = [q for q in refined if refined[q] != adc.get(q)]
+    assert diverging, (
+        "ann_ivfpq_rerank returned the pure-ADC ordering for every query: "
+        "either the exact-cosine refine is dead code (the gate is "
+        "ann_ivfpq in disguise), or this dataset/config makes ADC exact — "
+        "if the latter, re-pin this test on a corpus where the quantized "
+        "metric demonstrably diverges"
+    )
 
     def recall(got):
         return sum(
-            len(got.get(q, set()) & e) / len(e) for q, e in exact.items()
+            len(set(got.get(q, [])) & set(e)) / len(e)
+            for q, e in exact.items()
         ) / len(exact)
 
     assert recall(refined) >= recall(adc)

@@ -255,3 +255,18 @@ def test_contraction_pass_adds_no_exchange(spark, sf_dir):
     stars = contraction_pass(edges)
     assert count_exchanges(stars) == 0
     assert "MapInPandas" in formatted_plan(stars)
+
+
+def test_grouping_sets_single_expand_single_scan(spark, sf_dir):
+    # _ansi_grouping_agg buys ANSI empty-input semantics by unioning ONE
+    # all-NULL sentinel row (a Range(1) branch) into the rollup/cube
+    # input — measured faster at sf0.1 than a second scan or a cells
+    # cascade. Pin that shape so a refactor doesn't silently regress to
+    # the two-scan form: exactly one Expand, exactly one events scan,
+    # and the sentinel's Range branch present in the union.
+    for q in (h.q_events_rollup, h.q_events_cube):
+        plan = formatted_plan(q(spark, sf_dir))
+        # ") <Node>" counts the numbered detail sections = node instances
+        assert plan.count(") Expand") == 1, q.__name__
+        assert plan.count(") Scan parquet") == 1, q.__name__
+        assert plan.count(") Range") == 1 and "Range (0, 1," in plan, q.__name__
