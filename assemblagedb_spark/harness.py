@@ -2871,10 +2871,11 @@ GROUP BY o.o_orderkey
 _EXPORT_CUTOFF = "1996-06-01"
 
 
-def q_export_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """export_since (index.rs:456-531): per sampled customer root, the
-    subtree members modified after the cutoff — the incremental episode's
-    content set (orders by o_orderdate, lines by l_shipdate)."""
+def _export_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(root_id, node_id, mod_ts): per sampled customer root, the subtree
+    members modified after the export cutoff — the incremental episode
+    content set shared by `export_incremental` (which drops mod_ts) and
+    `streaming_broadcast_ingest` (which windows on it)."""
     from assemblagedb_spark.operators.traversal import subtree_closure
 
     o = load_table(spark, sf_dir, "orders")
@@ -2910,8 +2911,15 @@ def q_export_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sub.join(mod_ts, "node_id")
         .filter(F.col("mod_ts") > F.lit(_EXPORT_CUTOFF).cast("timestamp"))
-        .select("root_id", "node_id")
+        .select("root_id", "node_id", "mod_ts")
     )
+
+
+def q_export_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """export_since (index.rs:456-531): per sampled customer root, the
+    subtree members modified after the cutoff — the incremental episode's
+    content set (orders by o_orderdate, lines by l_shipdate)."""
+    return _export_members(spark, sf_dir).select("root_id", "node_id")
 
 
 O_EXPORT_INCREMENTAL = f"""
@@ -5795,6 +5803,108 @@ def q_streaming_sessions_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+# Watermark boundaries for the broadcast-subscription gate: the export
+# window (> _EXPORT_CUTOFF) split into three successive pulls on fixed
+# dates, so each episode is exactly one export_since delta and the
+# oracle can replay the windowing.
+_EPISODE_PULLS = ("1997-03-01", "1998-01-01")
+
+
+def q_streaming_broadcast_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming broadcast subscription, gate-checked: the
+    incremental-export content set (the `export_incremental` relation,
+    broadcast.rs:56-68 pub/sub semantics) is published as THREE episode
+    directories — successive ``export_since`` pulls windowed on fixed
+    mod_ts watermarks — and consumed through the real subscription
+    surface (`streaming.broadcast.episode_stream`: checkpointed file
+    source, one episode file per micro-batch). The accumulated sink
+    after the last batch must equal the direct batch export with each
+    node in the episode its watermark window dictates — state after N
+    pulls ≡ one-shot export, the per-subscription watermark contract.
+    Stateless append (discovery-once is the checkpoint's job), so the
+    gate pins exactly-once episode consumption, not Spark aggregation."""
+    import shutil
+    import tempfile
+
+    from assemblagedb_spark.streaming.broadcast import episode_stream
+
+    c1, c2 = (F.lit(d).cast("timestamp") for d in _EPISODE_PULLS)
+    tagged = _export_members(spark, sf_dir).withColumn(
+        "episode",
+        F.when(F.col("mod_ts") <= c1, F.lit("e1"))
+        .when(F.col("mod_ts") <= c2, F.lit("e2"))
+        .otherwise(F.lit("e3")),
+    )
+    n_rows = tagged.count()
+    if n_rows == 0:
+        # nothing exported after the cutoff -> no episodes, no state
+        return spark.createDataFrame(
+            [], "node_id string, root_id string, episode string"
+        )
+    root = tempfile.mkdtemp(prefix="broadcast_ingest_gate_")
+    base, sink, ckpt = f"{root}/pub", f"{root}/sink", f"{root}/ckpt"
+    bid = "gate-broadcast"
+    try:
+        # one single-file nodes dataset per episode (NODES_EPISODE_SCHEMA
+        # shape: the export member keyed by node_id, root in text, pull
+        # window in layout) -> maxFilesPerTrigger=1 replays each pull as
+        # its own micro-batch
+        for ep in ("e1", "e2", "e3"):
+            tagged.filter(F.col("episode") == ep).select(
+                "node_id",
+                F.lit("Block").alias("kind"),
+                F.col("root_id").alias("text"),
+                F.col("episode").alias("layout"),
+                F.lit(None).cast("string").alias("style_kind"),
+                F.expr("array()").cast("array<string>").alias("styles"),
+                F.expr("array()").cast("array<string>").alias("children"),
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{base}/{bid}/episode={ep}/nodes"
+            )
+        stream = episode_stream(spark, base, bid, max_files_per_trigger=1)
+        with _stream_shuffle_scope(spark, n_rows):
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        return spark.read.parquet(sink).select(
+            "node_id",
+            F.col("text").alias("root_id"),
+            F.col("layout").alias("episode"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+O_STREAMING_BROADCAST_INGEST = f"""
+WITH roots AS (SELECT c_custkey, 'C' || c_custkey AS root_id FROM customer WHERE c_custkey % 100 = 0),
+lines AS (
+  SELECT l_orderkey, l_linenumber, MAX(l_shipdate) AS mod_ts
+  FROM lineitem GROUP BY l_orderkey, l_linenumber
+),
+members AS (
+  SELECT r.root_id, 'O' || o.o_orderkey AS node_id, o.o_orderdate::TIMESTAMP AS mod_ts
+  FROM roots r JOIN orders o ON o.o_custkey = r.c_custkey
+  WHERE o.o_orderdate > TIMESTAMP '{_EXPORT_CUTOFF}'
+  UNION ALL
+  SELECT r.root_id, 'L' || l.l_orderkey || '-' || l.l_linenumber, l.mod_ts::TIMESTAMP
+  FROM roots r JOIN orders o ON o.o_custkey = r.c_custkey
+  JOIN lines l ON l.l_orderkey = o.o_orderkey
+  WHERE l.mod_ts > TIMESTAMP '{_EXPORT_CUTOFF}'
+)
+SELECT node_id, root_id,
+       CASE WHEN mod_ts <= TIMESTAMP '{_EPISODE_PULLS[0]}' THEN 'e1'
+            WHEN mod_ts <= TIMESTAMP '{_EPISODE_PULLS[1]}' THEN 'e2'
+            ELSE 'e3' END AS episode
+FROM members
+"""
+
+
 def _o_streaming_sessions() -> str:
     return f"""
 WITH closed_base AS ({O_EVENTS_SESSIONS})
@@ -6065,6 +6175,7 @@ SPARK_QUERIES = {
     "streaming_rollup_ingest": q_streaming_rollup_ingest,
     "streaming_hll_ingest": q_streaming_hll_ingest,
     "streaming_sessions_ingest": q_streaming_sessions_ingest,
+    "streaming_broadcast_ingest": q_streaming_broadcast_ingest,
     "ann_ivfpq_rerank": q_ann_ivfpq_rerank,
 }
 
@@ -6208,6 +6319,7 @@ ORACLES = {
     "streaming_rollup_ingest": _o_rollup_cascade(),
     "streaming_hll_ingest": O_DISTINCT_HLL,
     "streaming_sessions_ingest": _o_streaming_sessions(),
+    "streaming_broadcast_ingest": O_STREAMING_BROADCAST_INGEST,
     "ann_ivfpq_rerank": _o_ann_ivfpq_rerank(),
 }
 

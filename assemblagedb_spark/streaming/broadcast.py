@@ -29,13 +29,24 @@ from assemblagedb_spark.sources.episodes import (
 )
 
 
-def episode_stream(spark: SparkSession, base_dir: str, broadcast_id: str) -> DataFrame:
-    """Streaming DataFrame of node rows across a broadcast's episodes."""
-    return (
-        spark.readStream.schema(NODES_EPISODE_SCHEMA)
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(f"{base_dir}/{broadcast_id}/episode=*/nodes")
+def episode_stream(
+    spark: SparkSession,
+    base_dir: str,
+    broadcast_id: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming DataFrame of node rows across a broadcast's episodes.
+
+    ``max_files_per_trigger`` throttles discovery to N episode files per
+    micro-batch — the gate uses 1 so each episode replays as its own
+    batch, the per-subscription watermark semantics of the reference's
+    incremental ``fetch`` (broadcast.rs:56-68)."""
+    reader = spark.readStream.schema(NODES_EPISODE_SCHEMA).option(
+        "pathGlobFilter", "*.parquet"
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(f"{base_dir}/{broadcast_id}/episode=*/nodes")
 
 
 def subscribe_stream(

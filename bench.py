@@ -116,6 +116,9 @@ BENCH_QUERIES = [
     "streaming_rollup_ingest",
     "streaming_hll_ingest",
     "streaming_sessions_ingest",
+    # round-6 addition: broadcast subscription via the checkpointed
+    # episode file source (state after 3 pulls == batch export)
+    "streaming_broadcast_ingest",
 ]
 
 

@@ -58,7 +58,7 @@ def test_ivfpq_gate_prunes_but_not_vacuous(spark, sf_dir):
 
     probes = ivf_probes(
         emb.filter(F.col("vec_id") % h._PQ_QUERY_MOD == 0),
-        nprobe=h._IVT_PROBE,
+        nprobe=h._IVFPQ_PROBE,
         centroids=h._trained_kmeans(spark, sf_dir, h._IVT_K, 2),
     )
     n_pairs = (
@@ -199,3 +199,25 @@ def test_simhash_candidate_stage_not_vacuous(spark, sf_dir):
     cand = simhash_band_candidates(fp, bands=5, bits=32)
     assert cand.count() >= 20
     assert _rows(spark, sf_dir, "dedup_simhash_pairs") >= 1
+
+
+def test_streaming_broadcast_gate_covers_three_pulls(spark, sf_dir):
+    # the subscription state after the three single-file episode batches
+    # must equal the batch export (per-subscription watermark contract),
+    # and each pull window must be genuinely non-empty — otherwise the
+    # gate degenerates to a single-batch file read
+    got = h.SPARK_QUERIES["streaming_broadcast_ingest"](
+        spark, sf_dir).collect()
+    want = {
+        (r["root_id"], r["node_id"])
+        for r in h.SPARK_QUERIES["export_incremental"](
+            spark, sf_dir).collect()
+    }
+    assert {(r["root_id"], r["node_id"]) for r in got} == want
+    assert len(got) == len(want) > 0  # exactly-once: no episode replayed
+    per_ep = {}
+    for r in got:
+        per_ep[r["episode"]] = per_ep.get(r["episode"], 0) + 1
+    assert set(per_ep) == {"e1", "e2", "e3"} and all(
+        v > 0 for v in per_ep.values()
+    )
