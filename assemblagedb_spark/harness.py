@@ -5829,12 +5829,14 @@ def q_streaming_broadcast_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from assemblagedb_spark.streaming.broadcast import episode_stream
 
     c1, c2 = (F.lit(d).cast("timestamp") for d in _EPISODE_PULLS)
+    # pin the export once: the subtree-closure join tree would otherwise
+    # re-execute for each of the three episode writes (4x with the count)
     tagged = _export_members(spark, sf_dir).withColumn(
         "episode",
         F.when(F.col("mod_ts") <= c1, F.lit("e1"))
         .when(F.col("mod_ts") <= c2, F.lit("e2"))
         .otherwise(F.lit("e3")),
-    )
+    ).localCheckpoint(eager=True)
     n_rows = tagged.count()
     if n_rows == 0:
         # nothing exported after the cutoff -> no episodes, no state
