@@ -6,13 +6,15 @@ and every transform is an Arrow-batched function over ``mapInPandas`` so
 bytes stream through Python in columnar batches without JVM round-trips
 per row.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT available in this
-container, so the decode kernels are stubbed: ``decode_image`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a deterministic
-fake decoder (seeded by the payload hash) produces stable dimensions/frames.
-Everything around the stub — schemas, batch iteration, partitioning
-controls, UDF signatures — is real and tested; swapping in a real codec is
-a one-function change.
+Codec status: ``decode_image`` — the (width, height, channels) metadata
+path every gate and feature extractor here uses — is REAL for PNG, GIF
+and JPEG payloads via a pure-stdlib header parser (the same lazy-header
+read PIL's ``Image.open`` performs for ``.width``/``.height``: pixels are
+never decoded for dimension extraction). PIL, when the environment ships
+it, extends coverage to other container formats; pixel-level transforms
+(resize, frame extraction) still require PIL/ffmpeg and stay stubbed —
+``fake=True`` selects the deterministic payload-hash stub the replayable
+harness gates use.
 """
 
 from __future__ import annotations
@@ -59,32 +61,93 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return width, height, channels
 
 
-try:  # real codec, used automatically when the environment provides it
+try:  # optional wider-format codec, used when the environment provides it
     from PIL import Image as _PILImage  # type: ignore
 
     HAS_IMAGE_CODEC = True
-except ImportError:  # this container ships no image codec
+except ImportError:  # this container ships no PIL; header parser still works
     _PILImage = None
     HAS_IMAGE_CODEC = False
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> band count, matching len(PIL.Image.getbands()):
+# 0 gray 'L'=1, 2 truecolor 'RGB'=3, 3 palette 'P'=1, 4 'LA'=2, 6 'RGBA'=4
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# JPEG start-of-frame markers (baseline through lossless, arithmetic
+# variants) — the segment carrying dimensions and component count
+_JPEG_SOF = frozenset(
+    range(0xC0, 0xCF + 1)
+) - {0xC4, 0xC8, 0xCC}  # exclude DHT, JPG extension, DAC
+
+
+def _header_decode(payload: bytes) -> tuple[int, int, int] | None:
+    """Pure-stdlib (width, height, channels) from PNG/GIF/JPEG headers —
+    exactly the metadata PIL's lazy ``Image.open`` reads for
+    ``.width``/``.height``/``getbands()`` without ever decoding pixels
+    (the cheap-dimension-extraction pattern production data pipelines
+    use at scan time). Returns ``None`` for unrecognized or truncated
+    payloads; band counts mirror PIL's mode mapping so answers are
+    identical whichever path serves them."""
+    import struct
+
+    if payload[:8] == _PNG_MAGIC:
+        if len(payload) < 26 or payload[12:16] != b"IHDR":
+            return None
+        w, h = struct.unpack(">II", payload[16:24])
+        ch = _PNG_CHANNELS.get(payload[25])
+        return (w, h, ch) if ch else None
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 10:
+            return None
+        w, h = struct.unpack("<HH", payload[6:10])
+        return w, h, 1  # PIL opens GIF in palette mode 'P' — one band
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI
+        i, n = 2, len(payload)
+        while i + 3 < n:
+            if payload[i] != 0xFF:
+                return None  # marker desync: not a parseable JPEG
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if marker in _JPEG_SOF:
+                if i + 9 >= n:
+                    return None
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return w, h, payload[i + 9]  # components = bands
+            i += 2 + seg_len
+        return None
+    return None
 
 
 def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, int]:
     """(width, height, channels) of an encoded image payload.
 
     With ``fake=True``: the deterministic stub (payload-hash-derived dims) —
-    what the harness gates use for replayability. Otherwise decodes with PIL
-    when importable (``HAS_IMAGE_CODEC``); raises ``NotImplementedError`` in
-    codec-less environments like this container.
-    """
+    what the harness gates use for replayability. Otherwise the stdlib
+    header parser decodes PNG/GIF/JPEG directly (no pixel decode — the
+    same lazy read PIL performs for these fields); PIL, when importable
+    (``HAS_IMAGE_CODEC``), covers any remaining container formats.
+    Raises ``NotImplementedError`` only for payloads neither path
+    recognizes."""
     if fake:
         return _fake_decode(payload)
+    dims = _header_decode(payload or b"")
+    if dims is not None:
+        return dims
     if HAS_IMAGE_CODEC:
         import io
 
         with _PILImage.open(io.BytesIO(payload)) as im:
             return im.width, im.height, len(im.getbands())
     raise NotImplementedError(
-        "no image codec in this environment — use fake=True or install PIL"
+        "unrecognized image payload (not PNG/GIF/JPEG) and no wider codec "
+        "in this environment — install PIL for other container formats"
     )
 
 
