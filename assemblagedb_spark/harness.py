@@ -2178,6 +2178,37 @@ FROM (SELECT doc_id AS media_id, bs,
 """
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end to end (round 6; closes the codec gap for
+    the metadata path): the engine constructs genuine PNG signature+IHDR
+    payloads JVM-side from each doc_id (binary concat/unhex projection,
+    width/height/color-type functions of the id), then
+    `decode_image_features` PARSES the bytes back with the production
+    decode path (stdlib header parser — fake=False, no stub). The oracle
+    predicts the dimensions arithmetically from doc_id, so a hash match
+    proves the parser extracts exactly what the bytes encode — byte
+    construction and byte parsing check each other."""
+    from assemblagedb_spark.operators.multimodal import (
+        decode_image_features,
+        png_media_table,
+    )
+
+    m = png_media_table(load_table(spark, sf_dir, "documents"))
+    return decode_image_features(m)
+
+
+# channels replay PIL's band mapping for the color type cycle
+# [0, 2, 3, 4, 6][doc_id % 5] -> gray 1, RGB 3, palette 1, LA 2, RGBA 4
+O_MULTIMODAL_DECODE = """
+SELECT doc_id::BIGINT AS media_id,
+       (16 + doc_id % 240)::INT AS width,
+       (16 + (doc_id * 7) % 240)::INT AS height,
+       (CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 1
+                        WHEN 3 THEN 2 ELSE 4 END)::INT AS n_channels
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sessionization (streaming-shaped batch, gap-based session windows)
 # ---------------------------------------------------------------------------
@@ -6093,6 +6124,7 @@ SPARK_QUERIES = {
     "display_class": q_display_class,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_decode": q_multimodal_decode,
     "gram_index_delta": q_gram_index_delta,
     "reindex_parents": q_reindex_parents,
     "graph_orphans": q_graph_orphans,
@@ -6235,6 +6267,7 @@ ORACLES = {
     "display_class": O_DISPLAY_CLASS,
     "multimodal_meta": O_MULTIMODAL_META,
     "multimodal_frames": O_MULTIMODAL_FRAMES,
+    "multimodal_decode": O_MULTIMODAL_DECODE,
     "gram_index_delta": O_GRAM_INDEX_DELTA,
     "reindex_parents": O_REINDEX_PARENTS,
     "graph_orphans": O_GRAPH_ORPHANS,

@@ -151,6 +151,61 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, int]:
     )
 
 
+def png_media_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, kind, payload): a media table whose payloads are REAL
+    PNG signatures + IHDR chunks, constructed JVM-side from the row id
+    (width = 16 + id % 240, height = 16 + (id * 7) % 240, color type
+    cycling through the five PNG types). The bytes are genuinely parsed
+    back by :func:`decode_image`'s header path — engine-built payloads
+    in, parser-extracted dimensions out — so an oracle predicting the
+    dimensions arithmetically pins the parser, not a stub. Pure binary
+    concat/unhex projection: zero Python, zero shuffle."""
+    cts = "element_at(array(0, 2, 3, 4, 6), CAST(pmod({id}, 5) AS INT) + 1)"
+    payload = (
+        "concat("
+        "unhex('89504E470D0A1A0A'), "            # PNG signature
+        "unhex('0000000D49484452'), "            # IHDR length + type
+        "unhex(lpad(hex(16 + pmod({id}, 240)), 8, '0')), "
+        "unhex(lpad(hex(16 + pmod({id} * 7, 240)), 8, '0')), "
+        "unhex(concat('08', lpad(hex(" + cts + "), 2, '0'), '000000')), "
+        "unhex('00000000'))"                     # CRC (not read by header)
+    ).format(id=id_col)
+    return docs.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.expr(payload).alias("payload"),
+    )
+
+
+def decode_image_features(media: DataFrame) -> DataFrame:
+    """REAL-decode feature extraction: (media_id, width, height,
+    n_channels) via :func:`decode_image` with ``fake=False`` — the
+    production path (header parser, PIL fallback) over Arrow batches.
+    Unrecognized payloads surface as NULL dims rather than failing the
+    batch (scan-time tolerance a 100 TB ingest needs)."""
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, c = decode_image(
+                        bytes(payload) if payload is not None else b""
+                    )
+                except NotImplementedError:
+                    w = h = c = None
+                rows.append((media_id, w, h, c))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "n_channels"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, "media_id long, width int, height int, n_channels int"
+    )
+
+
 def media_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Synthesize a media table from a text corpus (payload = utf-8 bytes):
     the harness stand-in for an ingested image dataset — schema and byte

@@ -116,9 +116,11 @@ BENCH_QUERIES = [
     "streaming_rollup_ingest",
     "streaming_hll_ingest",
     "streaming_sessions_ingest",
-    # round-6 addition: broadcast subscription via the checkpointed
-    # episode file source (state after 3 pulls == batch export)
+    # round-6 additions: broadcast subscription via the checkpointed
+    # episode file source (state after 3 pulls == batch export), and the
+    # REAL image-header decode loop (engine-built PNG bytes parsed back)
     "streaming_broadcast_ingest",
+    "multimodal_decode",
 ]
 
 

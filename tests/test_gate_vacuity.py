@@ -221,3 +221,17 @@ def test_streaming_broadcast_gate_covers_three_pulls(spark, sf_dir):
     assert set(per_ep) == {"e1", "e2", "e3"} and all(
         v > 0 for v in per_ep.values()
     )
+
+
+def test_multimodal_decode_gate_parses_every_color_type(spark, sf_dir):
+    # the REAL decode path must have parsed every payload (no NULL dims
+    # anywhere — the refuse branch never fired) and the corpus must
+    # exercise all five PNG color types, i.e. every band-mapping arm
+    rows = h.SPARK_QUERIES["multimodal_decode"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(
+        r["width"] is not None and r["height"] is not None
+        and r["n_channels"] is not None
+        for r in rows
+    )
+    assert {r["n_channels"] for r in rows} == {1, 2, 3, 4}
