@@ -2209,6 +2209,42 @@ FROM documents
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel pipeline end to end (round 6): build genuine
+    zlib-compressed grayscale PNGs whose pixels are a pure function of
+    doc_id (synthetic_png_media), resize every payload to 16×16 through
+    the real codec path (decode → nearest-neighbor map → re-encode,
+    functions/png.py), then decode the RESIZED payloads and sum their
+    pixels. The oracle computes the same sum arithmetically — resized
+    pixel (x, y) reads source pixel ((x·W)÷16, (y·H)÷16), value
+    (sx + 7·sy + id) mod 256 — so a hash match proves encode, decode,
+    all filter plumbing and the resize map operated on real compressed
+    bytes. Three chained Arrow kernels, one corpus scan, zero shuffle."""
+    from assemblagedb_spark.operators.multimodal import (
+        pixel_sums,
+        resize_images,
+        synthetic_png_media,
+    )
+
+    media = synthetic_png_media(load_table(spark, sf_dir, "documents"))
+    resized = resize_images(media, 16, 16, codec="png")
+    return pixel_sums(resized)
+
+
+O_MULTIMODAL_RESIZE = """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 9 AS h
+  FROM documents
+),
+grid AS (SELECT x.range AS x, y.range AS y FROM range(16) x, range(16) y)
+SELECT d.doc_id::BIGINT AS media_id,
+       SUM(((g.x * d.w) // 16 + 7 * ((g.y * d.h) // 16) + d.doc_id)
+           % 256)::BIGINT AS pixel_sum
+FROM dims d CROSS JOIN grid g
+GROUP BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sessionization (streaming-shaped batch, gap-based session windows)
 # ---------------------------------------------------------------------------
@@ -6125,6 +6161,7 @@ SPARK_QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_resize": q_multimodal_resize,
     "gram_index_delta": q_gram_index_delta,
     "reindex_parents": q_reindex_parents,
     "graph_orphans": q_graph_orphans,
@@ -6268,6 +6305,7 @@ ORACLES = {
     "multimodal_meta": O_MULTIMODAL_META,
     "multimodal_frames": O_MULTIMODAL_FRAMES,
     "multimodal_decode": O_MULTIMODAL_DECODE,
+    "multimodal_resize": O_MULTIMODAL_RESIZE,
     "gram_index_delta": O_GRAM_INDEX_DELTA,
     "reindex_parents": O_REINDEX_PARENTS,
     "graph_orphans": O_GRAPH_ORPHANS,

@@ -252,12 +252,20 @@ def image_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame
     return media.select("media_id", "payload").mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize transform shape: payload -> payload (stubbed as identity +
-    metadata rewrite; a real impl decodes, resizes, re-encodes in the same
-    Arrow batch loop)."""
+def resize_images(
+    media: DataFrame, width: int, height: int, codec: str = "fake"
+) -> DataFrame:
+    """Resize transform: payload -> payload.
 
-    def resize(batches):
+    ``codec="png"`` is the REAL pixel path: each payload decodes with the
+    stdlib PNG codec (functions/png.py), resizes by the exact
+    nearest-neighbor integer map, and re-encodes — decode, transform,
+    re-encode inside one Arrow batch loop, the shape every pixel-level
+    training transform takes at scale. ``codec="fake"`` keeps the
+    identity-payload stub for non-PNG media (no ffmpeg/JPEG encoder in
+    this container) and for the replayable text-payload harness tables."""
+
+    def resize_fake(batches):
         import pandas as pd
 
         for pdf in batches:
@@ -267,8 +275,86 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             pdf["height"] = height
             yield pdf[["media_id", "payload", "meta_mime", "width", "height"]]
 
+    def resize_png(batches):
+        import pandas as pd
+
+        from assemblagedb_spark.functions.png import (
+            png_decode,
+            png_encode,
+            resize_nearest,
+        )
+
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = resize_nearest(
+                    png_decode(bytes(payload)), width=width, height=height
+                )
+                out.append((media_id, png_encode(arr), "image/png",
+                            width, height))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "payload", "meta_mime", "width", "height"],
+            )
+
+    kernel = {"fake": resize_fake, "png": resize_png}[codec]
     return media.select("media_id", "payload").mapInPandas(
-        resize, "media_id long, payload binary, meta_mime string, width int, height int"
+        kernel,
+        "media_id long, payload binary, meta_mime string, width int, height int",
+    )
+
+
+def synthetic_png_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload): REAL grayscale PNG payloads built per row in
+    the Arrow kernel — W = 8 + id % 9, H = 8 + (id·3) % 9, pixel(x, y) =
+    (x + 7y + id) % 256 — i.e. an image corpus whose pixel content is a
+    pure function of the id, so a SQL oracle can predict any pixel
+    statistic downstream transforms produce. The payloads are genuine
+    zlib-compressed PNGs (functions/png.py), not header shells."""
+    import numpy as np
+    import pandas as pd
+
+    from assemblagedb_spark.functions.png import png_encode
+
+    def build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            payloads = []
+            for mid in ids:
+                mid = int(mid)
+                w, h = 8 + mid % 9, 8 + (mid * 3) % 9
+                arr = (
+                    (np.arange(w)[None, :] + 7 * np.arange(h)[:, None] + mid)
+                    % 256
+                ).astype(np.uint8)
+                payloads.append(png_encode(arr))
+            yield pd.DataFrame(
+                {"media_id": ids.astype("int64"), "payload": payloads}
+            )
+
+    return docs.select(F.col(id_col)).mapInPandas(
+        build, "media_id long, payload binary"
+    )
+
+
+def pixel_sums(media: DataFrame) -> DataFrame:
+    """(media_id, pixel_sum): sum of all decoded pixel values per payload
+    — the integer pixel statistic the resize gate compares against its
+    arithmetic oracle (REAL decode path, no stub)."""
+    import pandas as pd
+
+    from assemblagedb_spark.functions.png import png_decode
+
+    def sums(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        for pdf in batches:
+            rows = [
+                (media_id, int(png_decode(bytes(payload)).sum()))
+                for media_id, payload in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "pixel_sum"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        sums, "media_id long, pixel_sum long"
     )
 
 

@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     # REAL image-header decode loop (engine-built PNG bytes parsed back)
     "streaming_broadcast_ingest",
     "multimodal_decode",
+    "multimodal_resize",  # real PNG codec: encode -> resize -> decode
 ]
 
 

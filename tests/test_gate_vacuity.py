@@ -235,3 +235,27 @@ def test_multimodal_decode_gate_parses_every_color_type(spark, sf_dir):
         for r in rows
     )
     assert {r["n_channels"] for r in rows} == {1, 2, 3, 4}
+
+
+def test_multimodal_resize_gate_runs_real_pixels(spark, sf_dir):
+    # the resize gate's sums must come from genuinely varied pixel
+    # content (an identity stub or constant image would collapse the
+    # distinct-sum count), and the intermediate payloads must be REAL
+    # PNGs the pixel decoder accepts at the resized dimensions
+    from assemblagedb_spark.functions.png import png_decode
+    from assemblagedb_spark.operators.multimodal import (
+        resize_images,
+        synthetic_png_media,
+    )
+
+    rows = h.SPARK_QUERIES["multimodal_resize"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["pixel_sum"] is not None for r in rows)
+    assert len({r["pixel_sum"] for r in rows}) >= min(100, len(rows))
+
+    docs = h.load_table(spark, sf_dir, "documents").limit(3)
+    sample = resize_images(
+        synthetic_png_media(docs), 16, 16, codec="png"
+    ).collect()
+    for r in sample:
+        assert png_decode(bytes(r["payload"])).shape == (16, 16, 1)
