@@ -25,6 +25,8 @@ FROZEN = {
         "bac984ed5d5d729467787e4bad5b285304547142a6f8d7722f3429a58f43935d",
     "BENCH_LOCAL_r05.json":
         "3a0e3618a5a150a3f39014e4179e2703cb356925adbebe204752c81f2bd8297f",
+    "BENCH_LOCAL_r06.json":
+        "a009dfe695fbbfa69b33531a1c49d73b8e62f08275208e3124e2aed185fe2a04",
 }
 
 
