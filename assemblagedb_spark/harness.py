@@ -2231,6 +2231,41 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pixel_sums(resized)
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end to end (round 6; the audio leg of the
+    multimodal triple — video pixel work still awaits ffmpeg): the
+    engine builds genuine RIFF/WAVE PCM-16 payloads whose waveform is a
+    pure function of doc_id (synthetic_wav_media, stdlib ``wave``
+    writer), then audio_features parses the container back with the
+    stdlib reader and emits exact integer waveform statistics. The
+    oracle predicts rate/length/Σ|sample| arithmetically, so the hash
+    match proves the codec read real frames. Two chained Arrow kernels,
+    one corpus scan, zero shuffle."""
+    from assemblagedb_spark.operators.multimodal import (
+        audio_features,
+        synthetic_wav_media,
+    )
+
+    media = synthetic_wav_media(load_table(spark, sf_dir, "documents"))
+    return audio_features(media)
+
+
+# sample(t) = ((id·31 + t·7) mod 65536) − 32768 over t < 64 + id % 129;
+# the 192-row grid covers the max length, filtered per doc
+O_MULTIMODAL_AUDIO = """
+WITH t AS (SELECT range AS i FROM range(192))
+SELECT d.doc_id::BIGINT AS media_id,
+       (8000 + (d.doc_id % 3) * 4000)::INT AS sample_rate,
+       1::INT AS n_channels,
+       (64 + d.doc_id % 129)::BIGINT AS n_samples,
+       SUM(ABS(((d.doc_id * 31 + t.i * 7) % 65536) - 32768))::BIGINT
+           AS abs_sum
+FROM documents d CROSS JOIN t
+WHERE t.i < 64 + d.doc_id % 129
+GROUP BY d.doc_id
+"""
+
+
 O_MULTIMODAL_RESIZE = """
 WITH dims AS (
   SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 9 AS h
@@ -6162,6 +6197,7 @@ SPARK_QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_resize": q_multimodal_resize,
+    "multimodal_audio": q_multimodal_audio,
     "gram_index_delta": q_gram_index_delta,
     "reindex_parents": q_reindex_parents,
     "graph_orphans": q_graph_orphans,
@@ -6306,6 +6342,7 @@ ORACLES = {
     "multimodal_frames": O_MULTIMODAL_FRAMES,
     "multimodal_decode": O_MULTIMODAL_DECODE,
     "multimodal_resize": O_MULTIMODAL_RESIZE,
+    "multimodal_audio": O_MULTIMODAL_AUDIO,
     "gram_index_delta": O_GRAM_INDEX_DELTA,
     "reindex_parents": O_REINDEX_PARENTS,
     "graph_orphans": O_GRAPH_ORPHANS,

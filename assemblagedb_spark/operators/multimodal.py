@@ -206,6 +206,106 @@ def decode_image_features(media: DataFrame) -> DataFrame:
     )
 
 
+def wav_encode(samples, sample_rate: int) -> bytes:
+    """Encode a mono int16 sample array as a RIFF/WAVE payload — the
+    stdlib ``wave`` module writes the real container (PCM 16-bit), no
+    third-party codec needed."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def wav_decode(payload: bytes):
+    """(sample_rate, n_channels, samples int16 array) of a RIFF/WAVE
+    payload via the stdlib ``wave`` reader — the REAL audio decode path
+    (16-bit PCM; the reader raises ``wave.Error`` on non-WAV bytes)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(
+                f"only 16-bit PCM supported, got width {w.getsampwidth()}"
+            )
+        frames = w.readframes(w.getnframes())
+        return (
+            w.getframerate(),
+            w.getnchannels(),
+            np.frombuffer(frames, dtype="<i2"),
+        )
+
+
+def synthetic_wav_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload): REAL RIFF/WAVE payloads built per row in the
+    Arrow kernel — n_samples = 64 + id % 129, sample_rate = 8000 +
+    (id % 3)·4000, sample(t) = ((id·31 + t·7) mod 65536) − 32768 — an
+    audio corpus whose waveform is a pure function of the id, so a SQL
+    oracle can predict any sample statistic the decode path extracts."""
+    import numpy as np
+    import pandas as pd
+
+    def build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            payloads = []
+            for mid in ids:
+                mid = int(mid)
+                n = 64 + mid % 129
+                t = np.arange(n, dtype=np.int64)
+                samples = ((mid * 31 + t * 7) % 65536) - 32768
+                payloads.append(
+                    wav_encode(samples, 8000 + (mid % 3) * 4000)
+                )
+            yield pd.DataFrame(
+                {"media_id": ids.astype("int64"), "payload": payloads}
+            )
+
+    return docs.select(F.col(id_col)).mapInPandas(
+        build, "media_id long, payload binary"
+    )
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """(media_id, sample_rate, n_channels, n_samples, abs_sum): the REAL
+    audio decode path over Arrow batches — container parsed, PCM frames
+    materialized, an exact integer waveform statistic emitted (abs_sum =
+    Σ|sample|, the replayable stand-in for RMS energy, which a SQL
+    oracle cannot compute exactly in floats)."""
+    import pandas as pd
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                sr, ch, samples = wav_decode(bytes(payload))
+                rows.append(
+                    (media_id, sr, ch, len(samples),
+                     int(abs(samples.astype("int64")).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_channels",
+                         "n_samples", "abs_sum"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract,
+        "media_id long, sample_rate int, n_channels int, "
+        "n_samples long, abs_sum long",
+    )
+
+
 def media_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Synthesize a media table from a text corpus (payload = utf-8 bytes):
     the harness stand-in for an ingested image dataset — schema and byte

@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "streaming_broadcast_ingest",
     "multimodal_decode",
     "multimodal_resize",  # real PNG codec: encode -> resize -> decode
+    "multimodal_audio",   # real WAV codec: PCM frames -> waveform stats
 ]
 
 

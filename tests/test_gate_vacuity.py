@@ -259,3 +259,15 @@ def test_multimodal_resize_gate_runs_real_pixels(spark, sf_dir):
     ).collect()
     for r in sample:
         assert png_decode(bytes(r["payload"])).shape == (16, 16, 1)
+
+
+def test_multimodal_audio_gate_decodes_real_waveforms(spark, sf_dir):
+    # the audio gate's statistics must come from genuinely parsed PCM
+    # frames: varied lengths and energies, and all three sample rates
+    # exercised (each rate-mapping arm of the synthetic corpus)
+    rows = h.SPARK_QUERIES["multimodal_audio"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert {r["sample_rate"] for r in rows} == {8000, 12000, 16000}
+    assert len({r["n_samples"] for r in rows}) >= 50
+    assert len({r["abs_sum"] for r in rows}) >= 50
+    assert all(r["n_channels"] == 1 for r in rows)

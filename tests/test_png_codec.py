@@ -152,3 +152,29 @@ def test_encode_resize_decode_pipeline():
     again = png_decode(png_encode(resized))
     assert (again == resized).all()
     assert again.shape == (8, 8, 3)
+
+
+# ---------------------------------------------------------------------------
+# WAV (stdlib wave module) — the audio leg of the real-codec paths
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_and_rates():
+    from assemblagedb_spark.operators.multimodal import wav_decode, wav_encode
+
+    for sr in (8000, 16000, 44100):
+        samples = _rng(sr).integers(-32768, 32768, size=257, dtype=np.int64)
+        payload = wav_encode(samples, sr)
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        got_sr, ch, got = wav_decode(payload)
+        assert (got_sr, ch) == (sr, 1)
+        assert (got.astype(np.int64) == samples).all()
+
+
+def test_wav_decode_refusals():
+    import wave
+
+    from assemblagedb_spark.operators.multimodal import wav_decode
+
+    with pytest.raises(wave.Error):
+        wav_decode(b"not audio at all")
