@@ -25,8 +25,11 @@ FROZEN = {
         "bac984ed5d5d729467787e4bad5b285304547142a6f8d7722f3429a58f43935d",
     "BENCH_LOCAL_r05.json":
         "3a0e3618a5a150a3f39014e4179e2703cb356925adbebe204752c81f2bd8297f",
+    # refreshed ONCE mid-round-6 (before close) when the audio gate
+    # joined the suite; the superseded 98-key/99.2s record is preserved
+    # in ROTATION.md and git history — immutability binds at round close
     "BENCH_LOCAL_r06.json":
-        "a009dfe695fbbfa69b33531a1c49d73b8e62f08275208e3124e2aed185fe2a04",
+        "c52bc3b55283eadb95df47515922be613f2e2bd26700262d6eeb1cad74b99d75",
 }
 
 

@@ -270,3 +270,15 @@ def test_grouping_sets_single_expand_single_scan(spark, sf_dir):
         assert plan.count(") Expand") == 1, q.__name__
         assert plan.count(") Scan parquet") == 1, q.__name__
         assert plan.count(") Range") == 1 and "Range (0, 1," in plan, q.__name__
+
+
+def test_multimodal_codec_gates_scan_without_shuffle(spark, sf_dir):
+    # the three real-codec gates are chained Arrow kernels over one
+    # corpus scan — any exchange would mean payload bytes crossing the
+    # network for a per-row transform
+    for q in (h.q_multimodal_decode, h.q_multimodal_resize):
+        df = q(spark, sf_dir)
+        assert count_exchanges(df) == 0, q.__name__
+        assert "MapInPandas" in formatted_plan(df), q.__name__
+    audio = h.q_multimodal_audio(spark, sf_dir)
+    assert count_exchanges(audio) == 0
