@@ -57,6 +57,9 @@ PICKS = [
     ("dedup_clusters", "union-find-contracted components: two shuffle-free MapInPandas star passes replace diameter-many propagation rounds; probed label-prop finisher guarantees exactness"),
     ("dedup_lsh_verify", "candidate pair list joins each side's shingles BELOW the gram join — work bounded by candidate overlap, not df(gram)^2"),
     ("ann_ivfpq", "IVFADC serving: probes + ADC distance table broadcast onto the cell-partitioned code table; only probed inverted lists score, corpus never shuffled"),
+    ("multimodal_decode", "real image-header decode: one corpus scan, binary payloads built and parsed inside chained Arrow kernels, zero exchanges"),
+    ("multimodal_resize", "real PNG pixel pipeline (encode -> resize -> decode): three chained MapInPandas over one scan, payload bytes never cross an exchange"),
+    ("multimodal_audio", "real WAV decode: PCM frames parsed in Arrow batches over one scan, zero exchanges"),
 ]
 
 
