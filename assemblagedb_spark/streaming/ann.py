@@ -8,16 +8,12 @@ retrain offline on a schedule, ingest never mutates them (the production
 ANN discipline; a drifting codebook would silently corrupt every
 previously stored code).
 
-All steps are stateless projections:
-
-- coarse-cell assignment is an Arrow-batched matmul against the k × dim
-  centroid matrix riding in the task closure (same kernel discipline as
-  `similarity._nearest_cells`);
-- the residual rvec = floor(v·scale) − ccent[cell] folds the integer
-  coarse centroids in as a map literal (k × dim ints — tiny);
-- PQ encoding folds the (m × k) residual codebook into the row
-  expression (`pq.encode_codes_column` with ``scale=None``) — argmin
-  codes inline, no join, no aggregate.
+All three steps — coarse-cell assignment (matmul + lexsort against the
+k × dim centroid matrix, the `similarity._nearest_cells` math), integer
+residualization (floor(v·scale) − ccent[cell]), and PQ encoding
+(`pq.pq_encode_arrow`'s vectorized argmin) — run in ONE fused Arrow
+kernel per micro-batch, a stateless projection with the trained states
+riding in the task closure: no join, no aggregate, no exchange.
 
 Stateless ⇒ append-mode safe with no watermark or state store, and the
 sink can write straight into the cell-partitioned code table (bucketed by
@@ -32,52 +28,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.functions import pandas_udf
 
-from assemblagedb_spark.operators.pq import (
-    _codebook_literal,
-    _pq_encode_agg,
-    encode_codes_column,
-)
+from assemblagedb_spark.operators.pq import _codebook_literal, _pq_encode_agg
 from assemblagedb_spark.operators.similarity import centroid_matrix
-
-
-def _cell_udf(cents):
-    """Nearest trained cell per vector (cosine desc, cell asc on ties) —
-    the n=1 case of similarity._nearest_cells, returned as a scalar."""
-    cent_ids, CM, cnorm = cents
-
-    @pandas_udf("bigint")
-    def cell(v: pd.Series) -> pd.Series:
-        V = np.stack([np.asarray(x, dtype=np.float64) for x in v.values])
-        cos = (V @ CM.T) / np.outer(np.sqrt((V * V).sum(1)), cnorm)
-        out = [int(cent_ids[np.lexsort((cent_ids, -row))[0]]) for row in cos]
-        return pd.Series(out)
-
-    return cell
-
-
-def _coarse_map_sql(centroids: DataFrame) -> str:
-    """SQL map literal cell -> integer centroid array, from a kmeans_train
-    merge state (floor(sum_q / n_vecs) per component — the same grid
-    `pq.coarse_centroid_vectors` emits). k × dim ints: tiny by
-    construction, folded into the projection so the stream joins
-    nothing."""
-    by_label: dict[int, dict[int, int]] = {}
-    for r in centroids.collect():
-        # python // floors toward -inf for negative sums, same as the
-        # engines' floor(sum_q / n_vecs)
-        by_label.setdefault(r["label"], {})[r["pos"]] = (
-            r["sum_q"] // r["n_vecs"]
-        )
-    entries = []
-    for label in sorted(by_label):
-        comps = by_label[label]
-        arr = ", ".join(
-            f"CAST({comps[p]} AS BIGINT)" for p in sorted(comps)
-        )
-        entries.append(f"CAST({label} AS BIGINT), array({arr})")
-    return f"map({', '.join(entries)})"
 
 
 def ivfpq_ingest(
@@ -95,13 +48,26 @@ def ivfpq_ingest(
     every arriving vector — assign the coarse cell, residualize against
     that cell's integer centroid, encode with the frozen residual
     ``codebook``; identical rows to the batch build
-    (`pq.residual_vectors` + `pq.pq_encode(..., scale=None)` over
-    `similarity.ivf_assign(centroids=)`). One projection chain + one
-    explode: zero exchanges, append-mode safe."""
+    (`pq.residual_vectors` + `pq.pq_encode_arrow(..., scale=None)` over
+    `similarity.ivf_assign(centroids=)`).
+
+    All three steps run in ONE fused Arrow kernel per micro-batch
+    (mapInPandas is a stateless projection, so the stream stays
+    append-mode safe with zero exchanges): the cosine cell assignment is
+    the same matmul + lexsort as `similarity._nearest_cells` (float-
+    identical), the residual is exact int64 arithmetic, and the PQ
+    argmin is `pq.pq_encode_arrow`'s vectorized form — which replaced
+    the literal-folded HOF expression this path used before round 6
+    (the m×k interpreted distance terms per row were the dominant cost
+    of the whole ingest gate; the batch build measured the same fix at
+    ~4×). Parity is pinned by the gate (state after N batches ≡ batch
+    build) and tests/test_streaming_ann.py."""
     # ONE codebook collect serves both the never-trained check and the
-    # encode literal (an eager count() job here would block the streaming
-    # setup path for information the literal already carries)
+    # encode matrices (an eager count() job here would block the
+    # streaming setup path for information the literal already carries)
     cb = _codebook_literal(codebook)
+    id_type = stream.schema[id_col].dataType.simpleString()
+    out_schema = f"vec_id {id_type}, subspace long, code long, cell long"
     if not cb:
         # NEVER-trained states (empty offline corpus): nothing can be
         # encoded or cell-assigned — an empty streaming projection with
@@ -112,44 +78,55 @@ def ivfpq_ingest(
             F.lit(None).cast("long").alias("code"),
             F.lit(None).cast("long").alias("cell"),
         ).where(F.lit(False))
-    codes_expr = encode_codes_column(
-        codebook, m=m, sub_dim=sub_dim, vec_col="rvec", scale=None,
-        literal=cb,
-    )
-    if codes_expr is None:
+    if any(not cb.get(sp) for sp in range(m)):
         raise ValueError(
-            "ivfpq_ingest needs a literal-foldable codebook (every "
-            "subspace trained, m*k within the literal budget): the "
-            "aggregate fallback is a streaming aggregation, which is not "
-            "append-mode ingest. Retrain the codebook or encode in batch "
-            f"via {_pq_encode_agg.__name__}."
+            "ivfpq_ingest needs every subspace trained: an untrained "
+            "subspace cannot encode a stream (the batch aggregate "
+            f"fallback is {_pq_encode_agg.__name__})."
         )
-    cell = _cell_udf(centroid_matrix(centroids, scale=scale))
-    cmap = _coarse_map_sql(centroids)
+    labs = [
+        np.array([l for l, _ in cb[sp]], dtype=np.int64) for sp in range(m)
+    ]
+    mats = [
+        np.array([c for _, c in cb[sp]], dtype=np.int64) for sp in range(m)
+    ]
+    # ONE centroid collect serves both the float cosine matrix (cell
+    # assignment) and the integer centroid rows (residual grid)
+    cent_ids, CM, cnorm = centroid_matrix(centroids, scale=scale)
+    CINT = np.rint(CM * scale).astype(np.int64)  # floor(sum/n) ints exact
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["__vec"]]
+            )
+            cos = (V @ CM.T) / np.outer(np.sqrt((V * V).sum(1)), cnorm)
+            picks = np.array(
+                [np.lexsort((cent_ids, -row))[0] for row in cos]
+            )  # cos desc, cell asc — similarity._nearest_cells order
+            cells = cent_ids[picks]
+            R = np.floor(V * scale).astype(np.int64) - CINT[picks]
+            codes = np.empty((n, m), dtype=np.int64)
+            for sp in range(m):
+                X = R[:, sp * sub_dim : (sp + 1) * sub_dim]
+                d = ((X[:, None, :] - mats[sp][None, :, :]) ** 2).sum(2)
+                # first min = lowest label (labs label-ascending), the
+                # min(struct(dist, label)) tie-break
+                codes[:, sp] = labs[sp][np.argmin(d, axis=1)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), m),
+                    "subspace": np.tile(np.arange(m, dtype=np.int64), n),
+                    "code": codes.reshape(-1),
+                    "cell": np.repeat(cells, m),
+                }
+            )
+
     # NULL vectors ingest nothing (same exclusion as the batch build) —
     # a plain filter, so the stream stays append-mode stateless
-    stream = stream.filter(F.col(vec_col).isNotNull())
-    rvec = (
-        f"zip_with(transform({vec_col}, v -> "
-        f"CAST(floor(CAST(v AS DOUBLE) * {scale}) AS BIGINT)), "
-        f"element_at({cmap}, cell), (a, b) -> a - b)"
-    )
-    return (
-        stream.select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col),
-            cell(F.col(vec_col)).alias("cell"),
-        )
-        .withColumn("rvec", F.expr(rvec))
-        .select(
-            "vec_id",
-            "cell",
-            F.posexplode(codes_expr).alias("subspace", "code"),
-        )
-        .select(
-            "vec_id",
-            F.col("subspace").cast("long").alias("subspace"),
-            "code",
-            "cell",
-        )
-    )
+    return stream.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__vec")
+    ).mapInPandas(kernel, out_schema)

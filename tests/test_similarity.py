@@ -362,8 +362,10 @@ def test_pq_encode_projection_matches_agg_path_and_never_shuffles(spark):
 
 def test_pq_encode_budget_fallback_and_ingest_guard(spark, monkeypatch):
     # over the literal budget pq_encode silently takes the join+agg plan
-    # (same codes); ivfpq_ingest must instead REFUSE — an aggregate is not
-    # an append-mode streaming ingest
+    # (same codes). ivfpq_ingest's fused Arrow kernel carries the
+    # codebook in its closure, so the literal budget does NOT bind it —
+    # its genuine can't-encode condition is an untrained subspace, which
+    # must REFUSE (an aggregate fallback is not append-mode ingest)
     import assemblagedb_spark.operators.pq as pq
     from assemblagedb_spark.operators.vectors import kmeans_train
     from assemblagedb_spark.streaming.ann import ivfpq_ingest
@@ -378,10 +380,17 @@ def test_pq_encode_budget_fallback_and_ingest_guard(spark, monkeypatch):
     assert normal == fallback
 
     state = kmeans_train(emb, k=4, iters=1)
+    # budget-independent: the fused ingest still encodes (batch frame
+    # stands in for the stream — the kernel is the same projection)
+    ingested = ivfpq_ingest(emb, book, state, m=2, sub_dim=4)
+    assert ingested.count() == 30 * 2
+
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="literal-foldable"):
-        ivfpq_ingest(emb, book, state, m=2, sub_dim=4)
+    with _pytest.raises(ValueError, match="every subspace trained"):
+        ivfpq_ingest(
+            emb, book.filter("subspace = 0"), state, m=2, sub_dim=4
+        )
 
 
 def test_pq_codes_partition_invariant(spark):
