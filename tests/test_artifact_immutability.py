@@ -25,11 +25,12 @@ FROZEN = {
         "bac984ed5d5d729467787e4bad5b285304547142a6f8d7722f3429a58f43935d",
     "BENCH_LOCAL_r05.json":
         "3a0e3618a5a150a3f39014e4179e2703cb356925adbebe204752c81f2bd8297f",
-    # refreshed ONCE mid-round-6 (before close) when the audio gate
-    # joined the suite; the superseded 98-key/99.2s record is preserved
-    # in ROTATION.md and git history — immutability binds at round close
+    # refreshed mid-round-6 (before close) as the suite grew (audio gate)
+    # and after the fused-ingest fix; superseded records (98-key/99.2s,
+    # 99-key/85.6s) are preserved in ROTATION.md and git history —
+    # immutability binds at round close
     "BENCH_LOCAL_r06.json":
-        "c52bc3b55283eadb95df47515922be613f2e2bd26700262d6eeb1cad74b99d75",
+        "8ee1bbada1468e3cd284bce69b70805bd402cb079f59ca14f7632523d029b7cc",
 }
 
 
