@@ -5670,6 +5670,20 @@ SELECT query_id, neighbor_id, rank FROM (
 WHERE rank <= {_PQ_TOPK}"""
 
 
+def _await_stream(q, timeout: int = 300) -> None:
+    """Drain guard for the streaming gates: ``awaitTermination`` returns
+    False on timeout WITHOUT stopping the query — reading the sink then
+    races a still-writing stream, and the gates' finally-blocks would
+    rmtree the checkpoint under a live query. Stop and raise instead, so
+    a slow drain fails loudly rather than grading a partial sink."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise RuntimeError(
+            f"streaming gate drain exceeded {timeout}s; query stopped "
+            "before the sink was read"
+        )
+
+
 def _stream_shuffle_scope(spark: SparkSession, n_rows: int):
     """Size ``spark.sql.shuffle.partitions`` — and with it the streaming
     state-store instance count and per-micro-batch task count — to the
@@ -5741,7 +5755,7 @@ def q_streaming_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            _await_stream(q)
         # pin the result in memory so the tmp dir can be removed before
         # the caller collects
         return spark.read.parquet(sink).select(
@@ -5791,7 +5805,7 @@ def q_streaming_rollup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            _await_stream(q)
         # the store state is localCheckpoint-pinned; pin the derived
         # cascade too so the tmp dir can be removed before the collect
         return store.levels().localCheckpoint(eager=True)
@@ -5832,7 +5846,7 @@ def q_streaming_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            _await_stream(q)
         return store.hll().select(
             "event_type", F.col("bucket").cast("long").alias("bucket"),
             "register",
@@ -5895,7 +5909,7 @@ def q_streaming_sessions_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            _await_stream(q)
         return spark.read.parquet(sink).select(
             "user_id", "session_idx", "n_events",
             F.expr("start_ts div 1000").alias("start_ts"),
@@ -5975,7 +5989,7 @@ def q_streaming_broadcast_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            _await_stream(q)
         return spark.read.parquet(sink).select(
             "node_id",
             F.col("text").alias("root_id"),
@@ -6511,11 +6525,45 @@ def _graded_rounds(repo_root: str | None = None) -> dict[str, int]:
     return out
 
 
+def _gate_source(fn, _seen: set | None = None) -> str:
+    """The query function's source PLUS, transitively, the source of
+    every private harness-module helper it calls (``_``-prefixed
+    module-level functions, e.g. ``_export_members``, ``_ivfpq_index``).
+    Round-6 review finding: hashing only the wrapper's own text lets a
+    refactor that extracts a gate body into a helper silently park the
+    gate's semantics OUTSIDE the fingerprint — a later edit to the
+    helper would no longer flip the fingerprint or force a re-grade.
+    Public harness functions (load_table, the q_* gates) and other
+    modules stay excluded: operators are pinned by their own parity
+    suites, and the fingerprint identifies the GATE definition."""
+    import inspect
+
+    if _seen is None:
+        _seen = set()
+    if fn.__name__ in _seen:
+        return ""
+    _seen.add(fn.__name__)
+    src = inspect.getsource(fn)
+    g = fn.__globals__
+    for nm in sorted(set(fn.__code__.co_names)):
+        helper = g.get(nm)
+        if (
+            nm.startswith("_")
+            and inspect.isfunction(helper)
+            and getattr(helper, "__module__", None) == fn.__module__
+            and nm not in _seen
+        ):
+            src += "\x00" + _gate_source(helper, _seen)
+    return src
+
+
 def gate_fingerprint(name: str) -> str:
     """Checkable identity of a gate's semantics: sha256 over the RENDERED
     DuckDB oracle SQL (all tuning constants baked in at render time, so a
     constant retune flags even when no source line under the query
-    function changed) plus the Spark query function's source text.
+    function changed) plus the Spark query function's source text AND
+    the source of every private harness helper it calls
+    (:func:`_gate_source` — closes the extract-to-helper hole).
 
     Used by the committed GATE_FINGERPRINTS.json ledger
     (tools/update_gate_fingerprints.py): any drift between a gate's
@@ -6523,13 +6571,15 @@ def gate_fingerprint(name: str) -> str:
     driver window must re-grade — and tests/test_grading_order.py fails
     until the ledger is refreshed, so a change CANNOT be forgotten
     (round-4 review finding: the manual change dict rested on developer
-    discipline). Conservative by design: a docstring-only edit also
-    flags — a spurious re-grade costs one window slot, a missed real
-    change silently invalidates the ledger."""
+    discipline). Conservative by design: a docstring-only edit — to the
+    gate or a private helper under it — also flags; a spurious re-grade
+    costs one window slot, a missed real change silently invalidates the
+    ledger. Scheme migrations re-key the ledger WITHOUT bumping rounds
+    (tools/update_gate_fingerprints.py --rekey), since a hash-input
+    change is not a semantic change."""
     import hashlib
-    import inspect
 
-    src = inspect.getsource(SPARK_QUERIES[name])
+    src = _gate_source(SPARK_QUERIES[name])
     sql = ORACLES.get(name, "")
     return hashlib.sha256(
         (sql + "\x00" + src).encode("utf-8")

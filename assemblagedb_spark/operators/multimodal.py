@@ -191,10 +191,13 @@ def decode_image_features(media: DataFrame) -> DataFrame:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
+                    # OSError covers PIL.UnidentifiedImageError (its
+                    # subclass) when the wider-codec fallback is present;
+                    # ValueError covers malformed recognized formats
                     w, h, c = decode_image(
                         bytes(payload) if payload is not None else b""
                     )
-                except NotImplementedError:
+                except (NotImplementedError, ValueError, OSError):
                     w = h = c = None
                 rows.append((media_id, w, h, c))
             yield pd.DataFrame(
@@ -285,10 +288,21 @@ def audio_features(media: DataFrame) -> DataFrame:
     import pandas as pd
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import wave
+
         for pdf in batches:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                sr, ch, samples = wav_decode(bytes(payload))
+                try:
+                    if payload is None:
+                        raise ValueError("NULL payload")
+                    sr, ch, samples = wav_decode(bytes(payload))
+                except (wave.Error, ValueError, EOFError):
+                    # NULL or unparseable payload -> NULL stats, not a
+                    # dead task (the same scan-time tolerance as
+                    # decode_image_features)
+                    rows.append((media_id, None, None, None, None))
+                    continue
                 rows.append(
                     (media_id, sr, ch, len(samples),
                      int(abs(samples.astype("int64")).sum()))
@@ -387,11 +401,19 @@ def resize_images(
         for pdf in batches:
             out = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                arr = resize_nearest(
-                    png_decode(bytes(payload)), width=width, height=height
-                )
-                out.append((media_id, png_encode(arr), "image/png",
-                            width, height))
+                try:
+                    if payload is None:
+                        raise ValueError("NULL payload")
+                    arr = resize_nearest(
+                        png_decode(bytes(payload)),
+                        width=width, height=height,
+                    )
+                    resized = png_encode(arr)
+                except ValueError:
+                    # NULL or non-PNG payload passes through as a NULL
+                    # payload row — schema kept, task alive
+                    resized = None
+                out.append((media_id, resized, "image/png", width, height))
             yield pd.DataFrame(
                 out,
                 columns=["media_id", "payload", "meta_mime", "width", "height"],
@@ -447,10 +469,15 @@ def pixel_sums(media: DataFrame) -> DataFrame:
 
     def sums(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         for pdf in batches:
-            rows = [
-                (media_id, int(png_decode(bytes(payload)).sum()))
-                for media_id, payload in zip(pdf["media_id"], pdf["payload"])
-            ]
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    if payload is None:
+                        raise ValueError("NULL payload")
+                    s = int(png_decode(bytes(payload)).sum())
+                except ValueError:
+                    s = None  # NULL/undecodable -> NULL stat, task alive
+                rows.append((media_id, s))
             yield pd.DataFrame(rows, columns=["media_id", "pixel_sum"])
 
     return media.select("media_id", "payload").mapInPandas(

@@ -220,16 +220,15 @@ def encode_codes_column(
     sub_dim: int = 8,
     vec_col: str = "embedding",
     scale: int | None = 1000,
-    literal: dict[int, list[tuple[int, list[int]]]] | None = None,
 ):
     """The literal-folded encode expression: an ``array<bigint>`` of the
-    row's m argmin codes (index = subspace). Stateless, so it encodes a
-    STREAM per micro-batch unchanged (streaming/ann.py). Returns ``None``
-    when the codebook exceeds the literal budget or a subspace trained no
-    labels — callers fall back to :func:`_pq_encode_agg`. Callers that
-    already hold the collected :func:`_codebook_literal` pass it via
-    ``literal`` so the codebook is collected exactly once."""
-    cb = _codebook_literal(codebook) if literal is None else literal
+    row's m argmin codes (index = subspace). A stateless projection, so
+    it would encode a STREAM per micro-batch unchanged (the streaming
+    ingest now uses the faster fused Arrow kernel instead —
+    streaming/ann.py). Returns ``None`` when the codebook exceeds the
+    literal budget or a subspace trained no labels — callers fall back
+    to :func:`_pq_encode_agg`."""
+    cb = _codebook_literal(codebook)
     n_cells = sum(len(v) for v in cb.values())
     if n_cells > _ENCODE_LITERAL_MAX_CELLS or any(
         not cb.get(sp) for sp in range(m)
@@ -420,6 +419,43 @@ def ivfpq_adc_topk(
     return _adc_rank(scored, k)
 
 
+def _codebook_matrices(cb: dict[int, list[tuple[int, list[int]]]], m: int):
+    """(labs, mats) per subspace from a collected
+    :func:`_codebook_literal`: label vectors (ascending) and int64
+    centroid matrices — the closure payload of every Arrow encode
+    kernel (batch :func:`pq_encode_arrow` AND the fused streaming
+    ingest share this, so the parity-critical prep has one home)."""
+    import numpy as np
+
+    labs = [
+        np.array([l for l, _ in cb[sp]], dtype=np.int64) for sp in range(m)
+    ]
+    mats = [
+        np.array([c for _, c in cb[sp]], dtype=np.int64) for sp in range(m)
+    ]
+    return labs, mats
+
+
+def _argmin_codes(Q, labs, mats, m: int, sub_dim: int):
+    """(n, m) int64 argmin codes for integer-grid rows ``Q``: per
+    subspace, squared distance to every centroid, first minimum wins —
+    labs is label-ascending and ``np.argmin`` returns the FIRST min, so
+    ties break to the lowest label, identical to the
+    ``min(struct(dist, label))`` tie-break of the expression and
+    aggregate forms. The single definition both the batch encode and the
+    streaming ingest call — a fix here fixes both sides of the
+    batch ≡ stream parity gate."""
+    import numpy as np
+
+    n = Q.shape[0]
+    codes = np.empty((n, m), dtype=np.int64)
+    for sp in range(m):
+        X = Q[:, sp * sub_dim : (sp + 1) * sub_dim]
+        d = ((X[:, None, :] - mats[sp][None, :, :]) ** 2).sum(2)
+        codes[:, sp] = labs[sp][np.argmin(d, axis=1)]
+    return codes
+
+
 def pq_encode_arrow(
     embeddings: DataFrame,
     codebook: DataFrame,
@@ -468,10 +504,7 @@ def pq_encode_arrow(
             "pq_encode_arrow needs every subspace trained; use "
             "_pq_encode_agg for codebooks with empty subspaces"
         )
-    labs = [np.array([l for l, _ in cb[sp]], dtype=np.int64) for sp in range(m)]
-    mats = [
-        np.array([c for _, c in cb[sp]], dtype=np.int64) for sp in range(m)
-    ]
+    labs, mats = _codebook_matrices(cb, m)
 
     def kernel(batches):
         for pdf in batches:
@@ -486,14 +519,7 @@ def pq_encode_arrow(
                 if scale is not None
                 else V.astype(np.int64)
             )
-            codes = np.empty((n, m), dtype=np.int64)
-            for sp in range(m):
-                X = Q[:, sp * sub_dim : (sp + 1) * sub_dim]
-                d = ((X[:, None, :] - mats[sp][None, :, :]) ** 2).sum(2)
-                # np.argmin returns the FIRST minimum; labs is
-                # label-ascending, so ties break to the lowest label —
-                # identical to min(struct(dist, label))
-                codes[:, sp] = labs[sp][np.argmin(d, axis=1)]
+            codes = _argmin_codes(Q, labs, mats, m, sub_dim)
             out = {
                 "vec_id": np.repeat(pdf["vec_id"].to_numpy(), m),
                 "subspace": np.tile(np.arange(m, dtype=np.int64), n),

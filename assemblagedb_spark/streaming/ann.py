@@ -29,7 +29,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from assemblagedb_spark.operators.pq import _codebook_literal, _pq_encode_agg
+from assemblagedb_spark.operators.pq import (
+    _argmin_codes,
+    _codebook_literal,
+    _codebook_matrices,
+    _pq_encode_agg,
+)
 from assemblagedb_spark.operators.similarity import centroid_matrix
 
 
@@ -84,12 +89,7 @@ def ivfpq_ingest(
             "subspace cannot encode a stream (the batch aggregate "
             f"fallback is {_pq_encode_agg.__name__})."
         )
-    labs = [
-        np.array([l for l, _ in cb[sp]], dtype=np.int64) for sp in range(m)
-    ]
-    mats = [
-        np.array([c for _, c in cb[sp]], dtype=np.int64) for sp in range(m)
-    ]
+    labs, mats = _codebook_matrices(cb, m)
     # ONE centroid collect serves both the float cosine matrix (cell
     # assignment) and the integer centroid rows (residual grid)
     cent_ids, CM, cnorm = centroid_matrix(centroids, scale=scale)
@@ -109,13 +109,7 @@ def ivfpq_ingest(
             )  # cos desc, cell asc — similarity._nearest_cells order
             cells = cent_ids[picks]
             R = np.floor(V * scale).astype(np.int64) - CINT[picks]
-            codes = np.empty((n, m), dtype=np.int64)
-            for sp in range(m):
-                X = R[:, sp * sub_dim : (sp + 1) * sub_dim]
-                d = ((X[:, None, :] - mats[sp][None, :, :]) ** 2).sum(2)
-                # first min = lowest label (labs label-ascending), the
-                # min(struct(dist, label)) tie-break
-                codes[:, sp] = labs[sp][np.argmin(d, axis=1)]
+            codes = _argmin_codes(R, labs, mats, m, sub_dim)
             yield pd.DataFrame(
                 {
                     "vec_id": np.repeat(pdf["vec_id"].to_numpy(), m),

@@ -178,3 +178,40 @@ def test_wav_decode_refusals():
 
     with pytest.raises(wave.Error):
         wav_decode(b"not audio at all")
+
+
+def test_kernels_tolerate_null_and_garbage_payloads(spark):
+    # every real-codec Arrow kernel must survive NULL and undecodable
+    # payloads with NULL stats (scan-time tolerance), never a dead task
+    from assemblagedb_spark.operators.multimodal import (
+        audio_features,
+        decode_image_features,
+        pixel_sums,
+        resize_images,
+        wav_encode,
+    )
+
+    ok_png = png_encode(np.zeros((2, 2), dtype=np.uint8))
+    ok_wav = wav_encode(np.zeros(4, dtype=np.int64), 8000)
+    media = spark.createDataFrame(
+        [(1, ok_png), (2, None), (3, b"garbage")],
+        "media_id long, payload binary",
+    )
+    img = {r["media_id"]: r for r in decode_image_features(media).collect()}
+    assert (img[1]["width"], img[1]["height"]) == (2, 2)
+    assert img[2]["width"] is None and img[3]["width"] is None
+
+    sums = {r["media_id"]: r["pixel_sum"] for r in pixel_sums(media).collect()}
+    assert sums == {1: 0, 2: None, 3: None}
+
+    rs = {r["media_id"]: r["payload"]
+          for r in resize_images(media, 4, 4, codec="png").collect()}
+    assert rs[1] is not None and rs[2] is None and rs[3] is None
+
+    audio = spark.createDataFrame(
+        [(1, ok_wav), (2, None), (3, b"garbage")],
+        "media_id long, payload binary",
+    )
+    au = {r["media_id"]: r for r in audio_features(audio).collect()}
+    assert au[1]["n_samples"] == 4 and au[1]["abs_sum"] == 0
+    assert au[2]["abs_sum"] is None and au[3]["abs_sum"] is None

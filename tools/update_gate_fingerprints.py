@@ -19,7 +19,14 @@ suite instead of silently demoting a changed gate out of the window
 (round-4 review finding on the manual `_GATE_CHANGED_IN_ROUND` dict,
 which is now frozen history + emergency override only).
 
-Usage: python tools/update_gate_fingerprints.py
+Usage: python tools/update_gate_fingerprints.py [--rekey]
+
+``--rekey``: recompute every fingerprint under the CURRENT hash scheme
+while PRESERVING each gate's stored round — the migration mode for a
+change to the fingerprint inputs themselves (e.g. round 6 widened the
+hash to include private-helper sources). A hash-scheme change is not a
+semantic change, so it must not flood the next driver window; the
+rekey is only honest immediately after a full oracle re-verification.
 """
 
 from __future__ import annotations
@@ -49,6 +56,7 @@ def current_build_round() -> int:
 
 
 def main() -> int:
+    rekey = "--rekey" in sys.argv[1:]
     bootstrap = not os.path.exists(LEDGER)
     stored: dict[str, dict] = {}
     if not bootstrap:
@@ -65,7 +73,12 @@ def main() -> int:
             out[name] = {"fp": fp, "round": rnd}
             added.append(name)
         elif prev["fp"] != fp:
-            out[name] = {"fp": fp, "round": rnd}
+            if rekey:
+                # hash-scheme migration: new key, SAME graded round —
+                # the gate's semantics did not change
+                out[name] = {"fp": fp, "round": prev["round"]}
+            else:
+                out[name] = {"fp": fp, "round": rnd}
             changed.append(name)
         else:
             out[name] = prev
