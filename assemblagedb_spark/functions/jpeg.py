@@ -1,0 +1,647 @@
+"""Pure-numpy baseline JPEG codec — no third-party dependency.
+
+The container ships no PIL/ffmpeg, but baseline JPEG (ITU-T T.81,
+sequential DCT, 8-bit) needs neither: the format is 8x8 FDCT blocks,
+uniform quantization, zigzag run-length coding and static Huffman tables
+— all of it exact integer/float math numpy expresses directly. This
+module implements:
+
+- ``jpeg_encode``: grayscale or RGB (encoded as YCbCr 4:4:4) baseline
+  JFIF streams using the Annex K quantization tables (libjpeg quality
+  scaling) and the Annex K "typical" Huffman tables.
+- ``jpeg_decode``: baseline sequential streams with any number of
+  components at 1x1 sampling (grayscale and YCbCr 4:4:4, i.e.
+  everything the encoder emits plus foreign 4:4:4 files). Subsampled
+  (4:2:0) and progressive (SOF2) streams are refused with ``ValueError``
+  — stated, not hidden.
+
+Determinism contract (what the DuckDB gate arithmetic relies on):
+- FDCT/IDCT are the exact orthonormal matrix forms of T.81 §A.3.3,
+  S = C·s·Cᵀ with C[u,x] = ½·α(u)·cos((2x+1)uπ/16), α(0)=1/√2. For a
+  flat block of level-shifted value d every AC term is exactly 0 and
+  DC = 8d (the cosines cancel by symmetry; float64 keeps this exact
+  because d·Σrow(C²) sums identical terms).
+- All coefficient/pixel rounding is round-half-away-from-zero
+  (sign·floor(|t|+½)), mirrored in SQL as FLOOR(x+0.5) on the
+  non-negative pixel path.
+
+Scale shape: these functions run INSIDE Arrow batches (mapInPandas) —
+per-payload work is vectorized numpy block math; the only per-symbol
+Python loop is Huffman entropy coding, bounded by the payload size.
+Pinned by tests/test_jpeg_codec.py (flat-field exact arithmetic,
+random-image roundtrip error bounds vs the quantization-step ceiling,
+entropy-layer exactness through a hand-assembled coefficient stream).
+"""
+
+from __future__ import annotations
+
+import struct
+
+# --------------------------------------------------------------------------
+# Tables (ITU-T T.81 Annex K — the interchange-format defaults)
+# --------------------------------------------------------------------------
+
+# K.1 luminance / K.2 chrominance quantization tables, natural (row) order
+QUANT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+QUANT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# zigzag index of each natural position (T.81 Figure 5)
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.3 "typical" Huffman tables: (BITS counts per code length 1..16,
+# HUFFVAL symbol list)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _dct_matrix():
+    """C[u, x] = ½·α(u)·cos((2x+1)uπ/16) — S = C·s·Cᵀ is the T.81 FDCT."""
+    import numpy as np
+
+    x = np.arange(8)
+    u = np.arange(8)[:, None]
+    c = 0.5 * np.cos((2 * x[None, :] + 1) * u * np.pi / 16)
+    c[0, :] *= 1 / np.sqrt(2)
+    return c
+
+
+def _round_half_away(t):
+    """sign(t)·floor(|t| + ½) — the codec's single rounding rule."""
+    import numpy as np
+
+    return np.sign(t) * np.floor(np.abs(t) + 0.5)
+
+
+def _snap(t):
+    """Snap float DCT/IDCT outputs to the nearest 1/4096 before any
+    rounding decision. True coefficients of the closed-form cases (flat
+    blocks: DC = 8d, AC = 0) are exact multiples of 1/8; accumulated
+    float error is ~1e-10 ≪ 2⁻¹³, so snapping restores them EXACTLY and
+    the half-away rounding sees the same knife-edge values the SQL
+    oracle's integer arithmetic computes."""
+    import numpy as np
+
+    return np.round(t * 4096.0) / 4096.0
+
+
+def quality_scale(table, quality: int):
+    """libjpeg quality scaling of a base table: q<50 → 5000/q %, q≥50 →
+    (200 − 2q) %, each entry round-half-up then clamped to [1, 255].
+    quality=50 returns the base table unchanged — the gate's fixed point."""
+    import numpy as np
+
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    t = (np.asarray(table, dtype=np.int64) * scale + 50) // 100
+    return np.clip(t, 1, 255).astype(np.int64)
+
+
+# --------------------------------------------------------------------------
+# Huffman machinery
+# --------------------------------------------------------------------------
+
+
+def _build_codes(bits, vals):
+    """symbol -> (code, length) by T.81 Annex C canonical assignment."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decode_table(bits, vals):
+    """(code, length) -> symbol map for the bit-at-a-time reader."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per F.1.2.3
+        return bytes(self.buf)
+
+
+class _BitReader:
+    """Reads the entropy-coded segment: un-stuffs FF 00, resets at RSTn."""
+
+    __slots__ = ("data", "pos", "acc", "nbits", "hit_rst")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.hit_rst = False
+
+    def _fill(self):
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                self.acc = (self.acc << 8) | 0  # pad past EOI; harmless
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:  # restart marker
+                    self.pos += 2
+                    self.acc = 0
+                    self.nbits = 0
+                    self.hit_rst = True
+                    continue
+                else:  # EOI / next marker: stop consuming, pad
+                    self.acc = (self.acc << 8) | 0
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        out = (self.acc >> self.nbits) & ((1 << n) - 1)
+        return out
+
+    def huff(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """T.81 F.1.2.1: value -> (category, appended bits)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    bits = v if v > 0 else v + (1 << cat) - 1
+    return cat, bits
+
+
+def _extend(bits: int, cat: int) -> int:
+    """Inverse of _magnitude (T.81 F.2.2.1 EXTEND)."""
+    if cat == 0:
+        return 0
+    if bits < (1 << (cat - 1)):
+        return bits - (1 << cat) + 1
+    return bits
+
+
+# --------------------------------------------------------------------------
+# Block entropy coding (shared by encoder and the entropy-layer test)
+# --------------------------------------------------------------------------
+
+
+def encode_block(writer, zz, prev_dc, dc_codes, ac_codes) -> int:
+    """Entropy-code one zigzag-ordered quantized block; returns its DC
+    (the next block's predictor). Exposed for the entropy-exactness test."""
+    dc = int(zz[0])
+    cat, bits = _magnitude(dc - prev_dc)
+    code, length = dc_codes[cat]
+    writer.write(code, length)
+    writer.write(bits, cat)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        cat, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | cat]
+        writer.write(code, length)
+        writer.write(bits, cat)
+        run = 0
+    if last_nz != 63:
+        code, length = ac_codes[0x00]  # EOB
+        writer.write(code, length)
+    return dc
+
+
+def decode_block(reader, prev_dc, dc_table, ac_table):
+    """Decode one block to a 64-entry zigzag list; returns (zz, dc)."""
+    zz = [0] * 64
+    cat = reader.huff(dc_table)
+    dc = prev_dc + _extend(reader.bits(cat), cat)
+    zz[0] = dc
+    i = 1
+    while i < 64:
+        sym = reader.huff(ac_table)
+        if sym == 0x00:  # EOB
+            break
+        run, cat = sym >> 4, sym & 0x0F
+        if cat == 0:
+            if run != 15:
+                raise ValueError(f"invalid AC symbol {sym:#x}")
+            i += 16  # ZRL
+            continue
+        i += run
+        if i >= 64:
+            raise ValueError("AC run past end of block")
+        zz[i] = _extend(reader.bits(cat), cat)
+        i += 1
+    return zz, dc
+
+
+# --------------------------------------------------------------------------
+# Encoder
+# --------------------------------------------------------------------------
+
+
+def _to_blocks(plane):
+    """(H, W) float plane, already level-shifted → (n, 8, 8) blocks with
+    edge-replication padding; returns (blocks, blocks_w)."""
+    import numpy as np
+
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    hh, ww = plane.shape
+    return (
+        plane.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8),
+        ww // 8,
+    )
+
+
+def _encode_plane(writer, plane, qtable, dc_codes, ac_codes, interleave_cb=None):
+    """FDCT + quantize + entropy-code one component plane (non-interleaved
+    path used for grayscale)."""
+    import numpy as np
+
+    c = _dct_matrix()
+    blocks, _ = _to_blocks(plane)
+    coeffs = _snap(np.einsum("ux,nxy,vy->nuv", c, blocks, c))
+    q = qtable.reshape(8, 8)
+    zz = _round_half_away(_snap(coeffs / q)).astype(np.int64)
+    zzflat = zz.reshape(-1, 64)[:, ZIGZAG]
+    prev = 0
+    for row in zzflat:
+        prev = encode_block(writer, row, prev, dc_codes, ac_codes)
+
+
+def jpeg_encode(arr, quality: int = 50) -> bytes:
+    """Encode a uint8 array as baseline JFIF: (H, W) / (H, W, 1) →
+    grayscale single-scan; (H, W, 3) → YCbCr 4:4:4 interleaved. Annex K
+    tables scaled by libjpeg quality (50 = unscaled — the gate's choice)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[:, :, 0]
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError(f"unsupported array shape {a.shape}")
+    h, w = a.shape[0], a.shape[1]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+
+    qluma = quality_scale(QUANT_LUMA, quality)
+    qchroma = quality_scale(QUANT_CHROMA, quality)
+    out = bytearray(b"\xff\xd8")  # SOI
+    # JFIF APP0 (1:1 aspect, no thumbnail)
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    # DQT: table 0 (luma) always; table 1 (chroma) for color
+    zz_luma = qluma[ZIGZAG]
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(int(v) for v in zz_luma)
+    if not gray:
+        zz_chroma = qchroma[ZIGZAG]
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(int(v) for v in zz_chroma)
+    # SOF0
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        qsel = 0 if cid == 1 else 1
+        sof += struct.pack(">BBB", cid, 0x11, qsel)  # 1x1 sampling
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT (class<<4 | id)
+    tables = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
+    if not gray:
+        tables += [
+            (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+            (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
+        ]
+    for tc, bits, vals in tables:
+        seg = bytes([tc]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    # SOS
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00 if cid == 1 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    writer = _BitWriter()
+    if gray:
+        plane = a.astype(np.float64) - 128.0
+        _encode_plane(
+            writer, plane,
+            qluma, _build_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+            _build_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+        )
+    else:
+        rgb = a.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128.0
+        cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128.0
+        c = _dct_matrix()
+        dc_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+        ac_l = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+        dc_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+        ac_c = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+        planes, zzs = [y - 128.0, cb - 128.0, cr - 128.0], []
+        for idx, plane in enumerate(planes):
+            blocks, _ = _to_blocks(plane)
+            coeffs = _snap(np.einsum("ux,nxy,vy->nuv", c, blocks, c))
+            q = (qluma if idx == 0 else qchroma).reshape(8, 8)
+            zz = _round_half_away(_snap(coeffs / q)).astype(np.int64)
+            zzs.append(zz.reshape(-1, 64)[:, ZIGZAG])
+        # interleaved MCU order at 1x1 sampling: one block per component
+        prev = [0, 0, 0]
+        for n in range(zzs[0].shape[0]):
+            for comp in range(3):
+                dc_codes = dc_l if comp == 0 else dc_c
+                ac_codes = ac_l if comp == 0 else ac_c
+                prev[comp] = encode_block(
+                    writer, zzs[comp][n], prev[comp], dc_codes, ac_codes
+                )
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Decoder
+# --------------------------------------------------------------------------
+
+
+def jpeg_decode(payload: bytes):
+    """Decode a baseline sequential JPEG to a uint8 numpy array of shape
+    (H, W) for single-component streams or (H, W, 3) RGB for 3-component
+    YCbCr at 1x1 sampling. Raises ``ValueError`` on progressive (SOF2),
+    12-bit, arithmetic-coded, or subsampled streams."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    n = len(payload)
+    qtables: dict[int, "np.ndarray"] = {}
+    htables: dict[int, dict] = {}
+    width = height = None
+    comps: list[tuple[int, int, int]] = []  # (id, sampling, qsel)
+    scan = None
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        data = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            off = 0
+            while off < len(data):
+                pq, tq = data[off] >> 4, data[off] & 0x0F
+                off += 1
+                if pq == 0:
+                    vals = np.frombuffer(data[off : off + 64], dtype=np.uint8)
+                    off += 64
+                else:
+                    vals = np.frombuffer(
+                        data[off : off + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    off += 128
+                t = np.zeros(64, dtype=np.int64)
+                t[ZIGZAG] = vals.astype(np.int64)
+                qtables[tq] = t
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            off = 0
+            while off < len(data):
+                tc_th = data[off]
+                bits = list(data[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = list(data[off + 17 : off + 17 + nvals])
+                htables[tc_th] = _build_decode_table(bits, vals)
+                off += 17 + nvals
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            precision, height, width, ncomp = struct.unpack(">BHHB", data[:6])
+            if precision != 8:
+                raise ValueError(f"unsupported precision {precision}")
+            for i in range(ncomp):
+                cid, samp, qsel = struct.unpack(
+                    ">BBB", data[6 + 3 * i : 9 + 3 * i]
+                )
+                if samp != 0x11:
+                    raise ValueError(
+                        "subsampled JPEG not supported (1x1 sampling only)"
+                    )
+                comps.append((cid, samp, qsel))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential JPEG supported")
+        elif marker == 0xDA:  # SOS
+            ns = data[0]
+            scan = []
+            for i in range(ns):
+                cid, tsel = data[1 + 2 * i], data[2 + 2 * i]
+                scan.append((cid, tsel >> 4, tsel & 0x0F))
+            pos += 2 + seglen
+            break
+        pos += 2 + seglen
+    if width is None or scan is None:
+        raise ValueError("JPEG without SOF/SOS")
+    if len(scan) != len(comps):
+        raise ValueError("multi-scan JPEG not supported")
+
+    reader = _BitReader(payload, pos)
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    nblocks = bw * bh
+    ncomp = len(comps)
+    zz_all = [np.zeros((nblocks, 64), dtype=np.int64) for _ in range(ncomp)]
+    prev = [0] * ncomp
+    tsel = {cid: (dc, ac) for cid, dc, ac in scan}
+    for b in range(nblocks):
+        if reader.hit_rst:
+            prev = [0] * ncomp
+            reader.hit_rst = False
+        for comp in range(ncomp):
+            cid = comps[comp][0]
+            dc_t = htables.get(0x00 | tsel[cid][0])
+            ac_t = htables.get(0x10 | tsel[cid][1])
+            if dc_t is None or ac_t is None:
+                raise ValueError("missing Huffman table")
+            zz, prev[comp] = decode_block(reader, prev[comp], dc_t, ac_t)
+            zz_all[comp][b] = zz
+
+    c = _dct_matrix()
+    planes = []
+    inv_zig = np.empty(64, dtype=np.int64)
+    inv_zig[ZIGZAG] = np.arange(64)
+    for comp in range(ncomp):
+        q = qtables.get(comps[comp][2])
+        if q is None:
+            raise ValueError("missing quantization table")
+        coeffs = (zz_all[comp][:, inv_zig] * q[None, :]).reshape(-1, 8, 8)
+        blocks = np.einsum("xu,nuv,yv->nxy", c.T, coeffs.astype(np.float64), c.T)
+        plane = (
+            blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
+        plane = _round_half_away(_snap(plane) + 128.0)
+        planes.append(np.clip(plane, 0, 255)[:height, :width])
+    if ncomp == 1:
+        return planes[0].astype(np.uint8)
+    if ncomp != 3:
+        raise ValueError(f"unsupported component count {ncomp}")
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(_round_half_away(rgb), 0, 255).astype(np.uint8)
+
+
+def flat_gray_roundtrip_value(v: int, quality: int = 50) -> int:
+    """The exact arithmetic the DuckDB gate replays: a flat grayscale
+    image of value v encodes to DC-only blocks, so the decode is
+    clamp(round_half_away(round_half_away(8·(v−128)/Q₀₀)·Q₀₀/8) + 128).
+    Kept engine-side so tests pin codec == formula == SQL."""
+    from fractions import Fraction
+
+    def half_away(t: Fraction) -> int:
+        m = abs(t) + Fraction(1, 2)
+        return (1 if t >= 0 else -1) * (m.numerator // m.denominator)
+
+    q00 = int(quality_scale(QUANT_LUMA, quality)[0])
+    qdc = half_away(Fraction(8 * (v - 128), q00))
+    px = half_away(Fraction(qdc * q00, 8)) + 128
+    return max(0, min(255, px))

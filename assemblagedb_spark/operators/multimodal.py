@@ -10,11 +10,15 @@ Codec status: ``decode_image`` — the (width, height, channels) metadata
 path every gate and feature extractor here uses — is REAL for PNG, GIF
 and JPEG payloads via a pure-stdlib header parser (the same lazy-header
 read PIL's ``Image.open`` performs for ``.width``/``.height``: pixels are
-never decoded for dimension extraction). PIL, when the environment ships
-it, extends coverage to other container formats; pixel-level transforms
-(resize, frame extraction) still require PIL/ffmpeg and stay stubbed —
-``fake=True`` selects the deterministic payload-hash stub the replayable
-harness gates use.
+never decoded for dimension extraction). Pixel-level transforms are REAL
+for PNG (functions/png.py: full encode/decode/resize), baseline JPEG
+(functions/jpeg.py: pure-numpy FDCT/Huffman codec) and uncompressed
+YUV4MPEG2 video (functions/y4m.py: container parse + per-frame luma) —
+each gate-checked end to end against arithmetic DuckDB oracles. PIL /
+ffmpeg, when the environment ships them, extend coverage to the
+remaining compressed formats (progressive/subsampled JPEG, H.26x);
+``fake=True`` selects the deterministic payload-hash stub kept for the
+replayable text-payload harness tables.
 """
 
 from __future__ import annotations
@@ -482,6 +486,155 @@ def pixel_sums(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         sums, "media_id long, pixel_sum long"
+    )
+
+
+def synthetic_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload): REAL baseline JPEG payloads built per row in
+    the Arrow kernel — block-flat images W = 8·(1 + id%3), H = 8·(1 +
+    (id·3)%3) whose 8×8 block at (bx, by) is the flat value
+    (id + 13·bx + 29·by) mod 256. Each block is DC-only under the FDCT,
+    so the decoded image is an exact closed-form function of the id
+    (functions/jpeg.py determinism contract: DC = 8d snapped before
+    rounding) while the stream still exercises DC differential coding,
+    multi-category Huffman symbols, byte stuffing and block tiling —
+    genuine entropy-coded T.81 streams, not header shells."""
+    import numpy as np
+    import pandas as pd
+
+    from assemblagedb_spark.functions.jpeg import jpeg_encode
+
+    def build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        ones = np.ones((8, 8), dtype=np.int64)
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            payloads = []
+            for mid in ids:
+                mid = int(mid)
+                bw, bh = 1 + mid % 3, 1 + (mid * 3) % 3
+                vals = (
+                    mid
+                    + 13 * np.arange(bw)[None, :]
+                    + 29 * np.arange(bh)[:, None]
+                ) % 256
+                img = np.kron(vals, ones).astype(np.uint8)
+                payloads.append(jpeg_encode(img, quality=50))
+            yield pd.DataFrame(
+                {"media_id": ids.astype("int64"), "payload": payloads}
+            )
+
+    return docs.select(F.col(id_col)).mapInPandas(
+        build, "media_id long, payload binary"
+    )
+
+
+def jpeg_pixel_stats(media: DataFrame) -> DataFrame:
+    """(media_id, width, height, pixel_sum) via the REAL baseline JPEG
+    decoder (Huffman → dequant → IDCT, functions/jpeg.py) — the integer
+    pixel statistics the lossy-codec gate compares against its
+    arithmetic oracle. NULL/undecodable payloads yield NULL stats, task
+    alive."""
+    import pandas as pd
+
+    from assemblagedb_spark.functions.jpeg import jpeg_decode
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    if payload is None:
+                        raise ValueError("NULL payload")
+                    arr = jpeg_decode(bytes(payload))
+                    rows.append(
+                        (media_id, int(arr.shape[1]), int(arr.shape[0]),
+                         int(arr.astype("int64").sum()))
+                    )
+                except ValueError:
+                    rows.append((media_id, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "pixel_sum"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        stats, "media_id long, width int, height int, pixel_sum long"
+    )
+
+
+def synthetic_y4m_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload): genuine YUV4MPEG2 Cmono streams — T = 1+id%4
+    frames of W = 8+id%5 × H = 8+(id·3)%5 with luma(x, y, t) =
+    (x + 3y + 7t + id) mod 256 — a video corpus whose every pixel is a
+    pure function of the id, so a SQL oracle can predict any per-frame
+    statistic downstream sampling produces."""
+    import numpy as np
+    import pandas as pd
+
+    from assemblagedb_spark.functions.y4m import y4m_encode
+
+    def build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            payloads = []
+            for mid in ids:
+                mid = int(mid)
+                t, w, h = 1 + mid % 4, 8 + mid % 5, 8 + (mid * 3) % 5
+                frames = (
+                    np.arange(w)[None, None, :]
+                    + 3 * np.arange(h)[None, :, None]
+                    + 7 * np.arange(t)[:, None, None]
+                    + mid
+                ) % 256
+                payloads.append(y4m_encode(frames.astype(np.uint8)))
+            yield pd.DataFrame(
+                {"media_id": ids.astype("int64"), "payload": payloads}
+            )
+
+    return docs.select(F.col(id_col)).mapInPandas(
+        build, "media_id long, payload binary"
+    )
+
+
+def sample_video_frames(
+    media: DataFrame, every_n: int = 2, max_frames: int = 8
+) -> DataFrame:
+    """REAL video frame sampling: parse each payload as a YUV4MPEG2
+    container (functions/y4m.py), take every ``every_n``-th frame up to
+    ``max_frames``, and emit (media_id, frame_idx, width, height,
+    luma_sum) — the exploded (media, frame) shape a training pipeline
+    feeds to a vision encoder, with frame boundaries from the container's
+    own geometry rather than the byte-window stride of the
+    :func:`sample_frames` stub. NULL/unparseable payloads sample nothing
+    (missing media has no frames); the task stays alive."""
+    import pandas as pd
+
+    from assemblagedb_spark.functions.y4m import y4m_decode
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    luma, w, h, t = y4m_decode(bytes(payload))
+                except ValueError:
+                    continue
+                for idx in range(0, t, every_n):
+                    if idx // every_n >= max_frames:
+                        break
+                    rows.append(
+                        (media_id, idx, w, h,
+                         int(luma[idx].astype("int64").sum()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "width", "height", "luma_sum"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        sample,
+        "media_id long, frame_idx int, width int, height int, luma_sum long",
     )
 
 

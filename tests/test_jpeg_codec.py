@@ -1,0 +1,195 @@
+"""Pins for the pure-numpy baseline JPEG codec (functions/jpeg.py).
+
+Three layers, each isolating one failure mode:
+- flat-field exactness: a constant image is DC-only, so the decode is a
+  closed-form function of (value, Q00) — codec must equal the formula
+  the DuckDB gate replays in SQL (any FDCT/quant/entropy/IDCT bug breaks
+  this bit-exactly);
+- entropy-layer exactness: hand-fed quantized coefficient blocks survive
+  encode_block -> bitstream -> decode_block unchanged (Huffman + magnitude
+  coding is lossless by construction);
+- roundtrip error bound: random images decode within the quantization
+  ceiling (max coefficient error Q/2 propagated through the orthonormal
+  IDCT), so the lossy layers lose only what T.81 says they may.
+"""
+
+import numpy as np
+import pytest
+
+from assemblagedb_spark.functions.jpeg import (
+    AC_LUMA_BITS,
+    AC_LUMA_VALS,
+    DC_LUMA_BITS,
+    DC_LUMA_VALS,
+    QUANT_LUMA,
+    _BitReader,
+    _BitWriter,
+    _build_codes,
+    _build_decode_table,
+    decode_block,
+    encode_block,
+    flat_gray_roundtrip_value,
+    jpeg_decode,
+    jpeg_encode,
+    quality_scale,
+)
+
+
+# ---------------------------------------------------------------------------
+# flat-field exactness (the gate's arithmetic)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("quality", [25, 50, 90])
+def test_flat_gray_matches_closed_form(quality):
+    # every value class: extremes, mid, both rounding parities
+    for v in [0, 1, 37, 127, 128, 129, 200, 254, 255]:
+        img = np.full((24, 16), v, dtype=np.uint8)
+        out = jpeg_decode(jpeg_encode(img, quality=quality))
+        expect = flat_gray_roundtrip_value(v, quality=quality)
+        assert out.shape == (24, 16)
+        assert (out == expect).all(), (v, quality, np.unique(out), expect)
+
+
+def test_flat_gray_non_multiple_of_8_crops_back():
+    # padding is edge-replicated so padded blocks stay flat -> still exact
+    img = np.full((13, 11), 77, dtype=np.uint8)
+    out = jpeg_decode(jpeg_encode(img))
+    assert out.shape == (13, 11)
+    assert (out == flat_gray_roundtrip_value(77)).all()
+
+
+def test_quality_50_is_the_unscaled_annex_k_table():
+    assert quality_scale(QUANT_LUMA, 50).tolist() == list(QUANT_LUMA)
+    assert int(quality_scale(QUANT_LUMA, 50)[0]) == 16
+
+
+# ---------------------------------------------------------------------------
+# entropy layer is exactly lossless
+# ---------------------------------------------------------------------------
+
+
+def test_entropy_roundtrip_exact_on_adversarial_blocks():
+    dc_codes = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_codes = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_table = _build_decode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_table = _build_decode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+
+    rng = np.random.RandomState(7)
+    blocks = []
+    # adversarial shapes: all-zero AC, dense, long zero runs (ZRL),
+    # max-category values, trailing nonzero at index 63 (no EOB)
+    zz = np.zeros(64, dtype=np.int64); zz[0] = 13; blocks.append(zz)
+    zz = rng.randint(-255, 256, size=64).astype(np.int64); blocks.append(zz)
+    zz = np.zeros(64, dtype=np.int64); zz[0] = -9; zz[40] = 3; blocks.append(zz)
+    zz = np.zeros(64, dtype=np.int64); zz[0] = 5; zz[63] = -1; blocks.append(zz)
+    zz = np.zeros(64, dtype=np.int64); zz[0] = 0; zz[17] = 1023; zz[18] = -1023
+    blocks.append(zz)
+    for _ in range(20):
+        zz = rng.randint(-40, 41, size=64) * (rng.rand(64) < 0.2)
+        blocks.append(zz.astype(np.int64))
+
+    w = _BitWriter()
+    prev = 0
+    for zz in blocks:
+        prev = encode_block(w, zz, prev, dc_codes, ac_codes)
+    payload = w.flush() + b"\xff\xd9"
+
+    r = _BitReader(payload, 0)
+    prev = 0
+    for zz in blocks:
+        got, prev = decode_block(r, prev, dc_table, ac_table)
+        assert got == list(zz)
+
+
+# ---------------------------------------------------------------------------
+# lossy roundtrip bounded by the quantization ceiling
+# ---------------------------------------------------------------------------
+
+
+def _error_ceiling(quality: int) -> float:
+    # coefficient error <= Q(u,v)/2; IDCT basis magnitude <= alpha_u*alpha_v/4,
+    # so pixel error <= sum(Q)/8 * (worst constructive case) — use the loose
+    # analytic bound sum(Q/2 * 1/4) plus 1 for the two half-away roundings.
+    q = quality_scale(QUANT_LUMA, quality).astype(np.float64)
+    return float((q / 2).sum() / 4 + 1.0)
+
+
+@pytest.mark.parametrize("quality", [50, 90])
+def test_random_gray_roundtrip_within_quant_bound(quality):
+    rng = np.random.RandomState(42)
+    img = rng.randint(0, 256, size=(40, 56), dtype=np.uint8)
+    out = jpeg_decode(jpeg_encode(img, quality=quality))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(np.int64) - img.astype(np.int64)).max()
+    assert err <= _error_ceiling(quality), (err, _error_ceiling(quality))
+
+
+def test_smooth_gradient_high_quality_is_close():
+    # a smooth ramp at quality 95 should be nearly lossless — catches
+    # gross scaling errors the analytic ceiling would let through
+    y, x = np.mgrid[0:32, 0:32]
+    img = ((x * 3 + y * 2) % 200 // 4 + 20).astype(np.uint8)
+    out = jpeg_decode(jpeg_encode(img, quality=95))
+    err = np.abs(out.astype(np.int64) - img.astype(np.int64))
+    assert err.mean() < 3.0 and err.max() <= 20
+
+
+def test_rgb_roundtrip_flat_color_and_shape():
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = 200, 80, 40
+    out = jpeg_decode(jpeg_encode(img, quality=90))
+    assert out.shape == (16, 16, 3)
+    err = np.abs(out.astype(np.int64) - img.astype(np.int64)).max()
+    assert err <= 6  # color transform rounding + DC quantization only
+
+
+# ---------------------------------------------------------------------------
+# contract: refusals and header integration
+# ---------------------------------------------------------------------------
+
+
+def test_decoder_refuses_non_jpeg_and_truncated_headers():
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\xff\xd8\xff\xd9")  # SOI+EOI, no SOF/SOS
+
+
+def test_decoder_refuses_progressive():
+    # take a real stream and rewrite its SOF0 marker to SOF2
+    payload = bytearray(jpeg_encode(np.full((8, 8), 50, dtype=np.uint8)))
+    idx = payload.find(b"\xff\xc0")
+    assert idx > 0
+    payload[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg_decode(bytes(payload))
+
+
+def test_header_parser_reads_our_streams():
+    # the round-6 header-only parser must agree with the full codec
+    from assemblagedb_spark.operators.multimodal import decode_image
+
+    img = np.full((24, 17), 90, dtype=np.uint8)
+    w, h, c = decode_image(jpeg_encode(img))
+    assert (w, h, c) == (17, 24, 1)
+    rgb = np.zeros((9, 12, 3), dtype=np.uint8)
+    w, h, c = decode_image(jpeg_encode(rgb))
+    assert (w, h, c) == (12, 9, 3)
+
+
+def test_byte_stuffing_and_restart_reader():
+    # 0xFF bytes inside the entropy stream must be stuffed and un-stuffed;
+    # probe with many blocks to make raw 0xFF output bytes likely
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(64, 64), dtype=np.uint8)
+    payload = jpeg_encode(img, quality=10)  # coarse -> dense 1-bits
+    body = payload[2:-2]
+    # every 0xFF in the entropy segment must be followed by 0x00 or a marker
+    sos = body.find(b"\xff\xda")
+    seg = body[sos + 2 :]
+    for i, b in enumerate(seg[:-1]):
+        if b == 0xFF:
+            assert seg[i + 1] == 0x00 or seg[i + 1] >= 0xC0
+    out = jpeg_decode(payload)
+    assert out.shape == img.shape
