@@ -232,16 +232,20 @@ class _BitWriter:
 
 
 class _BitReader:
-    """Reads the entropy-coded segment: un-stuffs FF 00, resets at RSTn."""
+    """Reads the entropy-coded segment: un-stuffs FF 00; any other FF xx
+    (RSTn, EOI, next marker) is a hard boundary the filler pads past —
+    restart markers are consumed only by the explicit
+    :meth:`sync_to_restart` the MCU loop calls at DRI intervals (T.81
+    F.2.1.3.1: the pre-marker fill bits of the current byte are
+    discarded, which only the interval counter can know)."""
 
-    __slots__ = ("data", "pos", "acc", "nbits", "hit_rst")
+    __slots__ = ("data", "pos", "acc", "nbits")
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
         self.acc = 0
         self.nbits = 0
-        self.hit_rst = False
 
     def _fill(self):
         d = self.data
@@ -255,13 +259,7 @@ class _BitReader:
                 nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
                 if nxt == 0x00:
                     self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7:  # restart marker
-                    self.pos += 2
-                    self.acc = 0
-                    self.nbits = 0
-                    self.hit_rst = True
-                    continue
-                else:  # EOI / next marker: stop consuming, pad
+                else:  # RSTn / EOI / next marker: stop consuming, pad
                     self.acc = (self.acc << 8) | 0
                     self.nbits += 8
                     continue
@@ -269,6 +267,19 @@ class _BitReader:
                 self.pos += 1
             self.acc = (self.acc << 8) | b
             self.nbits += 8
+
+    def sync_to_restart(self):
+        """Discard the partial byte (marker fill bits) and step over the
+        RSTn marker that T.81 places after each restart interval."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        if (
+            self.pos + 1 < len(d)
+            and d[self.pos] == 0xFF
+            and 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
 
     def bits(self, n: int) -> int:
         if n == 0:
@@ -520,6 +531,7 @@ def jpeg_decode(payload: bytes):
     width = height = None
     comps: list[tuple[int, int, int]] = []  # (id, sampling, qsel)
     scan = None
+    restart_interval = 0
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("marker desync")
@@ -569,6 +581,8 @@ def jpeg_decode(payload: bytes):
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline sequential JPEG supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", data[:2])
         elif marker == 0xDA:  # SOS
             ns = data[0]
             scan = []
@@ -591,9 +605,9 @@ def jpeg_decode(payload: bytes):
     prev = [0] * ncomp
     tsel = {cid: (dc, ac) for cid, dc, ac in scan}
     for b in range(nblocks):
-        if reader.hit_rst:
+        if restart_interval and b and b % restart_interval == 0:
+            reader.sync_to_restart()
             prev = [0] * ncomp
-            reader.hit_rst = False
         for comp in range(ncomp):
             cid = comps[comp][0]
             dc_t = htables.get(0x00 | tsel[cid][0])

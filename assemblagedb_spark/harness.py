@@ -2280,6 +2280,96 @@ GROUP BY d.doc_id
 """
 
 
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-codec pipeline end to end (round 6): build genuine
+    baseline JPEG streams whose 8×8 blocks are flat functions of doc_id
+    (synthetic_jpeg_media — entropy-coded T.81 with DC differentials,
+    multi-category Huffman symbols and byte stuffing, not header shells),
+    decode them with the pure-numpy baseline decoder (Huffman → dequant
+    → IDCT, functions/jpeg.py) and emit exact integer pixel statistics.
+    Block-flat inputs make the LOSSY roundtrip closed-form — each block
+    is DC-only, so its decoded value is clamp(2·half_away((v−128)/2) +
+    128) at the unscaled Annex-K Q₀₀ = 16 (quality 50) — and the oracle
+    replays that quantization arithmetic in SQL: a hash match pins FDCT
+    scaling, quantizer rounding, the Huffman tables, byte stuffing, DC
+    prediction and the IDCT bit-exactly. Two chained Arrow kernels, one
+    corpus scan, zero exchanges (plan-pinned)."""
+    from assemblagedb_spark.operators.multimodal import (
+        jpeg_pixel_stats,
+        synthetic_jpeg_media,
+    )
+
+    media = synthetic_jpeg_media(load_table(spark, sf_dir, "documents"))
+    return jpeg_pixel_stats(media)
+
+
+# per block: v = (id + 13·bx + 29·by) mod 256, d = v − 128; decoded block
+# value = clamp(2·half_away(d/2) + 128) with half_away the codec's
+# round-half-away-from-zero; 64 pixels per block, blocks (bw × bh) with
+# bw = 1 + id%3, bh = 1 + (id÷3)%3 (the ÷3 decouples the two arms so all
+# nine grid shapes occur)
+O_MULTIMODAL_JPEG = """
+WITH dims AS (
+  SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + (doc_id // 3) % 3 AS bh
+  FROM documents
+),
+g AS (SELECT x.range AS bx, y.range AS by FROM range(3) x, range(3) y),
+blocks AS (
+  SELECT d.doc_id, d.bw, d.bh,
+         ((d.doc_id + 13 * g.bx + 29 * g.by) % 256) - 128 AS dd
+  FROM dims d JOIN g ON g.bx < d.bw AND g.by < d.bh
+)
+SELECT doc_id::BIGINT AS media_id,
+       (8 * bw)::INT AS width, (8 * bh)::INT AS height,
+       SUM(64 * LEAST(255, GREATEST(0,
+           2 * (CASE WHEN dd >= 0 THEN (dd + 1) // 2
+                     ELSE -((-dd + 1) // 2) END) + 128)))::BIGINT AS pixel_sum
+FROM blocks
+GROUP BY doc_id, bw, bh
+"""
+
+
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling end to end (round 6): build genuine
+    YUV4MPEG2 container streams whose every luma pixel is a pure function
+    of doc_id (synthetic_y4m_media — T = 1+id%4 frames, stream header +
+    FRAME markers, the uncompressed interchange format every video
+    toolchain reads), then sample every 2nd frame by parsing the
+    container's own geometry (sample_video_frames, functions/y4m.py) and
+    emit per-frame dimensions and exact luma sums. The oracle replays
+    the sampling rule and the pixel arithmetic in SQL, so a hash match
+    proves frame boundaries, plane extents and pixel extraction all came
+    from real container bytes. Two chained Arrow kernels, one corpus
+    scan, zero exchanges (plan-pinned)."""
+    from assemblagedb_spark.operators.multimodal import (
+        sample_video_frames,
+        synthetic_y4m_media,
+    )
+
+    media = synthetic_y4m_media(load_table(spark, sf_dir, "documents"))
+    return sample_video_frames(media, every_n=2, max_frames=8)
+
+
+# luma(x, y, t) = (x + 3y + 7t + id) mod 256 over W = 8+id%5, H = 8+(id·3)%5,
+# frames t < 1+id%4 sampled at t % 2 = 0 (max_frames = 8 never binds: T ≤ 4)
+O_MULTIMODAL_VIDEO = """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 8 + (doc_id * 3) % 5 AS h,
+         1 + doc_id % 4 AS t
+  FROM documents
+),
+fr AS (SELECT range AS f FROM range(4)),
+grid AS (SELECT x.range AS x, y.range AS y FROM range(13) x, range(13) y)
+SELECT d.doc_id::BIGINT AS media_id, fr.f::INT AS frame_idx,
+       d.w::INT AS width, d.h::INT AS height,
+       SUM((g.x + 3 * g.y + 7 * fr.f + d.doc_id) % 256)::BIGINT AS luma_sum
+FROM dims d
+JOIN fr ON fr.f < d.t AND fr.f % 2 = 0
+JOIN grid g ON g.x < d.w AND g.y < d.h
+GROUP BY d.doc_id, fr.f, d.w, d.h
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sessionization (streaming-shaped batch, gap-based session windows)
 # ---------------------------------------------------------------------------
@@ -6212,6 +6302,8 @@ SPARK_QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_audio": q_multimodal_audio,
+    "multimodal_jpeg": q_multimodal_jpeg,
+    "multimodal_video": q_multimodal_video,
     "gram_index_delta": q_gram_index_delta,
     "reindex_parents": q_reindex_parents,
     "graph_orphans": q_graph_orphans,
@@ -6357,6 +6449,8 @@ ORACLES = {
     "multimodal_decode": O_MULTIMODAL_DECODE,
     "multimodal_resize": O_MULTIMODAL_RESIZE,
     "multimodal_audio": O_MULTIMODAL_AUDIO,
+    "multimodal_jpeg": O_MULTIMODAL_JPEG,
+    "multimodal_video": O_MULTIMODAL_VIDEO,
     "gram_index_delta": O_GRAM_INDEX_DELTA,
     "reindex_parents": O_REINDEX_PARENTS,
     "graph_orphans": O_GRAPH_ORPHANS,

@@ -492,7 +492,7 @@ def pixel_sums(media: DataFrame) -> DataFrame:
 def synthetic_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(media_id, payload): REAL baseline JPEG payloads built per row in
     the Arrow kernel — block-flat images W = 8·(1 + id%3), H = 8·(1 +
-    (id·3)%3) whose 8×8 block at (bx, by) is the flat value
+    (id÷3)%3) whose 8×8 block at (bx, by) is the flat value
     (id + 13·bx + 29·by) mod 256. Each block is DC-only under the FDCT,
     so the decoded image is an exact closed-form function of the id
     (functions/jpeg.py determinism contract: DC = 8d snapped before
@@ -511,7 +511,7 @@ def synthetic_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             payloads = []
             for mid in ids:
                 mid = int(mid)
-                bw, bh = 1 + mid % 3, 1 + (mid * 3) % 3
+                bw, bh = 1 + mid % 3, 1 + (mid // 3) % 3
                 vals = (
                     mid
                     + 13 * np.arange(bw)[None, :]

@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     "multimodal_decode",
     "multimodal_resize",  # real PNG codec: encode -> resize -> decode
     "multimodal_audio",   # real WAV codec: PCM frames -> waveform stats
+    "multimodal_jpeg",    # real baseline JPEG: Huffman/DCT lossy roundtrip
+    "multimodal_video",   # real y4m container: frame-sampled luma stats
 ]
 
 

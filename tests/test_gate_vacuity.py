@@ -271,3 +271,67 @@ def test_multimodal_audio_gate_decodes_real_waveforms(spark, sf_dir):
     assert len({r["n_samples"] for r in rows}) >= 50
     assert len({r["abs_sum"] for r in rows}) >= 50
     assert all(r["n_channels"] == 1 for r in rows)
+
+
+def test_multimodal_jpeg_gate_decodes_real_lossy_streams(spark, sf_dir):
+    # the JPEG gate's sums must come from genuinely entropy-decoded
+    # streams: all nine block-grid shapes exercised (every DC-prediction
+    # chain length), varied pixel sums, and the payloads must be real
+    # T.81 streams the codec round-trips — with at least one doc where
+    # the LOSSY roundtrip changed the pixels (odd d: half-away rounding
+    # moves the value), proving the gate pins quantization, not identity
+    from assemblagedb_spark.functions.jpeg import jpeg_decode
+    from assemblagedb_spark.operators.multimodal import synthetic_jpeg_media
+
+    rows = h.SPARK_QUERIES["multimodal_jpeg"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["pixel_sum"] is not None for r in rows)
+    assert {(r["width"], r["height"]) for r in rows} == {
+        (8 * bw, 8 * bh) for bw in (1, 2, 3) for bh in (1, 2, 3)
+    }
+    assert len({r["pixel_sum"] for r in rows}) >= min(100, len(rows))
+    # lossy-not-identity: for v with odd d = v-128, f(v) != v
+    by_id = {r["media_id"]: r for r in rows}
+    changed = [
+        mid for mid, r in by_id.items()
+        if ((mid % 256) - 128) % 2 == 1
+        and r["width"] == 8 and r["height"] == 8
+        and r["pixel_sum"] != 64 * (mid % 256)
+    ]
+    assert changed, "no doc shows quantization loss - gate pins identity"
+
+    docs = h.load_table(spark, sf_dir, "documents").limit(3)
+    for r in synthetic_jpeg_media(docs).collect():
+        arr = jpeg_decode(bytes(r["payload"]))
+        assert arr.shape[0] % 8 == 0 and arr.shape[1] % 8 == 0
+
+
+def test_multimodal_video_gate_samples_real_containers(spark, sf_dir):
+    # frame sampling must follow the container's own geometry: only even
+    # frame indexes (the every_n=2 rule), both sampled-frame arms present
+    # (T>=3 docs contribute frame 2), all five width/height arms, varied
+    # luma sums, and re-parsing a built payload yields the exact frames
+    import numpy as np
+
+    from assemblagedb_spark.functions.y4m import y4m_decode
+    from assemblagedb_spark.operators.multimodal import synthetic_y4m_media
+
+    rows = h.SPARK_QUERIES["multimodal_video"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert {r["frame_idx"] for r in rows} == {0, 2}
+    assert {r["width"] for r in rows} == {8, 9, 10, 11, 12}
+    assert {r["height"] for r in rows} == {8, 9, 10, 11, 12}
+    assert len({r["luma_sum"] for r in rows}) >= min(100, len(rows))
+
+    docs = h.load_table(spark, sf_dir, "documents").limit(3)
+    for r in synthetic_y4m_media(docs).collect():
+        mid = r["media_id"]
+        luma, w, h_, t = y4m_decode(bytes(r["payload"]))
+        assert (w, h_, t) == (8 + mid % 5, 8 + (mid * 3) % 5, 1 + mid % 4)
+        expect = (
+            np.arange(w)[None, None, :]
+            + 3 * np.arange(h_)[None, :, None]
+            + 7 * np.arange(t)[:, None, None]
+            + mid
+        ) % 256
+        assert (luma == expect.astype(np.uint8)).all()

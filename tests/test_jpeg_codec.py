@@ -193,3 +193,67 @@ def test_byte_stuffing_and_restart_reader():
             assert seg[i + 1] == 0x00 or seg[i + 1] >= 0xC0
     out = jpeg_decode(payload)
     assert out.shape == img.shape
+
+
+def _build_rst_stream(img, dri):
+    """Foreign-stream builder: a grayscale baseline JPEG with a DRI
+    segment and RSTn markers every `dri` MCUs (our encoder never emits
+    them; real camera/libjpeg output does)."""
+    import struct
+
+    from assemblagedb_spark.functions import jpeg as J
+
+    qluma = J.quality_scale(J.QUANT_LUMA, 50)
+    dc_codes = J._build_codes(J.DC_LUMA_BITS, J.DC_LUMA_VALS)
+    ac_codes = J._build_codes(J.AC_LUMA_BITS, J.AC_LUMA_VALS)
+    c = J._dct_matrix()
+    blocks, _ = J._to_blocks(img.astype(np.float64) - 128.0)
+    coeffs = J._snap(np.einsum("ux,nxy,vy->nuv", c, blocks, c))
+    zz = (
+        J._round_half_away(J._snap(coeffs / qluma.reshape(8, 8)))
+        .astype(np.int64).reshape(-1, 64)[:, J.ZIGZAG]
+    )
+    h, w = img.shape
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        int(v) for v in qluma[J.ZIGZAG]
+    )
+    out += b"\xff\xc0" + struct.pack(">H", 11) + struct.pack(
+        ">BHHB", 8, h, w, 1
+    ) + bytes([1, 0x11, 0])
+    for tc, bits, vals in [
+        (0x00, J.DC_LUMA_BITS, J.DC_LUMA_VALS),
+        (0x10, J.AC_LUMA_BITS, J.AC_LUMA_VALS),
+    ]:
+        seg = bytes([tc]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0, 0, 0x3F, 0])
+    wtr = J._BitWriter()
+    prev = 0
+    rst = 0
+    for i in range(zz.shape[0]):
+        if dri and i and i % dri == 0:
+            out += wtr.flush() + bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            wtr = J._BitWriter()
+            prev = 0  # T.81: DC prediction resets at every restart
+        prev = J.encode_block(wtr, zz[i], prev, dc_codes, ac_codes)
+    out += wtr.flush() + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_restart_markers_decode_with_predictor_reset():
+    # flat image across restart intervals stays the exact closed form
+    img = np.full((8, 32), 100, dtype=np.uint8)
+    dec = jpeg_decode(_build_rst_stream(img, 2))
+    assert dec.shape == (8, 32)
+    assert (dec == flat_gray_roundtrip_value(100)).all()
+    # and a random image decodes IDENTICALLY with and without DRI —
+    # byte-boundary sync and predictor reset lose nothing
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(16, 40), dtype=np.uint8)
+    assert (
+        jpeg_decode(_build_rst_stream(img, 3))
+        == jpeg_decode(jpeg_encode(img, quality=50))
+    ).all()

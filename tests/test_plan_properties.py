@@ -276,7 +276,12 @@ def test_multimodal_codec_gates_scan_without_shuffle(spark, sf_dir):
     # the three real-codec gates are chained Arrow kernels over one
     # corpus scan — any exchange would mean payload bytes crossing the
     # network for a per-row transform
-    for q in (h.q_multimodal_decode, h.q_multimodal_resize):
+    for q in (
+        h.q_multimodal_decode,
+        h.q_multimodal_resize,
+        h.q_multimodal_jpeg,
+        h.q_multimodal_video,
+    ):
         df = q(spark, sf_dir)
         assert count_exchanges(df) == 0, q.__name__
         assert "MapInPandas" in formatted_plan(df), q.__name__

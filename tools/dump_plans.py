@@ -60,6 +60,8 @@ PICKS = [
     ("multimodal_decode", "real image-header decode: one corpus scan, binary payloads built and parsed inside chained Arrow kernels, zero exchanges"),
     ("multimodal_resize", "real PNG pixel pipeline (encode -> resize -> decode): three chained MapInPandas over one scan, payload bytes never cross an exchange"),
     ("multimodal_audio", "real WAV decode: PCM frames parsed in Arrow batches over one scan, zero exchanges"),
+    ("multimodal_jpeg", "real baseline JPEG lossy roundtrip (entropy encode -> Huffman/IDCT decode): two chained MapInPandas over one scan, zero exchanges"),
+    ("multimodal_video", "real y4m container frame sampling: build + parse inside chained Arrow kernels over one scan, zero exchanges"),
 ]
 
 
