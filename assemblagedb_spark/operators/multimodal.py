@@ -375,13 +375,15 @@ def resize_images(
 ) -> DataFrame:
     """Resize transform: payload -> payload.
 
-    ``codec="png"`` is the REAL pixel path: each payload decodes with the
-    stdlib PNG codec (functions/png.py), resizes by the exact
+    ``codec="png"`` is the REAL lossless pixel path: each payload decodes
+    with the stdlib PNG codec (functions/png.py), resizes by the exact
     nearest-neighbor integer map, and re-encodes — decode, transform,
     re-encode inside one Arrow batch loop, the shape every pixel-level
-    training transform takes at scale. ``codec="fake"`` keeps the
-    identity-payload stub for non-PNG media (no ffmpeg/JPEG encoder in
-    this container) and for the replayable text-payload harness tables."""
+    training transform takes at scale. ``codec="jpeg"`` is the REAL lossy
+    path through the pure-numpy baseline codec (functions/jpeg.py,
+    quality 50 re-encode). ``codec="fake"`` keeps the identity-payload
+    stub for other media formats and for the replayable text-payload
+    harness tables."""
 
     def resize_fake(batches):
         import pandas as pd
@@ -423,7 +425,34 @@ def resize_images(
                 columns=["media_id", "payload", "meta_mime", "width", "height"],
             )
 
-    kernel = {"fake": resize_fake, "png": resize_png}[codec]
+    def resize_jpeg(batches):
+        import pandas as pd
+
+        from assemblagedb_spark.functions.jpeg import jpeg_decode, jpeg_encode
+        from assemblagedb_spark.functions.png import resize_nearest
+
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    if payload is None:
+                        raise ValueError("NULL payload")
+                    arr = resize_nearest(
+                        jpeg_decode(bytes(payload)),
+                        width=width, height=height,
+                    )
+                    resized = jpeg_encode(arr, quality=50)
+                except ValueError:
+                    # NULL or non-JPEG payload passes through as a NULL
+                    # payload row — schema kept, task alive
+                    resized = None
+                out.append((media_id, resized, "image/jpeg", width, height))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "payload", "meta_mime", "width", "height"],
+            )
+
+    kernel = {"fake": resize_fake, "png": resize_png, "jpeg": resize_jpeg}[codec]
     return media.select("media_id", "payload").mapInPandas(
         kernel,
         "media_id long, payload binary, meta_mime string, width int, height int",

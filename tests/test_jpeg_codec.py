@@ -257,3 +257,22 @@ def test_restart_markers_decode_with_predictor_reset():
         jpeg_decode(_build_rst_stream(img, 3))
         == jpeg_decode(jpeg_encode(img, quality=50))
     ).all()
+
+
+def test_jpeg_resize_transform_pure_path():
+    # the decode -> nearest-resize -> re-encode composition the
+    # codec="jpeg" resize kernel runs per payload, checked without Spark:
+    # output is a valid baseline stream at the target dims, and resizing
+    # a flat image (exact under both lossy passes) stays the closed form
+    from assemblagedb_spark.functions.png import resize_nearest
+
+    v = 90
+    img = np.full((24, 24), v, dtype=np.uint8)
+    once = jpeg_decode(jpeg_encode(img, quality=50))
+    resized = jpeg_encode(resize_nearest(once, width=16, height=16), quality=50)
+    out = jpeg_decode(resized)
+    assert out.shape == (16, 16)
+    # f is idempotent on its own fixed points: f(f(v)) == f(v)
+    fv = flat_gray_roundtrip_value(v)
+    assert (out == flat_gray_roundtrip_value(fv)).all()
+    assert flat_gray_roundtrip_value(fv) == fv

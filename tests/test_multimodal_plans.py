@@ -188,3 +188,25 @@ def test_decode_image_real_codec_contract():
             assert decode_image(png) == (
                 im.width, im.height, len(im.getbands())
             )
+
+
+def test_resize_jpeg_codec_end_to_end(spark, sf_dir):
+    # the codec="jpeg" resize path: decode -> nearest map -> lossy
+    # re-encode per Arrow batch; outputs must be REAL baseline streams at
+    # the target dims, zero exchanges in the chained plan
+    from assemblagedb_spark.functions.jpeg import jpeg_decode
+    from assemblagedb_spark.operators.multimodal import (
+        resize_images,
+        synthetic_jpeg_media,
+    )
+    from assemblagedb_spark.plans.explain import count_exchanges
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_images(synthetic_jpeg_media(docs), 16, 16, codec="jpeg")
+    assert count_exchanges(resized) == 0
+    rows = resized.limit(5).collect()
+    assert rows
+    for r in rows:
+        assert r["meta_mime"] == "image/jpeg"
+        arr = jpeg_decode(bytes(r["payload"]))
+        assert arr.shape == (16, 16)
