@@ -2370,6 +2370,49 @@ GROUP BY d.doc_id, fr.f, d.w, d.h
 """
 
 
+def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF sampling end to end (round 6): build genuine
+    GIF89a streams whose every pixel is a pure function of doc_id
+    (synthetic_gif_media — LZW-compressed frames against the global gray
+    palette, NETSCAPE loop extension, real sub-block framing), then
+    sample every 2nd frame through the format-sniffing sampler
+    (sample_video_frames routes GIF payloads through the LZW decoder and
+    disposal compositor, functions/gif.py) and emit per-frame dimensions
+    and exact luma sums (BT.601 integer luma == the gray value on a gray
+    palette). The oracle replays the sampling rule and pixel arithmetic
+    in SQL, so a hash match proves LZW round-tripping, palette
+    resolution, frame compositing and the sampling stride all operated
+    on real container bytes. Two chained Arrow kernels, one corpus scan,
+    zero exchanges (plan-pinned)."""
+    from assemblagedb_spark.operators.multimodal import (
+        sample_video_frames,
+        synthetic_gif_media,
+    )
+
+    media = synthetic_gif_media(load_table(spark, sf_dir, "documents"))
+    return sample_video_frames(media, every_n=2, max_frames=8)
+
+
+# luma(x, y, t) = (x + 5y + 11t + id) mod 256 over W = 6+id%5, H = 6+(id·7)%5,
+# frames t < 1+id%3 sampled at t % 2 = 0 (max_frames never binds: T ≤ 3)
+O_MULTIMODAL_GIF = """
+WITH dims AS (
+  SELECT doc_id, 6 + doc_id % 5 AS w, 6 + (doc_id * 7) % 5 AS h,
+         1 + doc_id % 3 AS t
+  FROM documents
+),
+fr AS (SELECT range AS f FROM range(3)),
+grid AS (SELECT x.range AS x, y.range AS y FROM range(11) x, range(11) y)
+SELECT d.doc_id::BIGINT AS media_id, fr.f::INT AS frame_idx,
+       d.w::INT AS width, d.h::INT AS height,
+       SUM((g.x + 5 * g.y + 11 * fr.f + d.doc_id) % 256)::BIGINT AS luma_sum
+FROM dims d
+JOIN fr ON fr.f < d.t AND fr.f % 2 = 0
+JOIN grid g ON g.x < d.w AND g.y < d.h
+GROUP BY d.doc_id, fr.f, d.w, d.h
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sessionization (streaming-shaped batch, gap-based session windows)
 # ---------------------------------------------------------------------------
@@ -6304,6 +6347,7 @@ SPARK_QUERIES = {
     "multimodal_audio": q_multimodal_audio,
     "multimodal_jpeg": q_multimodal_jpeg,
     "multimodal_video": q_multimodal_video,
+    "multimodal_gif": q_multimodal_gif,
     "gram_index_delta": q_gram_index_delta,
     "reindex_parents": q_reindex_parents,
     "graph_orphans": q_graph_orphans,
@@ -6451,6 +6495,7 @@ ORACLES = {
     "multimodal_audio": O_MULTIMODAL_AUDIO,
     "multimodal_jpeg": O_MULTIMODAL_JPEG,
     "multimodal_video": O_MULTIMODAL_VIDEO,
+    "multimodal_gif": O_MULTIMODAL_GIF,
     "gram_index_delta": O_GRAM_INDEX_DELTA,
     "reindex_parents": O_REINDEX_PARENTS,
     "graph_orphans": O_GRAPH_ORPHANS,

@@ -627,26 +627,45 @@ def synthetic_y4m_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def sample_video_frames(
     media: DataFrame, every_n: int = 2, max_frames: int = 8
 ) -> DataFrame:
-    """REAL video frame sampling: parse each payload as a YUV4MPEG2
-    container (functions/y4m.py), take every ``every_n``-th frame up to
-    ``max_frames``, and emit (media_id, frame_idx, width, height,
-    luma_sum) — the exploded (media, frame) shape a training pipeline
-    feeds to a vision encoder, with frame boundaries from the container's
-    own geometry rather than the byte-window stride of the
-    :func:`sample_frames` stub. NULL/unparseable payloads sample nothing
-    (missing media has no frames); the task stays alive."""
+    """REAL animation/video frame sampling: sniff each payload's magic
+    and parse it as a YUV4MPEG2 container (functions/y4m.py) or an
+    animated GIF (functions/gif.py — LZW decode + disposal compositing),
+    take every ``every_n``-th frame up to ``max_frames``, and emit
+    (media_id, frame_idx, width, height, luma_sum) — the exploded
+    (media, frame) shape a training pipeline feeds to a vision encoder,
+    with frame boundaries from each container's own geometry rather than
+    the byte-window stride of the :func:`sample_frames` stub. GIF luma is
+    the BT.601 integer approximation (299R + 587G + 114B) ÷ 1000, which
+    is exactly the gray value for grayscale palettes. NULL/unparseable
+    payloads sample nothing (missing media has no frames); the task
+    stays alive."""
     import pandas as pd
 
+    from assemblagedb_spark.functions.gif import gif_decode
     from assemblagedb_spark.functions.y4m import y4m_decode
 
     def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+
         for pdf in batches:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
+                data = bytes(payload)
                 try:
-                    luma, w, h, t = y4m_decode(bytes(payload))
+                    if data[:9] == b"YUV4MPEG2":
+                        luma, w, h, t = y4m_decode(data)
+                    elif data[:4] == b"GIF8":
+                        rgb, w, h, t = gif_decode(data)
+                        rgb = rgb.astype(np.int64)
+                        luma = (
+                            299 * rgb[..., 0]
+                            + 587 * rgb[..., 1]
+                            + 114 * rgb[..., 2]
+                        ) // 1000
+                    else:
+                        continue
                 except ValueError:
                     continue
                 for idx in range(0, t, every_n):
@@ -664,6 +683,41 @@ def sample_video_frames(
     return media.select("media_id", "payload").mapInPandas(
         sample,
         "media_id long, frame_idx int, width int, height int, luma_sum long",
+    )
+
+
+def synthetic_gif_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload): genuine animated GIF89a streams — T = 1+id%3
+    full-canvas frames of W = 6+id%5 × H = 6+(id·7)%5 grayscale pixels
+    luma(x, y, t) = (x + 5y + 11t + id) mod 256, LZW-compressed against
+    the global 256-gray palette — an animation corpus whose every pixel
+    is a pure function of the id, so a SQL oracle can predict any
+    per-frame statistic downstream sampling produces."""
+    import numpy as np
+    import pandas as pd
+
+    from assemblagedb_spark.functions.gif import gif_encode
+
+    def build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            payloads = []
+            for mid in ids:
+                mid = int(mid)
+                t, w, h = 1 + mid % 3, 6 + mid % 5, 6 + (mid * 7) % 5
+                frames = (
+                    np.arange(w)[None, None, :]
+                    + 5 * np.arange(h)[None, :, None]
+                    + 11 * np.arange(t)[:, None, None]
+                    + mid
+                ) % 256
+                payloads.append(gif_encode(frames.astype(np.uint8)))
+            yield pd.DataFrame(
+                {"media_id": ids.astype("int64"), "payload": payloads}
+            )
+
+    return docs.select(F.col(id_col)).mapInPandas(
+        build, "media_id long, payload binary"
     )
 
 

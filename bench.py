@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "multimodal_audio",   # real WAV codec: PCM frames -> waveform stats
     "multimodal_jpeg",    # real baseline JPEG: Huffman/DCT lossy roundtrip
     "multimodal_video",   # real y4m container: frame-sampled luma stats
+    "multimodal_gif",     # real animated GIF: LZW decode + compositing
 ]
 
 

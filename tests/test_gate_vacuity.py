@@ -335,3 +335,34 @@ def test_multimodal_video_gate_samples_real_containers(spark, sf_dir):
             + mid
         ) % 256
         assert (luma == expect.astype(np.uint8)).all()
+
+
+def test_multimodal_gif_gate_samples_real_lzw_streams(spark, sf_dir):
+    # frame sampling must come from genuinely LZW-decoded animations:
+    # both sampled-frame arms (T=3 docs contribute frame 2), all five
+    # width/height arms, varied luma sums, and a built payload must
+    # round-trip through the decoder to the exact synthetic pixels
+    import numpy as np
+
+    from assemblagedb_spark.functions.gif import gif_decode
+    from assemblagedb_spark.operators.multimodal import synthetic_gif_media
+
+    rows = h.SPARK_QUERIES["multimodal_gif"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert {r["frame_idx"] for r in rows} == {0, 2}
+    assert {r["width"] for r in rows} == {6, 7, 8, 9, 10}
+    assert {r["height"] for r in rows} == {6, 7, 8, 9, 10}
+    assert len({r["luma_sum"] for r in rows}) >= min(100, len(rows))
+
+    docs = h.load_table(spark, sf_dir, "documents").limit(3)
+    for r in synthetic_gif_media(docs).collect():
+        mid = r["media_id"]
+        rgb, w, h_, t = gif_decode(bytes(r["payload"]))
+        assert (w, h_, t) == (6 + mid % 5, 6 + (mid * 7) % 5, 1 + mid % 3)
+        expect = (
+            np.arange(w)[None, None, :]
+            + 5 * np.arange(h_)[None, :, None]
+            + 11 * np.arange(t)[:, None, None]
+            + mid
+        ) % 256
+        assert (rgb == expect.astype(np.uint8)[..., None]).all()

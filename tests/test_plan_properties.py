@@ -281,6 +281,7 @@ def test_multimodal_codec_gates_scan_without_shuffle(spark, sf_dir):
         h.q_multimodal_resize,
         h.q_multimodal_jpeg,
         h.q_multimodal_video,
+        h.q_multimodal_gif,
     ):
         df = q(spark, sf_dir)
         assert count_exchanges(df) == 0, q.__name__

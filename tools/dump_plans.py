@@ -62,6 +62,7 @@ PICKS = [
     ("multimodal_audio", "real WAV decode: PCM frames parsed in Arrow batches over one scan, zero exchanges"),
     ("multimodal_jpeg", "real baseline JPEG lossy roundtrip (entropy encode -> Huffman/IDCT decode): two chained MapInPandas over one scan, zero exchanges"),
     ("multimodal_video", "real y4m container frame sampling: build + parse inside chained Arrow kernels over one scan, zero exchanges"),
+    ("multimodal_gif", "real animated-GIF sampling (LZW encode -> decode + disposal compositing): two chained Arrow kernels over one scan, zero exchanges"),
 ]
 
 
