@@ -6,14 +6,17 @@ uniform quantization, zigzag run-length coding and static Huffman tables
 — all of it exact integer/float math numpy expresses directly. This
 module implements:
 
-- ``jpeg_encode``: grayscale or RGB (encoded as YCbCr 4:4:4) baseline
-  JFIF streams using the Annex K quantization tables (libjpeg quality
-  scaling) and the Annex K "typical" Huffman tables.
-- ``jpeg_decode``: baseline sequential streams with any number of
-  components at 1x1 sampling (grayscale and YCbCr 4:4:4, i.e.
-  everything the encoder emits plus foreign 4:4:4 files). Subsampled
-  (4:2:0) and progressive (SOF2) streams are refused with ``ValueError``
-  — stated, not hidden.
+- ``jpeg_encode``: grayscale or RGB baseline JFIF streams — YCbCr 4:4:4
+  by default, 4:2:0 (2×2-mean chroma downsample) with ``subsample=True``
+  — using the Annex K quantization tables (libjpeg quality scaling) and
+  the Annex K "typical" Huffman tables.
+- ``jpeg_decode``: baseline sequential streams at any sampling-factor
+  combination in {1, 2, 4} with integer ratios (grayscale, 4:4:4, 4:2:2,
+  4:2:0 — i.e. everything the encoder emits plus virtually every
+  camera/web baseline file), with DRI/restart-marker support and
+  replication chroma upsampling. Progressive (SOF2), 12-bit and
+  arithmetic-coded streams are refused with ``ValueError`` — stated,
+  not hidden.
 
 Determinism contract (what the DuckDB gate arithmetic relies on):
 - FDCT/IDCT are the exact orthonormal matrix forms of T.81 §A.3.3,
@@ -420,10 +423,12 @@ def _encode_plane(writer, plane, qtable, dc_codes, ac_codes, interleave_cb=None)
         prev = encode_block(writer, row, prev, dc_codes, ac_codes)
 
 
-def jpeg_encode(arr, quality: int = 50) -> bytes:
+def jpeg_encode(arr, quality: int = 50, subsample: bool = False) -> bytes:
     """Encode a uint8 array as baseline JFIF: (H, W) / (H, W, 1) →
-    grayscale single-scan; (H, W, 3) → YCbCr 4:4:4 interleaved. Annex K
-    tables scaled by libjpeg quality (50 = unscaled — the gate's choice)."""
+    grayscale single-scan; (H, W, 3) → YCbCr interleaved, 4:4:4 by
+    default or 4:2:0 (2×2-mean chroma downsample, the shape virtually
+    every camera/web JPEG uses) with ``subsample=True``. Annex K tables
+    scaled by libjpeg quality (50 = unscaled — the gate's choice)."""
     import numpy as np
 
     a = np.asarray(arr, dtype=np.uint8)
@@ -435,6 +440,7 @@ def jpeg_encode(arr, quality: int = 50) -> bytes:
     h, w = a.shape[0], a.shape[1]
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    subsample = subsample and not gray
 
     qluma = quality_scale(QUANT_LUMA, quality)
     qchroma = quality_scale(QUANT_CHROMA, quality)
@@ -452,7 +458,8 @@ def jpeg_encode(arr, quality: int = 50) -> bytes:
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for cid in range(1, ncomp + 1):
         qsel = 0 if cid == 1 else 1
-        sof += struct.pack(">BBB", cid, 0x11, qsel)  # 1x1 sampling
+        samp = 0x22 if (subsample and cid == 1) else 0x11
+        sof += struct.pack(">BBB", cid, samp, qsel)
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     # DHT (class<<4 | id)
     tables = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
@@ -489,22 +496,59 @@ def jpeg_encode(arr, quality: int = 50) -> bytes:
         ac_l = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
         dc_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
         ac_c = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
-        planes, zzs = [y - 128.0, cb - 128.0, cr - 128.0], []
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        if subsample:
+            # pad to a 16-multiple canvas (edge replication), keep luma
+            # full-res and 2x2-mean the chroma planes (libjpeg's default
+            # h2v2 box filter)
+            ph, pw = -h % 16, -w % 16
+            if ph or pw:
+                planes = [
+                    np.pad(p, ((0, ph), (0, pw)), mode="edge") for p in planes
+                ]
+            hh16, ww16 = planes[0].shape
+            planes[1] = planes[1].reshape(
+                hh16 // 2, 2, ww16 // 2, 2
+            ).mean(axis=(1, 3))
+            planes[2] = planes[2].reshape(
+                hh16 // 2, 2, ww16 // 2, 2
+            ).mean(axis=(1, 3))
+        zzs = []
         for idx, plane in enumerate(planes):
             blocks, _ = _to_blocks(plane)
             coeffs = _snap(np.einsum("ux,nxy,vy->nuv", c, blocks, c))
             q = (qluma if idx == 0 else qchroma).reshape(8, 8)
             zz = _round_half_away(_snap(coeffs / q)).astype(np.int64)
             zzs.append(zz.reshape(-1, 64)[:, ZIGZAG])
-        # interleaved MCU order at 1x1 sampling: one block per component
         prev = [0, 0, 0]
-        for n in range(zzs[0].shape[0]):
-            for comp in range(3):
-                dc_codes = dc_l if comp == 0 else dc_c
-                ac_codes = ac_l if comp == 0 else ac_c
-                prev[comp] = encode_block(
-                    writer, zzs[comp][n], prev[comp], dc_codes, ac_codes
-                )
+        if subsample:
+            # 4:2:0 MCU: 4 luma blocks (raster within the 16x16 tile),
+            # then one Cb and one Cr block
+            cols_y = planes[0].shape[1] // 8
+            cols_c = planes[1].shape[1] // 8
+            for my in range(planes[0].shape[0] // 16):
+                for mx in range(cols_c):
+                    for by in range(2):
+                        for bx in range(2):
+                            prev[0] = encode_block(
+                                writer,
+                                zzs[0][(2 * my + by) * cols_y + 2 * mx + bx],
+                                prev[0], dc_l, ac_l,
+                            )
+                    for comp in (1, 2):
+                        prev[comp] = encode_block(
+                            writer, zzs[comp][my * cols_c + mx],
+                            prev[comp], dc_c, ac_c,
+                        )
+        else:
+            # interleaved MCU order at 1x1 sampling: one block per component
+            for n in range(zzs[0].shape[0]):
+                for comp in range(3):
+                    dc_codes = dc_l if comp == 0 else dc_c
+                    ac_codes = ac_l if comp == 0 else ac_c
+                    prev[comp] = encode_block(
+                        writer, zzs[comp][n], prev[comp], dc_codes, ac_codes
+                    )
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -518,8 +562,9 @@ def jpeg_encode(arr, quality: int = 50) -> bytes:
 def jpeg_decode(payload: bytes):
     """Decode a baseline sequential JPEG to a uint8 numpy array of shape
     (H, W) for single-component streams or (H, W, 3) RGB for 3-component
-    YCbCr at 1x1 sampling. Raises ``ValueError`` on progressive (SOF2),
-    12-bit, arithmetic-coded, or subsampled streams."""
+    YCbCr — interleaved at any sampling factors in {1, 2, 4} (4:4:4,
+    4:2:2, 4:2:0; chroma upsampled by replication). Raises ``ValueError``
+    on progressive (SOF2), 12-bit, or arithmetic-coded streams."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -573,10 +618,6 @@ def jpeg_decode(payload: bytes):
                 cid, samp, qsel = struct.unpack(
                     ">BBB", data[6 + 3 * i : 9 + 3 * i]
                 )
-                if samp != 0x11:
-                    raise ValueError(
-                        "subsampled JPEG not supported (1x1 sampling only)"
-                    )
                 comps.append((cid, samp, qsel))
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -597,25 +638,48 @@ def jpeg_decode(payload: bytes):
     if len(scan) != len(comps):
         raise ValueError("multi-scan JPEG not supported")
 
-    reader = _BitReader(payload, pos)
-    bw, bh = (width + 7) // 8, (height + 7) // 8
-    nblocks = bw * bh
     ncomp = len(comps)
-    zz_all = [np.zeros((nblocks, 64), dtype=np.int64) for _ in range(ncomp)]
+    # sampling factors: h in the high nibble, v in the low. A
+    # single-component scan is non-interleaved by definition (T.81
+    # A.2.2: its MCU is one data unit), so factors collapse to 1x1.
+    if ncomp == 1:
+        sampf = [(1, 1)]
+    else:
+        sampf = [((s >> 4) & 0xF, s & 0xF) for _, s, _ in comps]
+    hmax = max(hh for hh, _ in sampf)
+    vmax = max(vv for _, vv in sampf)
+    for hh, vv in sampf:
+        if hh not in (1, 2, 4) or vv not in (1, 2, 4) or hmax % hh or vmax % vv:
+            raise ValueError(f"unsupported sampling factors {sampf}")
+
+    reader = _BitReader(payload, pos)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    cols = [mcux * hh for hh, _ in sampf]
+    rows = [mcuy * vv for _, vv in sampf]
+    zz_all = [
+        np.zeros((rows[i] * cols[i], 64), dtype=np.int64) for i in range(ncomp)
+    ]
     prev = [0] * ncomp
     tsel = {cid: (dc, ac) for cid, dc, ac in scan}
-    for b in range(nblocks):
-        if restart_interval and b and b % restart_interval == 0:
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
             reader.sync_to_restart()
             prev = [0] * ncomp
+        mx, my = m % mcux, m // mcux
         for comp in range(ncomp):
             cid = comps[comp][0]
             dc_t = htables.get(0x00 | tsel[cid][0])
             ac_t = htables.get(0x10 | tsel[cid][1])
             if dc_t is None or ac_t is None:
                 raise ValueError("missing Huffman table")
-            zz, prev[comp] = decode_block(reader, prev[comp], dc_t, ac_t)
-            zz_all[comp][b] = zz
+            hh, vv = sampf[comp]
+            for by in range(vv):
+                for bx in range(hh):
+                    zz, prev[comp] = decode_block(reader, prev[comp], dc_t, ac_t)
+                    zz_all[comp][
+                        (my * vv + by) * cols[comp] + (mx * hh + bx)
+                    ] = zz
 
     c = _dct_matrix()
     planes = []
@@ -627,10 +691,18 @@ def jpeg_decode(payload: bytes):
             raise ValueError("missing quantization table")
         coeffs = (zz_all[comp][:, inv_zig] * q[None, :]).reshape(-1, 8, 8)
         blocks = np.einsum("xu,nuv,yv->nxy", c.T, coeffs.astype(np.float64), c.T)
+        bh_i, bw_i = rows[comp], cols[comp]
         plane = (
-            blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+            blocks.reshape(bh_i, bw_i, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh_i * 8, bw_i * 8)
         )
         plane = _round_half_away(_snap(plane) + 128.0)
+        hh, vv = sampf[comp]
+        if hh != hmax or vv != vmax:  # chroma upsample by replication
+            plane = np.repeat(
+                np.repeat(plane, vmax // vv, axis=0), hmax // hh, axis=1
+            )
         planes.append(np.clip(plane, 0, 255)[:height, :width])
     if ncomp == 1:
         return planes[0].astype(np.uint8)
