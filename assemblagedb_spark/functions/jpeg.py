@@ -10,13 +10,17 @@ module implements:
   by default, 4:2:0 (2×2-mean chroma downsample) with ``subsample=True``
   — using the Annex K quantization tables (libjpeg quality scaling) and
   the Annex K "typical" Huffman tables.
-- ``jpeg_decode``: baseline sequential streams at any sampling-factor
-  combination in {1, 2, 4} with integer ratios (grayscale, 4:4:4, 4:2:2,
-  4:2:0 — i.e. everything the encoder emits plus virtually every
-  camera/web baseline file), with DRI/restart-marker support and
-  replication chroma upsampling. Progressive (SOF2), 12-bit and
-  arithmetic-coded streams are refused with ``ValueError`` — stated,
+- ``jpeg_decode``: baseline (SOF0/1) AND progressive (SOF2, T.81
+  Annex G: spectral selection + successive approximation with EOB runs)
+  streams at any sampling-factor combination in {1, 2, 4} with integer
+  ratios (grayscale, 4:4:4, 4:2:2, 4:2:0 — i.e. everything the encoders
+  emit plus virtually every camera/web JPEG), with DRI/restart-marker
+  support and replication chroma upsampling. 12-bit, arithmetic-coded
+  and hierarchical streams are refused with ``ValueError`` — stated,
   not hidden.
+- ``jpeg_encode_progressive``: SOF2 streams carrying byte-identical
+  quantized coefficients to the baseline encoder — the exactness
+  invariant (progressive decode == baseline decode) the tests pin.
 
 Determinism contract (what the DuckDB gate arithmetic relies on):
 - FDCT/IDCT are the exact orthonormal matrix forms of T.81 §A.3.3,
@@ -361,6 +365,95 @@ def encode_block(writer, zz, prev_dc, dc_codes, ac_codes) -> int:
     return dc
 
 
+def _ac_first(reader, ac_table, coef, ss, se, al, eobrun):
+    """Progressive AC first scan (T.81 G.1.2.2 / libjpeg
+    decode_mcu_AC_first semantics) applied to one block's zigzag
+    coefficients; returns the remaining end-of-band run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = reader.huff(ac_table)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.bits(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("progressive AC run past end of band")
+        coef[k] = _extend(reader.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(reader, ac_table, coef, ss, se, al, eobrun):
+    """Progressive AC refinement scan (T.81 G.1.2.3 / libjpeg
+    decode_mcu_AC_refine semantics): newly-nonzero coefficients arrive as
+    ±2^Al, already-nonzero ones take a correction bit."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = reader.huff(ac_table)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.bits(r)
+                    break
+                newval = 0  # ZRL: 16 zero-history skips, nothing written
+            else:
+                if s != 1:
+                    raise ValueError("invalid progressive refinement magnitude")
+                newval = p1 if reader.bits(1) else m1
+            # advance past r zero-history coefficients, emitting correction
+            # bits for nonzero-history ones along the way
+            while k <= se:
+                if coef[k]:
+                    if reader.bits(1) and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        # end-of-band: correct every remaining nonzero-history coefficient
+        while k <= se:
+            if coef[k]:
+                if reader.bits(1) and (coef[k] & p1) == 0:
+                    coef[k] += p1 if coef[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _next_marker(payload: bytes, p: int) -> int:
+    """Position of the next true marker at/after p (skips stuffed FF 00,
+    restart markers, and stray fill bytes)."""
+    n = len(payload)
+    while p + 1 < n:
+        if (
+            payload[p] == 0xFF
+            and payload[p + 1] != 0x00
+            and not (0xD0 <= payload[p + 1] <= 0xD7)
+            and payload[p + 1] != 0xFF  # fill byte; real marker follows
+        ):
+            return p
+        p += 1
+    return n
+
+
 def decode_block(reader, prev_dc, dc_table, ac_table):
     """Decode one block to a 64-entry zigzag list; returns (zz, dc)."""
     zz = [0] * 64
@@ -554,17 +647,330 @@ def jpeg_encode(arr, quality: int = 50, subsample: bool = False) -> bytes:
     return bytes(out)
 
 
+def _emit_ac_first(writer, zz, ac_codes, ss, se, al):
+    """Emit one block's band in a progressive AC first scan (point
+    transform = magnitude shift toward zero; EOB0 per block — legal, and
+    it keeps the static Annex K tables sufficient since EOBn (n>0)
+    symbols are absent from them)."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        mag = (v if v >= 0 else -v) >> al
+        if mag == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, length = ac_codes[0xF0]
+            writer.write(code, length)
+            r -= 16
+        cat, bits = _magnitude(mag if v >= 0 else -mag)
+        code, length = ac_codes[(r << 4) | cat]
+        writer.write(code, length)
+        writer.write(bits, cat)
+        r = 0
+    if r:
+        code, length = ac_codes[0x00]  # EOB0
+        writer.write(code, length)
+
+
+def _emit_ac_refine(writer, zz, ac_codes, ss, se, al):
+    """Emit one block's band in a progressive AC refinement scan (libjpeg
+    encode_mcu_AC_refine shape, without cross-block EOB runs): newly
+    nonzero values (|coef|>>Al == 1) get a run/sign symbol; already
+    nonzero ones append buffered correction bits."""
+    import numpy as np
+
+    mags = np.abs(np.asarray(zz[ss : se + 1], dtype=np.int64)) >> al
+    newly = np.nonzero(mags == 1)[0]
+    eob_pos = ss + int(newly[-1]) if newly.size else ss - 1
+    pending: list[int] = []
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        mag = int(mags[k - ss])
+        if mag == 0:
+            r += 1
+            continue
+        # the ZRL check runs at ANY nonzero coefficient (stale included,
+        # jcphuff shape): a stale coefficient past the ZRL's 16-position
+        # span must sequence its correction bit after the NEXT symbol,
+        # which the decoder's advance loop reads there. Guard k <= eob_pos
+        # so trailing runs fold into EOB instead of a dangling ZRL.
+        while r > 15 and k <= eob_pos:
+            code, length = ac_codes[0xF0]
+            writer.write(code, length)
+            r -= 16
+            for b in pending:
+                writer.write(b, 1)
+            pending = []
+        if mag > 1:  # nonzero history: correction bit, buffered
+            pending.append(mag & 1)
+            continue
+        code, length = ac_codes[(r << 4) | 1]
+        writer.write(code, length)
+        writer.write(1 if v > 0 else 0, 1)
+        for b in pending:
+            writer.write(b, 1)
+        pending = []
+        r = 0
+    if r or pending:
+        code, length = ac_codes[0x00]  # EOB0
+        writer.write(code, length)
+        for b in pending:
+            writer.write(b, 1)
+
+
+def jpeg_encode_progressive(arr, quality: int = 50) -> bytes:
+    """Encode a uint8 array as a PROGRESSIVE (SOF2) JFIF stream at 1x1
+    sampling — grayscale or YCbCr 4:4:4 — with the scan script
+    DC(Al=1) → DC refine → per-component AC 1..63 (Al=1) → AC refine.
+    The quantized coefficients are byte-for-byte the ones
+    :func:`jpeg_encode` produces, so decoding a progressive stream must
+    equal decoding the baseline stream EXACTLY — the invariant
+    tests/test_jpeg_codec.py pins."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[:, :, 0]
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError(f"unsupported array shape {a.shape}")
+    h, w = a.shape[0], a.shape[1]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+
+    qluma = quality_scale(QUANT_LUMA, quality)
+    qchroma = quality_scale(QUANT_CHROMA, quality)
+    c = _dct_matrix()
+    if gray:
+        planes = [a.astype(np.float64) - 128.0]
+    else:
+        rgb = a.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = (-0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1]
+              + 0.5 * rgb[..., 2] + 128.0)
+        cr = (0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1]
+              - 0.081312 * rgb[..., 2] + 128.0)
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+    zzs = []
+    for idx, plane in enumerate(planes):
+        blocks, _ = _to_blocks(plane)
+        coeffs = _snap(np.einsum("ux,nxy,vy->nuv", c, blocks, c))
+        q = (qluma if idx == 0 else qchroma).reshape(8, 8)
+        zz = _round_half_away(_snap(coeffs / q)).astype(np.int64)
+        zzs.append(zz.reshape(-1, 64)[:, ZIGZAG])
+    ncomp = len(planes)
+
+    out = bytearray(b"\xff\xd8")
+    out += (b"\xff\xe0" + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += (b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+            + bytes(int(v) for v in qluma[ZIGZAG]))
+    if not gray:
+        out += (b"\xff\xdb" + struct.pack(">H", 67) + b"\x01"
+                + bytes(int(v) for v in qchroma[ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += struct.pack(">BBB", cid, 0x11, 0 if cid == 1 else 1)
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    tables = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+              (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
+    if not gray:
+        tables += [(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+                   (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    for tc, bits, vals in tables:
+        seg = bytes([tc]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+
+    def sos_header(comp_sel, ss, se, ah, al):
+        seg = bytes([len(comp_sel)])
+        for cid, tsel in comp_sel:
+            seg += bytes([cid, tsel])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(seg)) + seg
+
+    dc_codes = [_build_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
+    ac_codes = [_build_codes(AC_LUMA_BITS, AC_LUMA_VALS)]
+    if not gray:
+        dc_codes += [_build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)] * 2
+        ac_codes += [_build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)] * 2
+    nblocks = zzs[0].shape[0]
+
+    # scan 1: DC first, all components interleaved, Al=1
+    out += sos_header(
+        [(i + 1, (0 if i == 0 else 1) << 4) for i in range(ncomp)],
+        0, 0, 0, 1,
+    )
+    writer = _BitWriter()
+    prev = [0] * ncomp
+    for n in range(nblocks):
+        for comp in range(ncomp):
+            dc = int(zzs[comp][n][0]) >> 1  # arithmetic shift per G.1.2.1
+            cat, bits = _magnitude(dc - prev[comp])
+            code, length = dc_codes[comp][cat]
+            writer.write(code, length)
+            writer.write(bits, cat)
+            prev[comp] = dc
+    out += writer.flush()
+
+    # scan 2: DC refine, Al=0
+    out += sos_header(
+        [(i + 1, 0) for i in range(ncomp)], 0, 0, 1, 0,
+    )
+    writer = _BitWriter()
+    for n in range(nblocks):
+        for comp in range(ncomp):
+            writer.write(int(zzs[comp][n][0]) & 1, 1)
+    out += writer.flush()
+
+    # per component: AC first (Al=1) then AC refine (Ah=1, Al=0)
+    for comp in range(ncomp):
+        tsel = 0 if comp == 0 else 1
+        out += sos_header([(comp + 1, tsel)], 1, 63, 0, 1)
+        writer = _BitWriter()
+        for n in range(nblocks):
+            _emit_ac_first(writer, zzs[comp][n], ac_codes[comp], 1, 63, 1)
+        out += writer.flush()
+        out += sos_header([(comp + 1, tsel)], 1, 63, 1, 0)
+        writer = _BitWriter()
+        for n in range(nblocks):
+            _emit_ac_refine(writer, zzs[comp][n], ac_codes[comp], 1, 63, 0)
+        out += writer.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --------------------------------------------------------------------------
 # Decoder
 # --------------------------------------------------------------------------
 
 
+def _scan_baseline(
+    reader, scomps, sampf, htables, zz_all, cols,
+    mcux, mcuy, restart_interval, ncomp,
+):
+    """One baseline sequential scan: all components interleaved in MCU
+    order (the only scan a baseline file has)."""
+    if len(scomps) != ncomp:
+        raise ValueError("multi-scan baseline not supported")
+    prev = [0] * len(scomps)
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.sync_to_restart()
+            prev = [0] * len(scomps)
+        mx, my = m % mcux, m // mcux
+        for k, (ci, dsel, asel) in enumerate(scomps):
+            dc_t = htables.get(0x00 | dsel)
+            ac_t = htables.get(0x10 | asel)
+            if dc_t is None or ac_t is None:
+                raise ValueError("missing Huffman table")
+            hh, vv = sampf[ci]
+            for by in range(vv):
+                for bx in range(hh):
+                    zz, prev[k] = decode_block(reader, prev[k], dc_t, ac_t)
+                    zz_all[ci][(my * vv + by) * cols[ci] + (mx * hh + bx)] = zz
+
+
+def _scan_progressive(
+    reader, scomps, sampf, htables, zz_all, cols,
+    mcux, mcuy, restart_interval,
+    width, height, hmax, vmax, ss, se, ah, al,
+):
+    """One progressive scan (T.81 Annex G): DC scans may interleave all
+    components in MCU order; AC scans are single-component over the
+    component's own (non-interleaved) block grid. ``Ah == 0`` is a first
+    pass at point transform ``Al``; ``Ah > 0`` refines one bit."""
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        if len(scomps) > 1:
+            prev = [0] * len(scomps)
+            for m in range(mcux * mcuy):
+                if restart_interval and m and m % restart_interval == 0:
+                    reader.sync_to_restart()
+                    prev = [0] * len(scomps)
+                mx, my = m % mcux, m // mcux
+                for k, (ci, dsel, _a) in enumerate(scomps):
+                    hh, vv = sampf[ci]
+                    for by in range(vv):
+                        for bx in range(hh):
+                            bi = (my * vv + by) * cols[ci] + (mx * hh + bx)
+                            prev[k] = _dc_progressive(
+                                reader, htables, dsel, zz_all[ci][bi],
+                                ah, al, prev[k],
+                            )
+        else:
+            ci, dsel, _a = scomps[0]
+            bw_i, bh_i = _comp_grid(width, height, sampf[ci], hmax, vmax)
+            prev0 = 0
+            cnt = 0
+            for ry in range(bh_i):
+                for rx in range(bw_i):
+                    if restart_interval and cnt and cnt % restart_interval == 0:
+                        reader.sync_to_restart()
+                        prev0 = 0
+                    cnt += 1
+                    prev0 = _dc_progressive(
+                        reader, htables, dsel,
+                        zz_all[ci][ry * cols[ci] + rx], ah, al, prev0,
+                    )
+    else:  # AC scan
+        if len(scomps) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        ci, _d, asel = scomps[0]
+        ac_t = htables.get(0x10 | asel)
+        if ac_t is None:
+            raise ValueError("missing Huffman table")
+        bw_i, bh_i = _comp_grid(width, height, sampf[ci], hmax, vmax)
+        eobrun = 0
+        cnt = 0
+        for ry in range(bh_i):
+            for rx in range(bw_i):
+                if restart_interval and cnt and cnt % restart_interval == 0:
+                    reader.sync_to_restart()
+                    eobrun = 0
+                cnt += 1
+                coef = zz_all[ci][ry * cols[ci] + rx]
+                if ah == 0:
+                    eobrun = _ac_first(reader, ac_t, coef, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine(reader, ac_t, coef, ss, se, al, eobrun)
+
+
+def _comp_grid(width, height, samp, hmax, vmax):
+    """Non-interleaved block-grid dims of one component (ceil of its own
+    downsampled size — smaller than the MCU-padded grid it stores into)."""
+    hh, vv = samp
+    comp_w = -(-width * hh // hmax)
+    comp_h = -(-height * vv // vmax)
+    return (comp_w + 7) // 8, (comp_h + 7) // 8
+
+
+def _dc_progressive(reader, htables, dsel, coef, ah, al, prev):
+    """DC coefficient of one block in a progressive scan; returns the
+    updated predictor."""
+    if ah == 0:
+        dc_t = htables.get(0x00 | dsel)
+        if dc_t is None:
+            raise ValueError("missing Huffman table")
+        s = reader.huff(dc_t)
+        prev += _extend(reader.bits(s), s)
+        coef[0] = prev << al
+    else:
+        if reader.bits(1):
+            coef[0] |= 1 << al
+    return prev
+
+
 def jpeg_decode(payload: bytes):
-    """Decode a baseline sequential JPEG to a uint8 numpy array of shape
-    (H, W) for single-component streams or (H, W, 3) RGB for 3-component
-    YCbCr — interleaved at any sampling factors in {1, 2, 4} (4:4:4,
-    4:2:2, 4:2:0; chroma upsampled by replication). Raises ``ValueError``
-    on progressive (SOF2), 12-bit, or arithmetic-coded streams."""
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG to a uint8
+    numpy array of shape (H, W) for single-component streams or
+    (H, W, 3) RGB for 3-component YCbCr — interleaved at any sampling
+    factors in {1, 2, 4} (4:4:4, 4:2:2, 4:2:0; chroma upsampled by
+    replication). Raises ``ValueError`` on 12-bit, arithmetic-coded, or
+    hierarchical streams."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -575,8 +981,11 @@ def jpeg_decode(payload: bytes):
     htables: dict[int, dict] = {}
     width = height = None
     comps: list[tuple[int, int, int]] = []  # (id, sampling, qsel)
-    scan = None
     restart_interval = 0
+    progressive = False
+    any_scan = False
+    zz_all = None
+    sampf = hmax = vmax = mcux = mcuy = cols = rows = None
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("marker desync")
@@ -610,7 +1019,8 @@ def jpeg_decode(payload: bytes):
                 vals = list(data[off + 17 : off + 17 + nvals])
                 htables[tc_th] = _build_decode_table(bits, vals)
                 off += 17 + nvals
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             precision, height, width, ncomp = struct.unpack(">BHHB", data[:6])
             if precision != 8:
                 raise ValueError(f"unsupported precision {precision}")
@@ -619,67 +1029,74 @@ def jpeg_decode(payload: bytes):
                     ">BBB", data[6 + 3 * i : 9 + 3 * i]
                 )
                 comps.append((cid, samp, qsel))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG supported")
+            raise ValueError(
+                "only baseline or progressive Huffman JPEG supported"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", data[:2])
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode this scan, continue at next marker
+            if width is None:
+                raise ValueError("JPEG scan before SOF")
+            if zz_all is None:
+                # allocate coefficient grids once, from the frame header.
+                # Sampling factors: h in the high nibble, v in the low. A
+                # single-component FRAME is non-interleaved by definition
+                # (T.81 A.2.2: its MCU is one data unit), so factors
+                # collapse to 1x1.
+                if len(comps) == 1:
+                    sampf = [(1, 1)]
+                else:
+                    sampf = [((s >> 4) & 0xF, s & 0xF) for _, s, _ in comps]
+                hmax = max(hh for hh, _ in sampf)
+                vmax = max(vv for _, vv in sampf)
+                for hh, vv in sampf:
+                    if (hh not in (1, 2, 4) or vv not in (1, 2, 4)
+                            or hmax % hh or vmax % vv):
+                        raise ValueError(
+                            f"unsupported sampling factors {sampf}"
+                        )
+                mcux = (width + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+                cols = [mcux * hh for hh, _ in sampf]
+                rows = [mcuy * vv for _, vv in sampf]
+                zz_all = [
+                    np.zeros((rows[i] * cols[i], 64), dtype=np.int64)
+                    for i in range(len(comps))
+                ]
             ns = data[0]
-            scan = []
+            scomps = []  # (component index, dc table sel, ac table sel)
             for i in range(ns):
                 cid, tsel = data[1 + 2 * i], data[2 + 2 * i]
-                scan.append((cid, tsel >> 4, tsel & 0x0F))
-            pos += 2 + seglen
-            break
+                ci = next(
+                    (j for j, (c2, _, _) in enumerate(comps) if c2 == cid),
+                    None,
+                )
+                if ci is None:
+                    raise ValueError(f"scan references unknown component {cid}")
+                scomps.append((ci, tsel >> 4, tsel & 0x0F))
+            ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+            ah, al = data[3 + 2 * ns] >> 4, data[3 + 2 * ns] & 0x0F
+            reader = _BitReader(payload, pos + 2 + seglen)
+            if not progressive:
+                _scan_baseline(
+                    reader, scomps, sampf, htables, zz_all, cols,
+                    mcux, mcuy, restart_interval, len(comps),
+                )
+            else:
+                _scan_progressive(
+                    reader, scomps, sampf, htables, zz_all, cols,
+                    mcux, mcuy, restart_interval,
+                    width, height, hmax, vmax, ss, se, ah, al,
+                )
+            any_scan = True
+            pos = _next_marker(payload, reader.pos)
+            continue
         pos += 2 + seglen
-    if width is None or scan is None:
+    if width is None or not any_scan:
         raise ValueError("JPEG without SOF/SOS")
-    if len(scan) != len(comps):
-        raise ValueError("multi-scan JPEG not supported")
-
     ncomp = len(comps)
-    # sampling factors: h in the high nibble, v in the low. A
-    # single-component scan is non-interleaved by definition (T.81
-    # A.2.2: its MCU is one data unit), so factors collapse to 1x1.
-    if ncomp == 1:
-        sampf = [(1, 1)]
-    else:
-        sampf = [((s >> 4) & 0xF, s & 0xF) for _, s, _ in comps]
-    hmax = max(hh for hh, _ in sampf)
-    vmax = max(vv for _, vv in sampf)
-    for hh, vv in sampf:
-        if hh not in (1, 2, 4) or vv not in (1, 2, 4) or hmax % hh or vmax % vv:
-            raise ValueError(f"unsupported sampling factors {sampf}")
-
-    reader = _BitReader(payload, pos)
-    mcux = (width + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
-    cols = [mcux * hh for hh, _ in sampf]
-    rows = [mcuy * vv for _, vv in sampf]
-    zz_all = [
-        np.zeros((rows[i] * cols[i], 64), dtype=np.int64) for i in range(ncomp)
-    ]
-    prev = [0] * ncomp
-    tsel = {cid: (dc, ac) for cid, dc, ac in scan}
-    for m in range(mcux * mcuy):
-        if restart_interval and m and m % restart_interval == 0:
-            reader.sync_to_restart()
-            prev = [0] * ncomp
-        mx, my = m % mcux, m // mcux
-        for comp in range(ncomp):
-            cid = comps[comp][0]
-            dc_t = htables.get(0x00 | tsel[cid][0])
-            ac_t = htables.get(0x10 | tsel[cid][1])
-            if dc_t is None or ac_t is None:
-                raise ValueError("missing Huffman table")
-            hh, vv = sampf[comp]
-            for by in range(vv):
-                for bx in range(hh):
-                    zz, prev[comp] = decode_block(reader, prev[comp], dc_t, ac_t)
-                    zz_all[comp][
-                        (my * vv + by) * cols[comp] + (mx * hh + bx)
-                    ] = zz
 
     c = _dct_matrix()
     planes = []

@@ -16,7 +16,7 @@ for PNG (functions/png.py: full encode/decode/resize), baseline JPEG
 YUV4MPEG2 video (functions/y4m.py: container parse + per-frame luma) —
 each gate-checked end to end against arithmetic DuckDB oracles. PIL /
 ffmpeg, when the environment ships them, extend coverage to the
-remaining compressed formats (progressive JPEG, H.26x);
+remaining compressed formats (12-bit/arithmetic JPEG, H.26x video);
 ``fake=True`` selects the deterministic payload-hash stub kept for the
 replayable text-payload harness tables.
 """

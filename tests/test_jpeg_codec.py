@@ -156,13 +156,18 @@ def test_decoder_refuses_non_jpeg_and_truncated_headers():
         jpeg_decode(b"\xff\xd8\xff\xd9")  # SOI+EOI, no SOF/SOS
 
 
-def test_decoder_refuses_progressive():
-    # take a real stream and rewrite its SOF0 marker to SOF2
+def test_decoder_refuses_lossless_and_malformed_progressive():
     payload = bytearray(jpeg_encode(np.full((8, 8), 50, dtype=np.uint8)))
     idx = payload.find(b"\xff\xc0")
     assert idx > 0
+    # SOF3 (lossless) still refuses outright
+    payload[idx + 1] = 0xC3
+    with pytest.raises(ValueError, match="baseline or progressive"):
+        jpeg_decode(bytes(payload))
+    # a baseline entropy stream relabeled SOF2 is structurally invalid
+    # progressive (its single scan spans Ss=0..Se=63) and must refuse
     payload[idx + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="DC scan with Se"):
         jpeg_decode(bytes(payload))
 
 
@@ -340,3 +345,53 @@ def test_420_restart_markers_via_dri():
     out = jpeg_decode(bytes(payload))
     assert out.shape == (12, 12)
     assert (out == flat_gray_roundtrip_value(77)).all()
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) — decode must equal the baseline decode EXACTLY,
+# because jpeg_encode_progressive emits the same quantized coefficients
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "shape,quality",
+    [((24, 16), 50), ((13, 11), 90), ((40, 56), 25),
+     ((16, 16, 3), 50), ((9, 7, 3), 75), ((48, 32, 3), 95)],
+)
+def test_progressive_decode_equals_baseline(shape, quality):
+    from assemblagedb_spark.functions.jpeg import jpeg_encode_progressive
+
+    rng = np.random.RandomState(sum(shape) + quality)
+    img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+    base = jpeg_decode(jpeg_encode(img, quality=quality))
+    prog = jpeg_decode(jpeg_encode_progressive(img, quality=quality))
+    assert (base == prog).all()
+
+
+def test_progressive_fuzz_small_images():
+    # the AC refinement bit-sequencing (ZRL spans, buffered correction
+    # bits, EOB folding) has many interacting paths — fuzz them
+    from assemblagedb_spark.functions.jpeg import jpeg_encode_progressive
+
+    rng = np.random.RandomState(77)
+    for _ in range(25):
+        hh, ww = rng.randint(1, 40), rng.randint(1, 40)
+        shape = (hh, ww) if rng.randint(2) == 0 else (hh, ww, 3)
+        q = int(rng.choice([10, 25, 50, 75, 90, 95]))
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        b = jpeg_decode(jpeg_encode(img, quality=q))
+        p = jpeg_decode(jpeg_encode_progressive(img, quality=q))
+        assert (b == p).all(), (shape, q)
+
+
+def test_progressive_stream_structure():
+    from assemblagedb_spark.functions.jpeg import jpeg_encode_progressive
+
+    img = np.full((16, 16, 3), 100, dtype=np.uint8)
+    payload = jpeg_encode_progressive(img)
+    assert b"\xff\xc2" in payload  # SOF2
+    assert payload.count(b"\xff\xda") >= 8  # DC x2 + (AC first+refine) x3
+    # flat color: progressive and baseline agree with the closed form
+    gray = np.full((24, 16), 37, dtype=np.uint8)
+    out = jpeg_decode(jpeg_encode_progressive(gray))
+    assert (out == flat_gray_roundtrip_value(37)).all()
