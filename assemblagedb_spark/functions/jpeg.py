@@ -1136,7 +1136,7 @@ def jpeg_decode(payload: bytes):
 def flat_gray_roundtrip_value(v: int, quality: int = 50) -> int:
     """The exact arithmetic the DuckDB gate replays: a flat grayscale
     image of value v encodes to DC-only blocks, so the decode is
-    clamp(round_half_away(round_half_away(8·(v−128)/Q₀₀)·Q₀₀/8) + 128).
+    clamp(round_half_away(round_half_away(8·(v−128)/Q₀₀)·Q₀₀/8 + 128)).
     Kept engine-side so tests pin codec == formula == SQL."""
     from fractions import Fraction
 
@@ -1146,5 +1146,8 @@ def flat_gray_roundtrip_value(v: int, quality: int = 50) -> int:
 
     q00 = int(quality_scale(QUANT_LUMA, quality)[0])
     qdc = half_away(Fraction(8 * (v - 128), q00))
-    px = half_away(Fraction(qdc * q00, 8)) + 128
+    # round AFTER the +128 level shift, exactly as the decoder does —
+    # half-away rounding is not translation-invariant (reconstruction
+    # −127.5 must become pixel 1, not 0), found by the hypothesis sweep
+    px = half_away(Fraction(qdc * q00, 8) + 128)
     return max(0, min(255, px))
