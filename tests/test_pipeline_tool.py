@@ -30,3 +30,10 @@ def test_run_pipeline_end_to_end(spark, sf_dir, tmp_path):
     got = spark.read.parquet(os.path.join(out, "train"))
     assert got.count() == rep["split_train"]
     assert "order_idx" in got.columns
+    # the multimodal sidecar decoded real media for every train doc
+    # (the synthetic corpus has no undecodables) and audited its pixels
+    assert rep["media_decoded"] == rep["split_train"]
+    assert rep["media_pixel_rows"] == rep["media_decoded"] > 0
+    media = spark.read.parquet(os.path.join(out, "media_stats"))
+    assert media.count() == rep["media_pixel_rows"]
+    assert {"media_id", "pixel_sum"} <= set(media.columns)

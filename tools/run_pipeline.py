@@ -4,7 +4,9 @@ over the driver testdata the way a production pipeline would —
   load -> exact dedup -> MinHash-LSH near-dup clusters (keep canonical)
        -> quality + language scoring -> benchmark decontamination
        -> domain mixture -> train/val/test split -> deterministic
-       training order -> packed sequences -> per-stage report
+       training order -> packed sequences
+       -> multimodal sidecar (real JPEG decode -> dim filter -> resize
+          through the codec -> audited pixel stats) -> per-stage report
 
 Every stage is one of the gated operators (see COVERAGE.md); this script
 just composes them. Deterministic end to end: same input -> same kept
@@ -124,7 +126,34 @@ def main() -> int:
         F.countDistinct("bin_id").alias("n")
     ).first()["n"]
 
-    # 7. write the curated train set (ordered) + report
+    # 7. multimodal sidecar for the curated train docs: build genuine
+    #    JPEG payloads (stand-in for a fetched image column), decode the
+    #    REAL metadata, drop undecodable/degenerate media, resize through
+    #    the real lossy codec, and keep exact pixel statistics for
+    #    auditing — the decode -> filter -> transform -> stat shape of a
+    #    production vision-data pipeline, all in chained Arrow kernels
+    from assemblagedb_spark.operators.multimodal import (
+        decode_image_features,
+        jpeg_pixel_stats,
+        resize_images,
+        synthetic_jpeg_media,
+    )
+
+    media = synthetic_jpeg_media(train.select("doc_id"))
+    feats = decode_image_features(media).filter(
+        F.col("width").isNotNull() & (F.col("width") >= 8)
+    )
+    report["media_decoded"] = feats.count()
+    resized = resize_images(
+        media.join(feats.select("media_id"), "media_id", "left_semi"),
+        16, 16, codec="jpeg",
+    )
+    stats = jpeg_pixel_stats(resized).filter(F.col("pixel_sum").isNotNull())
+    os.makedirs(out_dir, exist_ok=True)
+    stats.write.mode("overwrite").parquet(os.path.join(out_dir, "media_stats"))
+    report["media_pixel_rows"] = stats.count()
+
+    # 8. write the curated train set (ordered) + report
     os.makedirs(out_dir, exist_ok=True)
     (
         train.join(ordered, "doc_id")
