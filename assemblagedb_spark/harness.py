@@ -2282,18 +2282,21 @@ GROUP BY d.doc_id
 
 def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL lossy-codec pipeline end to end (round 6): build genuine
-    baseline JPEG streams whose 8×8 blocks are flat functions of doc_id
+    JPEG streams whose 8×8 blocks are flat functions of doc_id
     (synthetic_jpeg_media — entropy-coded T.81 with DC differentials,
-    multi-category Huffman symbols and byte stuffing, not header shells),
-    decode them with the pure-numpy baseline decoder (Huffman → dequant
+    multi-category Huffman symbols and byte stuffing, not header shells;
+    odd ids emit PROGRESSIVE SOF2 multi-scan streams, even ids baseline),
+    decode them with the pure-numpy decoder (Huffman → dequant
     → IDCT, functions/jpeg.py) and emit exact integer pixel statistics.
     Block-flat inputs make the LOSSY roundtrip closed-form — each block
     is DC-only, so its decoded value is clamp(2·half_away((v−128)/2) +
-    128) at the unscaled Annex-K Q₀₀ = 16 (quality 50) — and the oracle
-    replays that quantization arithmetic in SQL: a hash match pins FDCT
-    scaling, quantizer rounding, the Huffman tables, byte stuffing, DC
-    prediction and the IDCT bit-exactly. Two chained Arrow kernels, one
-    corpus scan, zero exchanges (plan-pinned)."""
+    128) at the unscaled Annex-K Q₀₀ = 16 (quality 50) — and both stream
+    kinds carry identical quantized coefficients, so ONE arithmetic
+    oracle pins the baseline AND progressive decode paths: a hash match
+    proves FDCT scaling, quantizer rounding, the Huffman tables, byte
+    stuffing, DC prediction, progressive scan assembly and the IDCT
+    bit-exactly. Two chained Arrow kernels, one corpus scan, zero
+    exchanges (plan-pinned)."""
     from assemblagedb_spark.operators.multimodal import (
         jpeg_pixel_stats,
         synthetic_jpeg_media,

@@ -527,11 +527,17 @@ def synthetic_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     (functions/jpeg.py determinism contract: DC = 8d snapped before
     rounding) while the stream still exercises DC differential coding,
     multi-category Huffman symbols, byte stuffing and block tiling —
-    genuine entropy-coded T.81 streams, not header shells."""
+    genuine entropy-coded T.81 streams, not header shells. Odd ids emit
+    PROGRESSIVE (SOF2) streams, even ids baseline — both carry identical
+    quantized coefficients, so one arithmetic oracle pins BOTH decode
+    paths."""
     import numpy as np
     import pandas as pd
 
-    from assemblagedb_spark.functions.jpeg import jpeg_encode
+    from assemblagedb_spark.functions.jpeg import (
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
 
     def build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         ones = np.ones((8, 8), dtype=np.int64)
@@ -547,7 +553,8 @@ def synthetic_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     + 29 * np.arange(bh)[:, None]
                 ) % 256
                 img = np.kron(vals, ones).astype(np.uint8)
-                payloads.append(jpeg_encode(img, quality=50))
+                enc = jpeg_encode_progressive if mid % 2 else jpeg_encode
+                payloads.append(enc(img, quality=50))
             yield pd.DataFrame(
                 {"media_id": ids.astype("int64"), "payload": payloads}
             )

@@ -300,10 +300,15 @@ def test_multimodal_jpeg_gate_decodes_real_lossy_streams(spark, sf_dir):
     ]
     assert changed, "no doc shows quantization loss - gate pins identity"
 
-    docs = h.load_table(spark, sf_dir, "documents").limit(3)
+    docs = h.load_table(spark, sf_dir, "documents").limit(4)
+    kinds = set()
     for r in synthetic_jpeg_media(docs).collect():
-        arr = jpeg_decode(bytes(r["payload"]))
+        payload = bytes(r["payload"])
+        arr = jpeg_decode(payload)
         assert arr.shape[0] % 8 == 0 and arr.shape[1] % 8 == 0
+        kinds.add("prog" if b"\xff\xc2" in payload else "base")
+    # both decode paths are exercised by the gate corpus
+    assert kinds == {"base", "prog"}
 
 
 def test_multimodal_video_gate_samples_real_containers(spark, sf_dir):
