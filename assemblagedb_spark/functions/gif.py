@@ -222,8 +222,17 @@ def gif_encode(frames, delay_cs: int = 4) -> bytes:
 def gif_decode(payload: bytes):
     """Decode a GIF to composited RGB frames: returns (frames, width,
     height, n_frames) with frames a (T, H, W, 3) uint8 array. Raises
-    ``ValueError`` on non-GIF bytes, missing color tables, or disposal
-    method 3 (restore-previous)."""
+    ``ValueError`` on non-GIF bytes, truncated streams, missing color
+    tables, or disposal method 3 (restore-previous)."""
+    try:
+        return _gif_decode(payload)
+    except (struct.error, IndexError) as ex:
+        # normalize truncation/malformed-stream errors to the ValueError
+        # contract the Arrow kernels' pass-through handlers rely on
+        raise ValueError(f"malformed GIF payload: {ex}") from ex
+
+
+def _gif_decode(payload: bytes):
     import numpy as np
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -309,6 +318,10 @@ def gif_decode(payload: bytes):
             canvas[top : top + h, left : left + w] = background[
                 top : top + h, left : left + w
             ]
+        # GIF89a GCE scope is exactly ONE image block: a frame without
+        # its own GCE is opaque and leaves the canvas in place
+        transparent = None
+        disposal = 0
     if not frames:
         raise ValueError("GIF with zero image blocks")
     return np.stack(frames), width, height, len(frames)

@@ -500,19 +500,44 @@ def _to_blocks(plane):
     )
 
 
-def _encode_plane(writer, plane, qtable, dc_codes, ac_codes, interleave_cb=None):
-    """FDCT + quantize + entropy-code one component plane (non-interleaved
-    path used for grayscale)."""
+def _plane_zigzag(plane, qtable):
+    """FDCT + quantize one level-shifted component plane → zigzag-ordered
+    int64 coefficient rows. The SINGLE copy of the lossy math: both the
+    baseline and progressive encoders call this, which is what makes
+    their byte-identical-coefficients invariant structural rather than
+    coincidental."""
     import numpy as np
 
     c = _dct_matrix()
     blocks, _ = _to_blocks(plane)
     coeffs = _snap(np.einsum("ux,nxy,vy->nuv", c, blocks, c))
-    q = qtable.reshape(8, 8)
-    zz = _round_half_away(_snap(coeffs / q)).astype(np.int64)
-    zzflat = zz.reshape(-1, 64)[:, ZIGZAG]
+    zz = _round_half_away(_snap(coeffs / qtable.reshape(8, 8))).astype(np.int64)
+    return zz.reshape(-1, 64)[:, ZIGZAG]
+
+
+def _color_planes(a, gray: bool):
+    """uint8 image → level-shifted float64 component planes (Y or
+    Y/Cb/Cr per the JFIF matrix). Shared by both encoders — the +128/−128
+    round trip on chroma is kept to preserve the historical float path
+    bit-for-bit."""
+    import numpy as np
+
+    if gray:
+        return [a.astype(np.float64) - 128.0]
+    rgb = a.astype(np.float64)
+    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    cb = (-0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1]
+          + 0.5 * rgb[..., 2] + 128.0)
+    cr = (0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1]
+          - 0.081312 * rgb[..., 2] + 128.0)
+    return [y - 128.0, cb - 128.0, cr - 128.0]
+
+
+def _encode_plane(writer, plane, qtable, dc_codes, ac_codes):
+    """FDCT + quantize + entropy-code one component plane (non-interleaved
+    path used for grayscale)."""
     prev = 0
-    for row in zzflat:
+    for row in _plane_zigzag(plane, qtable):
         prev = encode_block(writer, row, prev, dc_codes, ac_codes)
 
 
@@ -573,23 +598,17 @@ def jpeg_encode(arr, quality: int = 50, subsample: bool = False) -> bytes:
 
     writer = _BitWriter()
     if gray:
-        plane = a.astype(np.float64) - 128.0
         _encode_plane(
-            writer, plane,
+            writer, _color_planes(a, gray=True)[0],
             qluma, _build_codes(DC_LUMA_BITS, DC_LUMA_VALS),
             _build_codes(AC_LUMA_BITS, AC_LUMA_VALS),
         )
     else:
-        rgb = a.astype(np.float64)
-        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
-        cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128.0
-        cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128.0
-        c = _dct_matrix()
         dc_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
         ac_l = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
         dc_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
         ac_c = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
-        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        planes = _color_planes(a, gray=False)
         if subsample:
             # pad to a 16-multiple canvas (edge replication), keep luma
             # full-res and 2x2-mean the chroma planes (libjpeg's default
@@ -606,13 +625,10 @@ def jpeg_encode(arr, quality: int = 50, subsample: bool = False) -> bytes:
             planes[2] = planes[2].reshape(
                 hh16 // 2, 2, ww16 // 2, 2
             ).mean(axis=(1, 3))
-        zzs = []
-        for idx, plane in enumerate(planes):
-            blocks, _ = _to_blocks(plane)
-            coeffs = _snap(np.einsum("ux,nxy,vy->nuv", c, blocks, c))
-            q = (qluma if idx == 0 else qchroma).reshape(8, 8)
-            zz = _round_half_away(_snap(coeffs / q)).astype(np.int64)
-            zzs.append(zz.reshape(-1, 64)[:, ZIGZAG])
+        zzs = [
+            _plane_zigzag(plane, qluma if idx == 0 else qchroma)
+            for idx, plane in enumerate(planes)
+        ]
         prev = [0, 0, 0]
         if subsample:
             # 4:2:0 MCU: 4 luma blocks (raster within the 16x16 tile),
@@ -742,24 +758,13 @@ def jpeg_encode_progressive(arr, quality: int = 50) -> bytes:
 
     qluma = quality_scale(QUANT_LUMA, quality)
     qchroma = quality_scale(QUANT_CHROMA, quality)
-    c = _dct_matrix()
-    if gray:
-        planes = [a.astype(np.float64) - 128.0]
-    else:
-        rgb = a.astype(np.float64)
-        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
-        cb = (-0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1]
-              + 0.5 * rgb[..., 2] + 128.0)
-        cr = (0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1]
-              - 0.081312 * rgb[..., 2] + 128.0)
-        planes = [y - 128.0, cb - 128.0, cr - 128.0]
-    zzs = []
-    for idx, plane in enumerate(planes):
-        blocks, _ = _to_blocks(plane)
-        coeffs = _snap(np.einsum("ux,nxy,vy->nuv", c, blocks, c))
-        q = (qluma if idx == 0 else qchroma).reshape(8, 8)
-        zz = _round_half_away(_snap(coeffs / q)).astype(np.int64)
-        zzs.append(zz.reshape(-1, 64)[:, ZIGZAG])
+    # the SAME shared pipeline jpeg_encode uses — the byte-identical
+    # coefficient invariant is structural, not two copies kept in sync
+    planes = _color_planes(a, gray)
+    zzs = [
+        _plane_zigzag(plane, qluma if idx == 0 else qchroma)
+        for idx, plane in enumerate(planes)
+    ]
     ncomp = len(planes)
 
     out = bytearray(b"\xff\xd8")
@@ -969,8 +974,17 @@ def jpeg_decode(payload: bytes):
     numpy array of shape (H, W) for single-component streams or
     (H, W, 3) RGB for 3-component YCbCr — interleaved at any sampling
     factors in {1, 2, 4} (4:4:4, 4:2:2, 4:2:0; chroma upsampled by
-    replication). Raises ``ValueError`` on 12-bit, arithmetic-coded, or
-    hierarchical streams."""
+    replication). Raises ``ValueError`` on 12-bit, arithmetic-coded,
+    hierarchical, or truncated/malformed streams."""
+    try:
+        return _jpeg_decode(payload)
+    except (struct.error, IndexError) as ex:
+        # normalize truncation/malformed-stream errors to the ValueError
+        # contract the Arrow kernels' pass-through handlers rely on
+        raise ValueError(f"malformed JPEG payload: {ex}") from ex
+
+
+def _jpeg_decode(payload: bytes):
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -986,10 +1000,16 @@ def jpeg_decode(payload: bytes):
     any_scan = False
     zz_all = None
     sampf = hmax = vmax = mcux = mcuy = cols = rows = None
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("marker desync")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte (T.81 B.1.1.2): realign on the FF
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # length-less TEM/RSTn
+            pos += 2
+            continue
         if marker == 0xD9:  # EOI
             break
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])

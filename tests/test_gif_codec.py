@@ -199,3 +199,36 @@ def test_local_color_table_overrides_global():
 def test_refusals(payload, msg):
     with pytest.raises(ValueError, match=msg):
         gif_decode(payload)
+
+
+def test_gce_scope_is_one_image_block():
+    # GIF89a: a GCE applies to exactly the NEXT image; frame 2 has no
+    # GCE so it must render opaque and leave the canvas in place even
+    # though frame 1's GCE declared transparency and disposal 2
+    f1 = np.full((3, 3), 40, dtype=np.uint8)
+    f2 = np.full((3, 3), 99, dtype=np.uint8)  # 99 was transparent in f1's GCE
+    f3 = np.full((3, 3), 70, dtype=np.uint8)
+    payload = bytes(
+        _screen(3, 3, bg=255)
+        + _gce(disposal=2, transparent=99)
+        + _image_block(f1)
+        + _image_block(f2)  # no GCE of its own
+        + _image_block(f3)
+        + b"\x3b"
+    )
+    frames, _, _, t = gif_decode(payload)
+    assert t == 3
+    assert (frames[1] == 99).all()  # fully opaque, not transparent
+    assert (frames[2] == 70).all()  # disposal 0 inherited, not 2
+
+
+def test_truncated_streams_raise_value_error():
+    # the Arrow kernels catch ValueError only; struct.error/IndexError
+    # escaping would kill the Spark task
+    for payload in [
+        b"GIF89a\x01\x00",                      # truncated screen descriptor
+        b"GIF89a",                               # header only
+        bytes(_screen(2, 2)) + b"\x21",          # extension introducer, no label
+    ]:
+        with pytest.raises(ValueError):
+            gif_decode(payload)

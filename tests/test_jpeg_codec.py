@@ -395,3 +395,27 @@ def test_progressive_stream_structure():
     gray = np.full((24, 16), 37, dtype=np.uint8)
     out = jpeg_decode(jpeg_encode_progressive(gray))
     assert (out == flat_gray_roundtrip_value(37)).all()
+
+
+def test_truncated_streams_raise_value_error():
+    # struct.error/IndexError must normalize to the ValueError contract
+    # the Arrow kernels' NULL-pass-through handlers rely on
+    full = jpeg_encode(np.full((8, 8), 50, dtype=np.uint8))
+    for payload in [
+        b"\xff\xd8\xff\xc0\x00\x03\x08",  # truncated SOF
+        full[: len(full) // 3],            # mid-header cut
+    ]:
+        with pytest.raises(ValueError):
+            jpeg_decode(payload)
+
+
+def test_fill_bytes_before_markers_are_legal():
+    # T.81 B.1.1.2: any marker may be preceded by any number of FF fill
+    # bytes; splice some in front of DQT and SOS
+    img = np.full((8, 16), 90, dtype=np.uint8)
+    payload = jpeg_encode(img)
+    for marker in (b"\xff\xdb", b"\xff\xda"):
+        idx = payload.find(marker)
+        padded = payload[:idx] + b"\xff\xff\xff" + payload[idx:]
+        out = jpeg_decode(padded)
+        assert (out == flat_gray_roundtrip_value(90)).all()
