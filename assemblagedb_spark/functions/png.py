@@ -78,7 +78,17 @@ def png_decode(payload: bytes):
     (palette images resolve through PLTE to RGB). All five scanline
     filters reconstruct; filter-0 streams (everything :func:`png_encode`
     produces) take a single vectorized reshape. Raises ``ValueError``
-    on non-PNG bytes, non-8-bit depth, or Adam7 interlace."""
+    on non-PNG bytes, non-8-bit depth, Adam7 interlace, or
+    truncated/corrupt streams."""
+    try:
+        return _png_decode(payload)
+    except (struct.error, zlib.error, IndexError) as ex:
+        # normalize truncation/corruption errors to the ValueError
+        # contract the Arrow kernels' pass-through handlers rely on
+        raise ValueError(f"malformed PNG payload: {ex}") from ex
+
+
+def _png_decode(payload: bytes):
     import numpy as np
 
     if payload[:8] != _SIGNATURE:

@@ -215,3 +215,23 @@ def test_kernels_tolerate_null_and_garbage_payloads(spark):
     au = {r["media_id"]: r for r in audio_features(audio).collect()}
     assert au[1]["n_samples"] == 4 and au[1]["abs_sum"] == 0
     assert au[2]["abs_sum"] is None and au[3]["abs_sum"] is None
+
+
+def test_truncated_and_corrupt_streams_raise_value_error():
+    # struct.error (short IHDR) and zlib.error (corrupt IDAT) must
+    # normalize to the ValueError contract the Arrow kernels' NULL
+    # pass-through handlers rely on — same bug class the GIF/JPEG
+    # review fixed
+    import pytest
+
+    from assemblagedb_spark.functions.png import png_decode, png_encode
+
+    truncated_ihdr = b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR" + b"\x00" * 5
+    with pytest.raises(ValueError):
+        png_decode(truncated_ihdr)
+    full = png_encode(np.zeros((4, 4), dtype=np.uint8))
+    # corrupt the IDAT body: zlib must fail, surfaced as ValueError
+    idx = full.find(b"IDAT") + 4
+    corrupt = full[:idx] + b"\x00\x00\x00\x00" + full[idx + 4 :]
+    with pytest.raises(ValueError):
+        png_decode(corrupt)
