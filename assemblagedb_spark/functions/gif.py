@@ -306,10 +306,20 @@ def _gif_decode(payload: bytes):
             deinterlaced = np.empty_like(idx)
             deinterlaced[rows] = idx
             idx = deinterlaced
-        rect = canvas[top : top + h, left : left + w]
-        colors = palette[np.clip(idx, 0, len(palette) - 1)]
+        # Real-world GIFs sometimes declare a rect extending past the
+        # logical screen; renderers clip, so clip here too (otherwise the
+        # canvas slice is smaller than `colors` and broadcasting raises).
+        eh = min(h, height - top)
+        ew = min(w, width - left)
+        if eh <= 0 or ew <= 0:
+            frames.append(canvas.copy())
+            transparent = None
+            disposal = 0
+            continue
+        rect = canvas[top : top + eh, left : left + ew]
+        colors = palette[np.clip(idx[:eh, :ew], 0, len(palette) - 1)]
         if transparent is not None:
-            mask = (idx != transparent)[:, :, None]
+            mask = (idx[:eh, :ew] != transparent)[:, :, None]
             rect[:] = np.where(mask, colors, rect)
         else:
             rect[:] = colors

@@ -199,18 +199,37 @@ def _build_codes(bits, vals):
     return codes
 
 
+class _HuffLUT:
+    """16-bit-peek Huffman decode table: canonical JPEG codes are
+    prefix-free, so every 16-bit window whose prefix is code C maps to
+    C's symbol. One 65536-entry (symbol, length) pair of Python lists
+    per table (≤8 tables per image) replaces the bit-at-a-time dict
+    walk — the decoder's former per-symbol hot loop."""
+
+    __slots__ = ("sym", "ln")
+
+    def __init__(self, bits, vals):
+        sym = [0] * 65536
+        ln = [0] * 65536  # 0 = no code with this prefix -> invalid stream
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                lo = code << (16 - length)
+                hi = lo + (1 << (16 - length))
+                v = vals[k]
+                sym[lo:hi] = [v] * (hi - lo)
+                ln[lo:hi] = [length] * (hi - lo)
+                code += 1
+                k += 1
+            code <<= 1
+        self.sym = sym
+        self.ln = ln
+
+
 def _build_decode_table(bits, vals):
-    """(code, length) -> symbol map for the bit-at-a-time reader."""
-    table = {}
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return table
+    """Decode table for :meth:`_BitReader.huff` (16-bit peek LUT)."""
+    return _HuffLUT(bits, vals)
 
 
 class _BitWriter:
@@ -230,6 +249,10 @@ class _BitWriter:
             self.buf.append(byte)
             if byte == 0xFF:  # byte stuffing
                 self.buf.append(0x00)
+        # Drop emitted history bits: without this mask the accumulator is an
+        # ever-growing Python int and entropy coding goes O(n^2) in stream
+        # size (invisible on tiny images, a cliff at megapixel scale).
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -295,16 +318,23 @@ class _BitReader:
             self._fill()
         self.nbits -= n
         out = (self.acc >> self.nbits) & ((1 << n) - 1)
+        # Same O(n^2) guard as _BitWriter.write: truncate consumed bits so
+        # the accumulator stays a small int across the whole scan.
+        self.acc &= (1 << self.nbits) - 1
         return out
 
     def huff(self, table) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.bits(1)
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in entropy stream")
+        # Peek 16 bits (the max code length) and consume only the matched
+        # code's length — bit-identical to the former bit-at-a-time walk.
+        if self.nbits < 16:
+            self._fill()
+        window = (self.acc >> (self.nbits - 16)) & 0xFFFF
+        length = table.ln[window]
+        if length == 0:
+            raise ValueError("invalid Huffman code in entropy stream")
+        self.nbits -= length
+        self.acc &= (1 << self.nbits) - 1
+        return table.sym[window]
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -541,6 +571,178 @@ def _encode_plane(writer, plane, qtable, dc_codes, ac_codes):
         prev = encode_block(writer, row, prev, dc_codes, ac_codes)
 
 
+# --------------------------------------------------------------------------
+# Vectorized baseline entropy coder — bit-identical to the encode_block /
+# _BitWriter loop above (pinned by test_vectorized_entropy_matches_scalar),
+# which stays as the progressive encoder's emitter and the parity reference.
+# --------------------------------------------------------------------------
+
+_BITLEN_TABLE = None
+
+
+def _bitlen_table():
+    """uint8 LUT of int.bit_length for 0..65535 (exact, no log2 rounding)."""
+    global _BITLEN_TABLE
+    if _BITLEN_TABLE is None:
+        import numpy as np
+
+        _BITLEN_TABLE = np.array(
+            [v.bit_length() for v in range(65536)], dtype=np.int64
+        )
+    return _BITLEN_TABLE
+
+
+def _codes_arrays(codes):
+    """symbol -> (code, length) dict from _build_codes → two 256-entry
+    int64 arrays for vectorized indexing."""
+    import numpy as np
+
+    carr = np.zeros(256, dtype=np.int64)
+    larr = np.zeros(256, dtype=np.int64)
+    for sym, (code, length) in codes.items():
+        carr[sym] = code
+        larr[sym] = length
+    return carr, larr
+
+
+def _component_items(zz, dc_codes, ac_codes):
+    """Entropy-code one component's quantized zigzag blocks (already in
+    scan-traversal order) without a per-symbol Python loop. Returns
+    (codes, lens, counts): flat (value, bitlength) item streams plus each
+    block's item count, so callers can interleave components per MCU.
+    Item order per block is exactly encode_block's: DC code, DC bits,
+    then per nonzero AC [ZRL*, AC code, AC bits], then EOB unless the
+    block's last nonzero is coefficient 63."""
+    import numpy as np
+
+    bitlen = _bitlen_table()
+    dc_carr, dc_larr = _codes_arrays(dc_codes)
+    ac_carr, ac_larr = _codes_arrays(ac_codes)
+    zz = np.asarray(zz, dtype=np.int64)
+    n = zz.shape[0]
+
+    # DC: differential against the previous block of the SAME component
+    diff = np.diff(zz[:, 0], prepend=0)
+    cat_dc = bitlen[np.abs(diff)]
+    bits_dc = np.where(diff > 0, diff, diff + (1 << cat_dc) - 1)
+
+    # AC: nonzero runs per block
+    ac = zz[:, 1:]
+    nzb, nzj = np.nonzero(ac)
+    vals = ac[nzb, nzj]
+    idx = nzj + 1  # true zigzag coefficient index
+    previdx = np.empty_like(idx)
+    previdx[:1] = 0
+    previdx[1:] = idx[:-1]
+    first = np.empty(len(nzb), dtype=bool)
+    first[:1] = True
+    first[1:] = nzb[1:] != nzb[:-1]
+    previdx[first] = 0
+    run = idx - previdx - 1
+    zrl = run >> 4
+    rem = run & 15
+    cat_ac = bitlen[np.abs(vals)]
+    sym = (rem << 4) | cat_ac
+    bits_ac = np.where(vals > 0, vals, vals + (1 << cat_ac) - 1)
+
+    # expand each nonzero into [ZRL * zrl, AC code, AC bits]
+    per_nz = zrl + 2
+    m = int(per_nz.sum())
+    zrl_code, zrl_len = ac_codes[0xF0]
+    codes_ac = np.full(m, zrl_code, dtype=np.int64)
+    lens_ac = np.full(m, zrl_len, dtype=np.int64)
+    pos = np.cumsum(per_nz) - 2  # each nonzero's AC-code slot
+    codes_ac[pos] = ac_carr[sym]
+    lens_ac[pos] = ac_larr[sym]
+    codes_ac[pos + 1] = bits_ac
+    lens_ac[pos + 1] = cat_ac
+
+    # per-block layout: 2 DC items + AC items + optional EOB
+    ac_counts = np.bincount(nzb, weights=per_nz, minlength=n).astype(np.int64)
+    last_nz = np.zeros(n, dtype=np.int64)
+    last_nz[nzb] = idx  # ascending within block: final write is the max
+    eob = last_nz != 63
+    counts = 2 + ac_counts + eob
+    boff = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    total = int(counts.sum())
+    codes = np.empty(total, dtype=np.int64)
+    lens = np.empty(total, dtype=np.int64)
+    codes[boff] = dc_carr[cat_dc]
+    lens[boff] = dc_larr[cat_dc]
+    codes[boff + 1] = bits_dc
+    lens[boff + 1] = cat_dc
+    if m:
+        blk = np.repeat(nzb, per_nz)
+        acstart = np.concatenate(([0], np.cumsum(ac_counts)[:-1]))
+        dest = boff[blk] + 2 + (np.arange(m) - acstart[blk])
+        codes[dest] = codes_ac
+        lens[dest] = lens_ac
+    eb = np.nonzero(eob)[0]
+    eob_code, eob_len = ac_codes[0x00]
+    codes[boff[eb] + 2 + ac_counts[eb]] = eob_code
+    lens[boff[eb] + 2 + ac_counts[eb]] = eob_len
+    return codes, lens, counts
+
+
+def _interleave_items(parts, pattern):
+    """Merge per-component item streams into global MCU order. pattern is
+    the per-MCU component sequence ([0] gray, [0,1,2] 4:4:4,
+    [0,0,0,0,1,2] 4:2:0 — luma rows already tile-ordered by the caller)."""
+    import numpy as np
+
+    if len(parts) == 1:
+        return parts[0][0], parts[0][1]
+    pattern = np.asarray(pattern, dtype=np.int64)
+    nmcu = len(parts[0][2]) // int((pattern == 0).sum())
+    order = np.tile(pattern, nmcu)
+    gcounts = np.empty(len(order), dtype=np.int64)
+    for c, (_, _, counts) in enumerate(parts):
+        gcounts[order == c] = counts
+    goff = np.concatenate(([0], np.cumsum(gcounts)[:-1]))
+    total = int(gcounts.sum())
+    out_codes = np.empty(total, dtype=np.int64)
+    out_lens = np.empty(total, dtype=np.int64)
+    for c, (codes, lens, counts) in enumerate(parts):
+        bdest = goff[order == c]
+        start = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        dest = np.repeat(bdest, counts) + (
+            np.arange(len(codes)) - np.repeat(start, counts)
+        )
+        out_codes[dest] = codes
+        out_lens[dest] = lens
+    return out_codes, out_lens
+
+
+def _pack_entropy(codes, lens) -> bytes:
+    """MSB-first bit-pack the (value, bitlength) item stream, pad the last
+    byte with 1-bits (F.1.2.3) and stuff 00 after FF — byte-identical to
+    _BitWriter. Chunked so the (items, 16) expansion never exceeds ~16 MB."""
+    import numpy as np
+
+    nz = lens > 0
+    codes = codes[nz]
+    lens = lens[nz]
+    span = np.arange(16, dtype=np.int64)[None, :]
+    flats = []
+    for s in range(0, len(codes), 1 << 20):
+        c = codes[s : s + (1 << 20), None]
+        l = lens[s : s + (1 << 20), None]
+        sh = l - 1 - span
+        bits = ((c >> np.maximum(sh, 0)) & 1).astype(np.uint8)
+        flats.append(bits[sh >= 0])  # row-major boolean pick = stream order
+    flat = (
+        np.concatenate(flats) if flats else np.empty(0, dtype=np.uint8)
+    )
+    pad = (-len(flat)) % 8
+    if pad:
+        flat = np.concatenate([flat, np.ones(pad, dtype=np.uint8)])
+    by = np.packbits(flat)
+    stuff = np.nonzero(by == 0xFF)[0]
+    if len(stuff):
+        by = np.insert(by, stuff + 1, 0)
+    return by.tobytes()
+
+
 def jpeg_encode(arr, quality: int = 50, subsample: bool = False) -> bytes:
     """Encode a uint8 array as baseline JFIF: (H, W) / (H, W, 1) →
     grayscale single-scan; (H, W, 3) → YCbCr interleaved, 4:4:4 by
@@ -596,13 +798,16 @@ def jpeg_encode(arr, quality: int = 50, subsample: bool = False) -> bytes:
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
-    writer = _BitWriter()
     if gray:
-        _encode_plane(
-            writer, _color_planes(a, gray=True)[0],
-            qluma, _build_codes(DC_LUMA_BITS, DC_LUMA_VALS),
-            _build_codes(AC_LUMA_BITS, AC_LUMA_VALS),
-        )
+        zz = _plane_zigzag(_color_planes(a, gray=True)[0], qluma)
+        parts = [
+            _component_items(
+                zz,
+                _build_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+                _build_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+            )
+        ]
+        pattern = [0]
     else:
         dc_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
         ac_l = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
@@ -629,36 +834,36 @@ def jpeg_encode(arr, quality: int = 50, subsample: bool = False) -> bytes:
             _plane_zigzag(plane, qluma if idx == 0 else qchroma)
             for idx, plane in enumerate(planes)
         ]
-        prev = [0, 0, 0]
         if subsample:
             # 4:2:0 MCU: 4 luma blocks (raster within the 16x16 tile),
-            # then one Cb and one Cr block
+            # then one Cb and one Cr — reorder the luma rows into tile
+            # order so the vectorized DC chain sees scan-traversal order
             cols_y = planes[0].shape[1] // 8
             cols_c = planes[1].shape[1] // 8
-            for my in range(planes[0].shape[0] // 16):
-                for mx in range(cols_c):
-                    for by in range(2):
-                        for bx in range(2):
-                            prev[0] = encode_block(
-                                writer,
-                                zzs[0][(2 * my + by) * cols_y + 2 * mx + bx],
-                                prev[0], dc_l, ac_l,
-                            )
-                    for comp in (1, 2):
-                        prev[comp] = encode_block(
-                            writer, zzs[comp][my * cols_c + mx],
-                            prev[comp], dc_c, ac_c,
-                        )
+            my = np.arange(planes[0].shape[0] // 16)
+            mx = np.arange(cols_c)
+            by = np.arange(2)
+            bx = np.arange(2)
+            luma_order = (
+                (2 * my[:, None, None, None] + by[None, None, :, None]) * cols_y
+                + 2 * mx[None, :, None, None]
+                + bx[None, None, None, :]
+            ).ravel()
+            parts = [
+                _component_items(zzs[0][luma_order], dc_l, ac_l),
+                _component_items(zzs[1], dc_c, ac_c),
+                _component_items(zzs[2], dc_c, ac_c),
+            ]
+            pattern = [0, 0, 0, 0, 1, 2]
         else:
             # interleaved MCU order at 1x1 sampling: one block per component
-            for n in range(zzs[0].shape[0]):
-                for comp in range(3):
-                    dc_codes = dc_l if comp == 0 else dc_c
-                    ac_codes = ac_l if comp == 0 else ac_c
-                    prev[comp] = encode_block(
-                        writer, zzs[comp][n], prev[comp], dc_codes, ac_codes
-                    )
-    out += writer.flush()
+            parts = [
+                _component_items(zzs[c], dc_l if c == 0 else dc_c,
+                                 ac_l if c == 0 else ac_c)
+                for c in range(3)
+            ]
+            pattern = [0, 1, 2]
+    out += _pack_entropy(*_interleave_items(parts, pattern))
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 

@@ -232,3 +232,27 @@ def test_truncated_streams_raise_value_error():
     ]:
         with pytest.raises(ValueError):
             gif_decode(payload)
+
+
+def test_frame_rect_past_logical_screen_is_clipped():
+    # Real-world GIFs sometimes declare an image rect extending past the
+    # logical screen; renderers clip. A 4x4 frame at (2,2) on a 4x4 screen
+    # must composite its top-left 2x2 into the canvas corner, not raise.
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    payload = bytes(
+        _screen(4, 4, bg=255) + _image_block(img, left=2, top=2) + b"\x3b"
+    )
+    frames, w, h, t = gif_decode(payload)
+    assert (w, h, t) == (4, 4, 1)
+    assert (frames[0][2:, 2:, 0] == img[:2, :2]).all()
+    assert (frames[0][:2, :, 0] == 255).all()  # untouched background
+
+
+def test_frame_rect_fully_outside_screen_is_a_noop_frame():
+    img = np.full((2, 2), 7, dtype=np.uint8)
+    payload = bytes(
+        _screen(3, 3, bg=255) + _image_block(img, left=5, top=5) + b"\x3b"
+    )
+    frames, _, _, t = gif_decode(payload)
+    assert t == 1
+    assert (frames[0] == 255).all()

@@ -419,3 +419,81 @@ def test_fill_bytes_before_markers_are_legal():
         padded = payload[:idx] + b"\xff\xff\xff" + payload[idx:]
         out = jpeg_decode(padded)
         assert (out == flat_gray_roundtrip_value(90)).all()
+
+
+def test_bit_accumulators_stay_bounded():
+    # Regression for the O(n^2) entropy cliff: consumed/emitted history
+    # bits must be truncated from the accumulator, or it grows into an
+    # arbitrarily large Python int and every <<8 copies the whole stream.
+    w = _BitWriter()
+    rng = np.random.RandomState(11)
+    for _ in range(5000):
+        n = int(rng.randint(1, 17))
+        w.write(int(rng.randint(0, 1 << n)), n)
+        assert w.acc.bit_length() <= w.nbits
+    payload = w.flush()
+    r = _BitReader(payload, 0)
+    consumed = 0
+    total = len(payload) * 8
+    while consumed + 16 < total:
+        n = int(rng.randint(1, 17))
+        r.bits(n)
+        consumed += n
+        assert r.acc.bit_length() <= r.nbits
+
+
+def test_vectorized_entropy_matches_scalar():
+    # The vectorized item/pack pipeline in jpeg_encode must produce the
+    # exact bytes of the scalar encode_block/_BitWriter reference, for
+    # every scan pattern (grayscale, 4:4:4 interleave, 4:2:0 interleave).
+    from assemblagedb_spark.functions import jpeg as J
+
+    rng = np.random.RandomState(23)
+
+    def scalar_stream(zz_lists, pattern, tables):
+        w = _BitWriter()
+        prev = [0] * len(zz_lists)
+        ptrs = [0] * len(zz_lists)
+        nmcu = len(zz_lists[0]) // pattern.count(0)
+        for _ in range(nmcu):
+            for c in pattern:
+                dc_codes, ac_codes = tables[c]
+                encode_block(w, zz_lists[c][ptrs[c]], prev[c], dc_codes, ac_codes)
+                prev[c] = int(zz_lists[c][ptrs[c]][0])
+                ptrs[c] += 1
+        return w.flush()
+
+    dc_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _build_codes(J.DC_CHROMA_BITS, J.DC_CHROMA_VALS)
+    ac_c = _build_codes(J.AC_CHROMA_BITS, J.AC_CHROMA_VALS)
+
+    def random_zz(n):
+        # sparse blocks with occasional long runs, extremes, all-zero and
+        # dense blocks — exercises ZRL splitting, EOB suppression at 63
+        zz = np.zeros((n, 64), dtype=np.int64)
+        for i in range(n):
+            kind = i % 5
+            if kind == 0:
+                continue  # all-zero block
+            if kind == 1:
+                zz[i, 63] = rng.randint(-1023, 1024) or 7  # no EOB
+            nnz = rng.randint(1, 20)
+            pos = rng.choice(63, size=min(nnz, 63), replace=False) + 1
+            zz[i, pos] = rng.randint(-1023, 1024, size=len(pos))
+            zz[i, 0] = rng.randint(-1023, 1024)  # diffs stay ≤ cat 11
+        return zz
+
+    for pattern, comps in [
+        ([0], [(dc_l, ac_l)]),
+        ([0, 1, 2], [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]),
+        ([0, 0, 0, 0, 1, 2], [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]),
+    ]:
+        nmcu = 24
+        zz_lists = [random_zz(nmcu * pattern.count(c)) for c in range(len(comps))]
+        expected = scalar_stream(zz_lists, pattern, comps)
+        parts = [
+            J._component_items(zz_lists[c], *comps[c]) for c in range(len(comps))
+        ]
+        got = J._pack_entropy(*J._interleave_items(parts, pattern))
+        assert got == expected, f"pattern {pattern} diverged"
