@@ -55,31 +55,44 @@ def lzw_encode(indexes, min_code_size: int) -> bytes:
             acc >>= 8
             nbits -= 8
 
-    # dict: tuple of indexes -> code
-    table = {(i,): i for i in range(clear)}
+    # dict: (prev_code << 8 | next_sym) -> code; sequences are represented
+    # by their own code, so no per-pixel tuple is ever built (codes ≤ 4095
+    # and palette indexes ≤ 255, so the packed int key is collision-free)
+    try:
+        import numpy as np
+
+        if isinstance(indexes, np.ndarray):
+            indexes = indexes.tolist()  # C-speed scalar extraction
+    except ImportError:  # pragma: no cover - numpy is a hard dep elsewhere
+        pass
+    table: dict = {}
     next_code = eoi + 1
     width = min_code_size + 1
     emit(clear, width)
-    prev: tuple = ()
+    prev_code = -1
     for sym in indexes:
         sym = int(sym)
-        cur = prev + (sym,)
-        if cur in table:
-            prev = cur
+        if prev_code < 0:
+            prev_code = sym
             continue
-        emit(table[prev], width)
-        table[cur] = next_code
+        key = (prev_code << 8) | sym
+        cur = table.get(key)
+        if cur is not None:
+            prev_code = cur
+            continue
+        emit(prev_code, width)
+        table[key] = next_code
         next_code += 1
         if next_code == (1 << width) + 1 and width < 12:
             width += 1
         if next_code >= (1 << 12):
             emit(clear, width)
-            table = {(i,): i for i in range(clear)}
+            table = {}
             next_code = eoi + 1
             width = min_code_size + 1
-        prev = (sym,)
-    if prev:
-        emit(table[prev], width)
+        prev_code = sym
+    if prev_code >= 0:
+        emit(prev_code, width)
         # account for the code consuming a dictionary slot boundary
         next_code += 1
         if next_code == (1 << width) + 1 and width < 12:

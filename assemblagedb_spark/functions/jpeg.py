@@ -138,15 +138,23 @@ AC_CHROMA_VALS = [
 ]
 
 
-def _dct_matrix():
-    """C[u, x] = ½·α(u)·cos((2x+1)uπ/16) — S = C·s·Cᵀ is the T.81 FDCT."""
-    import numpy as np
+_DCT_MATRIX = None
 
-    x = np.arange(8)
-    u = np.arange(8)[:, None]
-    c = 0.5 * np.cos((2 * x[None, :] + 1) * u * np.pi / 16)
-    c[0, :] *= 1 / np.sqrt(2)
-    return c
+
+def _dct_matrix():
+    """C[u, x] = ½·α(u)·cos((2x+1)uπ/16) — S = C·s·Cᵀ is the T.81 FDCT.
+    Memoized: callers must not mutate the returned array."""
+    global _DCT_MATRIX
+    if _DCT_MATRIX is None:
+        import numpy as np
+
+        x = np.arange(8)
+        u = np.arange(8)[:, None]
+        c = 0.5 * np.cos((2 * x[None, :] + 1) * u * np.pi / 16)
+        c[0, :] *= 1 / np.sqrt(2)
+        c.setflags(write=False)
+        _DCT_MATRIX = c
+    return _DCT_MATRIX
 
 
 def _round_half_away(t):
@@ -168,16 +176,30 @@ def _snap(t):
     return np.round(t * 4096.0) / 4096.0
 
 
+_QSCALE_CACHE: dict = {}
+
+
 def quality_scale(table, quality: int):
     """libjpeg quality scaling of a base table: q<50 → 5000/q %, q≥50 →
     (200 − 2q) %, each entry round-half-up then clamped to [1, 255].
-    quality=50 returns the base table unchanged — the gate's fixed point."""
+    quality=50 returns the base table unchanged — the gate's fixed point.
+    Memoized by table content (encoders call it twice per image on the
+    two Annex K constants); callers must not mutate the result."""
     import numpy as np
 
+    key = (np.asarray(table, dtype=np.int64).tobytes(), int(quality))
+    cached = _QSCALE_CACHE.get(key)
+    if cached is not None:
+        return cached
     q = max(1, min(100, int(quality)))
     scale = 5000 // q if q < 50 else 200 - 2 * q
     t = (np.asarray(table, dtype=np.int64) * scale + 50) // 100
-    return np.clip(t, 1, 255).astype(np.int64)
+    t = np.clip(t, 1, 255).astype(np.int64)
+    t.setflags(write=False)
+    if len(_QSCALE_CACHE) >= 64:
+        _QSCALE_CACHE.clear()
+    _QSCALE_CACHE[key] = t
+    return t
 
 
 # --------------------------------------------------------------------------
@@ -185,8 +207,17 @@ def quality_scale(table, quality: int):
 # --------------------------------------------------------------------------
 
 
+_ENCODE_CODES_CACHE: dict = {}
+
+
 def _build_codes(bits, vals):
-    """symbol -> (code, length) by T.81 Annex C canonical assignment."""
+    """symbol -> (code, length) by T.81 Annex C canonical assignment.
+    Cached by table content (encoders call this 2-4x per image; the
+    tables are the four Annex K constants). Callers must not mutate."""
+    key = (bytes(bits), bytes(vals))
+    codes = _ENCODE_CODES_CACHE.get(key)
+    if codes is not None:
+        return codes
     codes = {}
     code = 0
     k = 0
@@ -196,6 +227,9 @@ def _build_codes(bits, vals):
             code += 1
             k += 1
         code <<= 1
+    if len(_ENCODE_CODES_CACHE) >= 64:
+        _ENCODE_CODES_CACHE.clear()
+    _ENCODE_CODES_CACHE[key] = codes
     return codes
 
 
@@ -209,27 +243,42 @@ class _HuffLUT:
     __slots__ = ("sym", "ln")
 
     def __init__(self, bits, vals):
-        sym = [0] * 65536
-        ln = [0] * 65536  # 0 = no code with this prefix -> invalid stream
+        import numpy as np
+
+        sym = np.zeros(65536, dtype=np.int64)
+        ln = np.zeros(65536, dtype=np.int64)  # 0 = no code -> invalid stream
         code = 0
         k = 0
         for length in range(1, 17):
             for _ in range(bits[length - 1]):
                 lo = code << (16 - length)
                 hi = lo + (1 << (16 - length))
-                v = vals[k]
-                sym[lo:hi] = [v] * (hi - lo)
-                ln[lo:hi] = [length] * (hi - lo)
+                sym[lo:hi] = vals[k]
+                ln[lo:hi] = length
                 code += 1
                 k += 1
             code <<= 1
-        self.sym = sym
-        self.ln = ln
+        # plain lists: CPython scalar indexing beats numpy scalar indexing
+        self.sym = sym.tolist()
+        self.ln = ln.tolist()
+
+
+_DECODE_LUT_CACHE: dict = {}
 
 
 def _build_decode_table(bits, vals):
-    """Decode table for :meth:`_BitReader.huff` (16-bit peek LUT)."""
-    return _HuffLUT(bits, vals)
+    """Decode table for :meth:`_BitReader.huff` (16-bit peek LUT), cached
+    by table content — decoders parse DHT per image, and rebuilding the
+    64 Ki-entry LUT per image dwarfed small-image decode time. Bounded:
+    adversarial streams with endless distinct tables can't grow it."""
+    key = (bytes(bits), bytes(vals))
+    t = _DECODE_LUT_CACHE.get(key)
+    if t is None:
+        if len(_DECODE_LUT_CACHE) >= 64:
+            _DECODE_LUT_CACHE.clear()
+        t = _HuffLUT(bits, vals)
+        _DECODE_LUT_CACHE[key] = t
+    return t
 
 
 class _BitWriter:
@@ -592,9 +641,17 @@ def _bitlen_table():
     return _BITLEN_TABLE
 
 
+_CODES_ARRAYS_CACHE: dict = {}
+
+
 def _codes_arrays(codes):
     """symbol -> (code, length) dict from _build_codes → two 256-entry
-    int64 arrays for vectorized indexing."""
+    int64 arrays for vectorized indexing. Keyed by the dict's identity —
+    safe because _build_codes memoizes, so equal tables ARE the same
+    object and live for the process."""
+    cached = _CODES_ARRAYS_CACHE.get(id(codes))
+    if cached is not None and cached[0] is codes:
+        return cached[1], cached[2]
     import numpy as np
 
     carr = np.zeros(256, dtype=np.int64)
@@ -602,6 +659,10 @@ def _codes_arrays(codes):
     for sym, (code, length) in codes.items():
         carr[sym] = code
         larr[sym] = length
+    if len(_CODES_ARRAYS_CACHE) >= 64:
+        _CODES_ARRAYS_CACHE.clear()
+    # keep a strong ref to `codes` so the id can never be recycled
+    _CODES_ARRAYS_CACHE[id(codes)] = (codes, carr, larr)
     return carr, larr
 
 
@@ -713,6 +774,34 @@ def _interleave_items(parts, pattern):
     return out_codes, out_lens
 
 
+def _encode_scan_entropy(zz_lists, comp_tables, pattern) -> bytes:
+    """Entropy-code one interleaved scan. Dispatches on size: tiny scans
+    (< 256 blocks — thumbnails, icons, the gate corpus) run the scalar
+    encode_block loop, whose per-block cost beats the vectorized
+    pipeline's fixed numpy setup; larger scans run the vectorized
+    item-stream pipeline. Byte-identical either way
+    (test_vectorized_entropy_matches_scalar pins both paths)."""
+    total_blocks = sum(z.shape[0] for z in zz_lists)
+    if total_blocks < 256:
+        w = _BitWriter()
+        prev = [0] * len(zz_lists)
+        ptr = [0] * len(zz_lists)
+        nmcu = len(zz_lists[0]) // sum(1 for c in pattern if c == 0)
+        for _ in range(nmcu):
+            for c in pattern:
+                dc_codes, ac_codes = comp_tables[c]
+                prev[c] = encode_block(
+                    w, zz_lists[c][ptr[c]], prev[c], dc_codes, ac_codes
+                )
+                ptr[c] += 1
+        return w.flush()
+    parts = [
+        _component_items(zz_lists[c], *comp_tables[c])
+        for c in range(len(zz_lists))
+    ]
+    return _pack_entropy(*_interleave_items(parts, pattern))
+
+
 def _pack_entropy(codes, lens) -> bytes:
     """MSB-first bit-pack the (value, bitlength) item stream, pad the last
     byte with 1-bits (F.1.2.3) and stuff 00 after FF — byte-identical to
@@ -799,10 +888,9 @@ def jpeg_encode(arr, quality: int = 50, subsample: bool = False) -> bytes:
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
     if gray:
-        zz = _plane_zigzag(_color_planes(a, gray=True)[0], qluma)
-        parts = [
-            _component_items(
-                zz,
+        zz_lists = [_plane_zigzag(_color_planes(a, gray=True)[0], qluma)]
+        comp_tables = [
+            (
                 _build_codes(DC_LUMA_BITS, DC_LUMA_VALS),
                 _build_codes(AC_LUMA_BITS, AC_LUMA_VALS),
             )
@@ -849,21 +937,14 @@ def jpeg_encode(arr, quality: int = 50, subsample: bool = False) -> bytes:
                 + 2 * mx[None, :, None, None]
                 + bx[None, None, None, :]
             ).ravel()
-            parts = [
-                _component_items(zzs[0][luma_order], dc_l, ac_l),
-                _component_items(zzs[1], dc_c, ac_c),
-                _component_items(zzs[2], dc_c, ac_c),
-            ]
+            zz_lists = [zzs[0][luma_order], zzs[1], zzs[2]]
             pattern = [0, 0, 0, 0, 1, 2]
         else:
             # interleaved MCU order at 1x1 sampling: one block per component
-            parts = [
-                _component_items(zzs[c], dc_l if c == 0 else dc_c,
-                                 ac_l if c == 0 else ac_c)
-                for c in range(3)
-            ]
+            zz_lists = zzs
             pattern = [0, 1, 2]
-    out += _pack_entropy(*_interleave_items(parts, pattern))
+        comp_tables = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
+    out += _encode_scan_entropy(zz_lists, comp_tables, pattern)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -873,23 +954,29 @@ def _emit_ac_first(writer, zz, ac_codes, ss, se, al):
     transform = magnitude shift toward zero; EOB0 per block — legal, and
     it keeps the static Annex K tables sufficient since EOBn (n>0)
     symbols are absent from them)."""
-    r = 0
-    for k in range(ss, se + 1):
-        v = int(zz[k])
-        mag = (v if v >= 0 else -v) >> al
-        if mag == 0:
-            r += 1
-            continue
+    import numpy as np
+
+    band = np.asarray(zz[ss : se + 1], dtype=np.int64)
+    mags = np.abs(band) >> al
+    nz = np.nonzero(mags)[0]
+    if nz.size == 0:  # whole band zero (every DC-only block): just EOB0
+        code, length = ac_codes[0x00]
+        writer.write(code, length)
+        return
+    prev = -1
+    for j in nz.tolist():
+        r = j - prev - 1
+        prev = j
         while r > 15:
             code, length = ac_codes[0xF0]
             writer.write(code, length)
             r -= 16
-        cat, bits = _magnitude(mag if v >= 0 else -mag)
+        mag = int(mags[j])
+        cat, bits = _magnitude(mag if band[j] >= 0 else -mag)
         code, length = ac_codes[(r << 4) | cat]
         writer.write(code, length)
         writer.write(bits, cat)
-        r = 0
-    if r:
+    if nz[-1] != se - ss:
         code, length = ac_codes[0x00]  # EOB0
         writer.write(code, length)
 
@@ -901,17 +988,23 @@ def _emit_ac_refine(writer, zz, ac_codes, ss, se, al):
     nonzero ones append buffered correction bits."""
     import numpy as np
 
-    mags = np.abs(np.asarray(zz[ss : se + 1], dtype=np.int64)) >> al
+    band = np.asarray(zz[ss : se + 1], dtype=np.int64)
+    mags = np.abs(band) >> al
+    nzidx = np.nonzero(mags)[0]
+    if nzidx.size == 0:  # whole band zero (every DC-only block): just EOB0
+        code, length = ac_codes[0x00]
+        writer.write(code, length)
+        return
     newly = np.nonzero(mags == 1)[0]
     eob_pos = ss + int(newly[-1]) if newly.size else ss - 1
     pending: list[int] = []
     r = 0
-    for k in range(ss, se + 1):
-        v = int(zz[k])
-        mag = int(mags[k - ss])
-        if mag == 0:
-            r += 1
-            continue
+    prev = ss - 1
+    for j in nzidx.tolist():
+        k = ss + j
+        r += k - prev - 1  # zero-magnitude coefficients skipped over
+        prev = k
+        mag = int(mags[j])
         # the ZRL check runs at ANY nonzero coefficient (stale included,
         # jcphuff shape): a stale coefficient past the ZRL's 16-position
         # span must sequence its correction bit after the NEXT symbol,
@@ -929,11 +1022,12 @@ def _emit_ac_refine(writer, zz, ac_codes, ss, se, al):
             continue
         code, length = ac_codes[(r << 4) | 1]
         writer.write(code, length)
-        writer.write(1 if v > 0 else 0, 1)
+        writer.write(1 if band[j] > 0 else 0, 1)
         for b in pending:
             writer.write(b, 1)
         pending = []
         r = 0
+    r += se - prev  # trailing zero run
     if r or pending:
         code, length = ac_codes[0x00]  # EOB0
         writer.write(code, length)

@@ -253,6 +253,20 @@ def wav_decode(payload: bytes):
         )
 
 
+def _parallel_ids(docs: "DataFrame", id_col: str) -> "DataFrame":
+    """Spread the bare id column across the session's full parallelism
+    before a payload-builder kernel. Synthetic media corpora inherit the
+    input file's split count — one split for a small parquet — which
+    would serialize the codec work no matter how many cores exist; at
+    100 TB the same holds whenever per-row compute, not scan bytes, is
+    the bottleneck. Only the id column (a long per row) crosses the
+    exchange: payloads are built AFTER it, so the media plans' property
+    that payload bytes never cross the network is preserved
+    (tests/test_plan_properties.py pins exactly this shape)."""
+    sc = docs.sparkSession.sparkContext
+    return docs.select(F.col(id_col)).repartition(sc.defaultParallelism)
+
+
 def synthetic_wav_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(media_id, payload): REAL RIFF/WAVE payloads built per row in the
     Arrow kernel — n_samples = 64 + id % 129, sample_rate = 8000 +
@@ -278,7 +292,7 @@ def synthetic_wav_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"media_id": ids.astype("int64"), "payload": payloads}
             )
 
-    return docs.select(F.col(id_col)).mapInPandas(
+    return _parallel_ids(docs, id_col).mapInPandas(
         build, "media_id long, payload binary"
     )
 
@@ -487,7 +501,7 @@ def synthetic_png_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"media_id": ids.astype("int64"), "payload": payloads}
             )
 
-    return docs.select(F.col(id_col)).mapInPandas(
+    return _parallel_ids(docs, id_col).mapInPandas(
         build, "media_id long, payload binary"
     )
 
@@ -559,7 +573,7 @@ def synthetic_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"media_id": ids.astype("int64"), "payload": payloads}
             )
 
-    return docs.select(F.col(id_col)).mapInPandas(
+    return _parallel_ids(docs, id_col).mapInPandas(
         build, "media_id long, payload binary"
     )
 
@@ -626,7 +640,7 @@ def synthetic_y4m_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"media_id": ids.astype("int64"), "payload": payloads}
             )
 
-    return docs.select(F.col(id_col)).mapInPandas(
+    return _parallel_ids(docs, id_col).mapInPandas(
         build, "media_id long, payload binary"
     )
 
@@ -723,7 +737,7 @@ def synthetic_gif_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"media_id": ids.astype("int64"), "payload": payloads}
             )
 
-    return docs.select(F.col(id_col)).mapInPandas(
+    return _parallel_ids(docs, id_col).mapInPandas(
         build, "media_id long, payload binary"
     )
 

@@ -272,19 +272,34 @@ def test_grouping_sets_single_expand_single_scan(spark, sf_dir):
         assert plan.count(") Range") == 1 and "Range (0, 1," in plan, q.__name__
 
 
-def test_multimodal_codec_gates_scan_without_shuffle(spark, sf_dir):
-    # the three real-codec gates are chained Arrow kernels over one
-    # corpus scan — any exchange would mean payload bytes crossing the
-    # network for a per-row transform
+def test_multimodal_codec_gates_shuffle_only_bare_ids(spark, sf_dir):
+    # the real-codec gates are chained Arrow kernels whose ONE exchange
+    # is the id-column repartition BEFORE the payload builder
+    # (multimodal._parallel_ids): compute parallelism must not inherit
+    # the input's split count, but payload bytes must never cross the
+    # network. In the formatted plan the tree prints parents first, so
+    # every MapInPandas (downstream of the exchange in dataflow) must
+    # appear BEFORE the Exchange line and the exchange must be
+    # round-robin over the bare id column.
     for q in (
-        h.q_multimodal_decode,
         h.q_multimodal_resize,
         h.q_multimodal_jpeg,
         h.q_multimodal_video,
         h.q_multimodal_gif,
+        h.q_multimodal_audio,
     ):
         df = q(spark, sf_dir)
-        assert count_exchanges(df) == 0, q.__name__
-        assert "MapInPandas" in formatted_plan(df), q.__name__
-    audio = h.q_multimodal_audio(spark, sf_dir)
-    assert count_exchanges(audio) == 0
+        plan = formatted_plan(df)
+        assert count_exchanges(df) == 1, q.__name__
+        assert "MapInPandas" in plan, q.__name__
+        assert "RoundRobinPartitioning" in plan, q.__name__
+        # order check on the tree section only (the numbered node details
+        # that follow repeat operator names out of tree order)
+        tree = plan.split("\n\n")[0]
+        assert tree.rfind("MapInPandas") < tree.find("Exchange"), q.__name__
+    # q_multimodal_decode builds payloads as a JVM-side projection (no
+    # builder kernel), so a repartition there WOULD move payload bytes:
+    # it stays zero-exchange, parallelized by input splits alone.
+    decode = h.q_multimodal_decode(spark, sf_dir)
+    assert count_exchanges(decode) == 0
+    assert "MapInPandas" in formatted_plan(decode)
