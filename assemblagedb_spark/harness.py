@@ -6008,9 +6008,13 @@ def q_streaming_sessions_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from assemblagedb_spark.streaming.sessions import sessionize_stream
 
+    # pin the projected events once: the gate runs four jobs over this
+    # frame (the range agg + three tercile writes), and re-scanning the
+    # parquet per job was pure setup overhead (same localCheckpoint
+    # discipline as the round-6 broadcast-ingest fix)
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts"
-    )
+    ).localCheckpoint(eager=True)
     lo, hi, n_rows = ev.agg(F.min("ts"), F.max("ts"), F.count("*")).collect()[0]
     if n_rows == 0:
         # no events -> no sessions (and no ts range to tercile); the
