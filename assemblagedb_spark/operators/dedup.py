@@ -104,13 +104,22 @@ def lsh_candidate_pairs(
     *,
     bands: int = 4,
     rows_per_band: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded LSH: docs agreeing on all rows of any band become a candidate
     pair. Returns distinct (id_a, id_b), id_a < id_b.
 
-    The band bucket join is an equi-join on (band, band_sig) — shuffle on the
-    bucket key only; bucket sizes are bounded by construction (a pathological
-    bucket means the docs really are near-identical).
+    The band bucket join is an equi-join on (band, band_sig) — shuffle on
+    the bucket key only. Candidate volume is Σ C(bucket_size, 2): on a
+    corpus whose near-dup density doesn't thin with N (the decade-up
+    measurement in SCALING.md — a closed 31-word vocabulary densifies
+    quadratically), bucket sizes grow ~linearly with N and the pair
+    expansion goes ~N². ``max_bucket`` is the standard guard for that
+    regime: buckets larger than the cap are DROPPED before expansion
+    (their members are near-identical mega-clusters — exact dedup or the
+    remaining bands still surface them; the trade is stated recall on
+    pathological clusters for a hard bound on join fan-out). None (the
+    default, and every gate's setting) expands everything.
     """
     # both join sides derive from the signatures; materialize them once so
     # the (expensive) minhash fold isn't evaluated twice (skip if the caller
@@ -129,6 +138,14 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_sig"),
     )
+    if max_bucket is not None:
+        small = (
+            exploded.groupBy("band", "band_sig")
+            .count()
+            .filter(F.col("count") <= max_bucket)
+            .select("band", "band_sig")
+        )
+        exploded = exploded.join(small, ["band", "band_sig"])
     a = exploded.select(F.col("doc_id").alias("id_a"), "band", "band_sig")
     b = exploded.select(F.col("doc_id").alias("id_b"), "band", "band_sig")
     return (

@@ -403,3 +403,31 @@ def test_repeat_binding_domain_exactly_one_epoch(spark):
     # (permille 999 would emit reps=0 for bucket-999 rows), none doubled
     assert len(out) == 3000
     assert all(r["epoch"] == 0 for r in out)
+
+
+def test_lsh_max_bucket_caps_pathological_buckets(spark):
+    # SCALING.md decade-up finding: on a corpus whose near-dup density
+    # doesn't thin with N, bucket sizes grow ~linearly and the pair
+    # expansion goes ~N^2. max_bucket drops oversized buckets before
+    # expansion; small buckets are untouched and None stays unbounded.
+    from assemblagedb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    mega = "identical text shared by every member of the mega cluster"
+    docs = [(i, mega) for i in range(20)]  # one 20-doc bucket per band
+    docs += [(100, "a rare pair of nearly the same words here indeed"),
+             (101, "a rare pair of nearly the same words here indeed")]
+    sig = minhash_signatures(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    )
+    unbounded = {(r["id_a"], r["id_b"])
+                 for r in lsh_candidate_pairs(sig).collect()}
+    assert (100, 101) in unbounded
+    assert sum(1 for a, b in unbounded if a < 100 and b < 100) == 190
+
+    capped = {(r["id_a"], r["id_b"])
+              for r in lsh_candidate_pairs(sig, max_bucket=10).collect()}
+    assert (100, 101) in capped  # small bucket survives
+    assert not any(a < 100 and b < 100 for a, b in capped)  # mega dropped
