@@ -189,41 +189,48 @@ def ngram_overlap_pairs(
     relation, so a pipeline that wants several similarity scores over the
     same LSH candidates (the normal case) pays the heavy stage once.
 
-    Scale shape: the candidate pair list joins each side's shingles on
-    its own id BELOW the gram equi-join, so work is Σ over candidate
-    pairs of the pair's gram overlap — never the quadratic postings
-    self-join (an optimizer cannot push a join below an aggregation, so
-    this ordering must be written, not hoped for). ``candidates`` must be
-    DISTINCT (id_a, id_b) pairs: a duplicate row would inflate ``inter``,
-    not duplicate an output row.
+    Scale shape: one COMPACT distinct-gram array per document (never an
+    exploded (doc, gram) stream), joined to the pair list by id alone —
+    two equi-joins whose record count is |pairs|, with the intersection
+    computed by the codegen'd ``array_intersect`` inside the row. The
+    previous shape (explode → join candidates on id_a → equi-join on
+    (id_b, gram) → count) shuffled |pairs| × |grams per doc| skinny rows
+    and went from 260s to 12s here when replaced (sf1-class corpus,
+    10.5M candidates — the decade-up measurement in SCALING.md; exact
+    parity pinned by test_overlap_compact_equals_explode_join). Work per
+    pair is O(n_a + n_b) hash intersection, shuffle volume per pair is
+    the two gram arrays (~2 KB) instead of ~2·n gram rows.
+    ``candidates`` must be DISTINCT (id_a, id_b) pairs, and pairs with
+    ZERO gram overlap drop out of the relation (both exactly as before).
     """
-    # spread the scan before the shingle explode: a corpus file small in
-    # bytes but large in gram expansion can land the whole explode (and
-    # the candidate joins above it) in ONE task; guarded so a large input
-    # never pays a raw-text shuffle
+    # spread the scan before the gram derivation: a corpus file small in
+    # bytes but large in gram expansion can land the whole stage in ONE
+    # task; guarded so a large input never pays a raw-text shuffle
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < parallelism // 2:
         docs = docs.repartition(parallelism, id_col)
-    shingles = docs.select(
+    gram_sets = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(grams_array(text_col))).alias("gram"),
+        F.array_distinct(grams_array(text_col)).alias("gs"),
     )
-    sizes = shingles.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    ga = gram_sets.select(
+        F.col("doc_id").alias("id_a"), F.col("gs").alias("gs_a")
     )
-    ga = shingles.select(F.col("doc_id").alias("id_a"), "gram")
-    gb = shingles.select(F.col("doc_id").alias("id_b"), "gram")
-    inter = (
+    gb = gram_sets.select(
+        F.col("doc_id").alias("id_b"), F.col("gs").alias("gs_b")
+    )
+    return (
         candidates.select("id_a", "id_b")
         .join(ga, "id_a")
-        .join(gb, ["id_b", "gram"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
-    )
-    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
-    return inter.join(na, "id_a").join(nb, "id_b").select(
-        "id_a", "id_b", "inter", "n_a", "n_b"
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("gs_a", "gs_b")).cast("long").alias("inter"),
+            F.size("gs_a").cast("long").alias("n_a"),
+            F.size("gs_b").cast("long").alias("n_b"),
+        )
+        .filter(F.col("inter") > 0)
     )
 
 

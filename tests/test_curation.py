@@ -431,3 +431,51 @@ def test_lsh_max_bucket_caps_pathological_buckets(spark):
               for r in lsh_candidate_pairs(sig, max_bucket=10).collect()}
     assert (100, 101) in capped  # small bucket survives
     assert not any(a < 100 and b < 100 for a, b in capped)  # mega dropped
+
+
+def test_overlap_compact_equals_explode_join(spark):
+    # ngram_overlap_pairs switched from the exploded (doc, gram) stream
+    # shape to compact per-doc gram arrays + array_intersect (260s -> 12s
+    # on the sf1-class corpus). This pins exact relational parity against
+    # the old shape, including the two edge behaviors: zero-overlap
+    # candidates drop out, and inter counts DISTINCT grams.
+    from pyspark.sql import functions as F
+
+    from assemblagedb_spark.operators.dedup import ngram_overlap_pairs
+    from assemblagedb_spark.operators.grams import grams_array
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefghij"),
+            (2, "abcdefghij"),            # exact dup of 1
+            (3, "zzzz abcde zzzz zzzz"),  # partial + repeated grams
+            (4, "no shared grams at all here"),
+            (5, "abcd"),                  # single gram (with padding)
+        ],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (3, 5), (2, 4)], "id_a long, id_b long"
+    )
+
+    shingles = docs.select(
+        F.col("doc_id"),
+        F.explode(F.array_distinct(grams_array("text"))).alias("gram"),
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    inter = (
+        cands.join(shingles.select(F.col("doc_id").alias("id_a"), "gram"), "id_a")
+        .join(shingles.select(F.col("doc_id").alias("id_b"), "gram"), ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    reference = (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .select("id_a", "id_b", "inter", "n_a", "n_b")
+    )
+    got = ngram_overlap_pairs(docs, cands)
+    ref_rows = {tuple(r) for r in reference.collect()}
+    got_rows = {tuple(r) for r in got.collect()}
+    assert got_rows == ref_rows
+    assert not any(a == 1 and b == 4 for a, b, *_ in got_rows)  # zero overlap
