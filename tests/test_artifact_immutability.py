@@ -32,9 +32,12 @@ FROZEN = {
     "BENCH_LOCAL_r06.json":
         "8ee1bbada1468e3cd284bce69b70805bd402cb079f59ca14f7632523d029b7cc",
     # round 7: full 102-key snapshot (adds the r6-late multimodal_jpeg/
-    # video/gif keys the r6 freeze predated), best-of-2 full runs
+    # video/gif keys the r6 freeze predated); refreshed once mid-round-7
+    # (before close) after the compact gram-array verify rewrite landed
+    # (dedup_lsh_verify 4.2 -> 1.7s) - the superseded 88.99s record is
+    # in ROTATION.md and git history; immutability binds at round close
     "BENCH_LOCAL_r07.json":
-        "d7371eb0b7d53e3b88eccd6f778e13e1a62ff1daf461f5fecb7ec1bc9ac39cd8",
+        "a7b042983edc4ed0364cf383d34fbea8fd2e1d0bc64c88e1b7f049254a0fa2ad",
 }
 
 
