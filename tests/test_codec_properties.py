@@ -102,3 +102,59 @@ def test_flat_field_closed_form_property(v, quality):
     img = np.full((8, 8), v, dtype=np.uint8)
     out = jpeg_decode(jpeg_encode(img, quality=quality))
     assert (out == flat_gray_roundtrip_value(v, quality=quality)).all()
+
+
+@given(
+    st.sampled_from([(0,), (0, 1, 2), (0, 0, 0, 0, 1, 2)]),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@_settings
+def test_vectorized_entropy_equals_scalar_property(pattern, nmcu, seed):
+    # byte-level parity of the vectorized item/pack scan encoder against
+    # the scalar encode_block/_BitWriter reference over random coefficient
+    # structures (sparse/dense blocks, ZRL chains, EOB suppression at 63,
+    # DC chains per component) for every interleave pattern
+    from assemblagedb_spark.functions import jpeg as J
+
+    rng = np.random.RandomState(seed)
+    dc_l = J._build_codes(J.DC_LUMA_BITS, J.DC_LUMA_VALS)
+    ac_l = J._build_codes(J.AC_LUMA_BITS, J.AC_LUMA_VALS)
+    dc_c = J._build_codes(J.DC_CHROMA_BITS, J.DC_CHROMA_VALS)
+    ac_c = J._build_codes(J.AC_CHROMA_BITS, J.AC_CHROMA_VALS)
+    tables = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
+    ncomp = max(pattern) + 1
+
+    def random_zz(n):
+        zz = np.zeros((n, 64), dtype=np.int64)
+        for i in range(n):
+            kind = rng.randint(4)
+            if kind == 0:
+                continue
+            if kind == 1:
+                zz[i, 1:] = rng.randint(-1023, 1024, 63)  # dense
+            else:
+                nnz = rng.randint(1, 12)
+                pos = rng.choice(63, size=nnz, replace=False) + 1
+                zz[i, pos] = rng.randint(-1023, 1024, size=nnz)
+            zz[i, 0] = rng.randint(-1023, 1024)
+        return zz
+
+    zz_lists = [
+        random_zz(nmcu * pattern.count(c)) for c in range(ncomp)
+    ]
+    w = J._BitWriter()
+    prev = [0] * ncomp
+    ptr = [0] * ncomp
+    for _ in range(nmcu):
+        for c in pattern:
+            prev[c] = J.encode_block(
+                w, zz_lists[c][ptr[c]], prev[c], *tables[c]
+            )
+            ptr[c] += 1
+    expected = w.flush()
+    parts = [
+        J._component_items(zz_lists[c], *tables[c]) for c in range(ncomp)
+    ]
+    got = J._pack_entropy(*J._interleave_items(parts, list(pattern)))
+    assert got == expected
