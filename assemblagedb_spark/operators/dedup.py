@@ -525,6 +525,7 @@ def lsh_incremental_pairs(
     *,
     bands: int = 4,
     rows_per_band: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Incremental near-dup ingest: candidate (new_id, corpus_id) pairs
     between a NEW batch and the stored corpus band table, without touching
@@ -537,7 +538,21 @@ def lsh_incremental_pairs(
     is proportional to the batch, not the corpus. Feed the pairs to
     ``minhash_jaccard_estimate`` / ``ngram_jaccard(candidates=...)`` to
     verify, then to the components keeper to merge into clusters.
+
+    ``max_bucket`` mirrors :func:`lsh_candidate_pairs`: corpus buckets
+    larger than the cap are excluded before the join, bounding the
+    fan-out a single new document can trigger against a near-identical
+    mega-cluster (a steady-state pipeline would fold this count into the
+    stored band table instead of re-aggregating per batch).
     """
+    if max_bucket is not None:
+        small = (
+            corpus_bands.groupBy("band", "band_sig")
+            .count()
+            .filter(F.col("count") <= max_bucket)
+            .select("band", "band_sig")
+        )
+        corpus_bands = corpus_bands.join(small, ["band", "band_sig"])
     nb = band_split(
         new_signatures, bands=bands, rows_per_band=rows_per_band
     ).select(F.col("doc_id").alias("new_id"), "band", "band_sig")

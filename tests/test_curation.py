@@ -479,3 +479,33 @@ def test_overlap_compact_equals_explode_join(spark):
     got_rows = {tuple(r) for r in got.collect()}
     assert got_rows == ref_rows
     assert not any(a == 1 and b == 4 for a, b, *_ in got_rows)  # zero overlap
+
+
+def test_lsh_incremental_max_bucket_caps_corpus_buckets(spark):
+    from assemblagedb_spark.operators.dedup import (
+        band_split,
+        lsh_incremental_pairs,
+        minhash_signatures,
+    )
+
+    mega = "identical text shared by every member of the mega cluster"
+    rare = "a rare pair of nearly the same words here indeed"
+    corpus = spark.createDataFrame(
+        [(i, mega) for i in range(20)] + [(100, rare)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(200, mega), (201, rare)], "doc_id long, text string"
+    )
+    cb = band_split(minhash_signatures(corpus))
+    sig_n = minhash_signatures(new)
+
+    unbounded = {(r["new_id"], r["corpus_id"])
+                 for r in lsh_incremental_pairs(sig_n, cb).collect()}
+    assert (201, 100) in unbounded
+    assert sum(1 for n, c in unbounded if n == 200) == 20
+
+    capped = {(r["new_id"], r["corpus_id"])
+              for r in lsh_incremental_pairs(sig_n, cb, max_bucket=10).collect()}
+    assert (201, 100) in capped          # small bucket survives
+    assert not any(n == 200 for n, _ in capped)  # mega fan-out bounded
