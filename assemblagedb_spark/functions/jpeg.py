@@ -187,7 +187,8 @@ def quality_scale(table, quality: int):
     two Annex K constants); callers must not mutate the result."""
     import numpy as np
 
-    key = (np.asarray(table, dtype=np.int64).tobytes(), int(quality))
+    arr = np.asarray(table, dtype=np.int64)
+    key = (arr.shape, arr.tobytes(), int(quality))
     cached = _QSCALE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -685,6 +686,12 @@ def _component_items(zz, dc_codes, ac_codes):
     # DC: differential against the previous block of the SAME component
     diff = np.diff(zz[:, 0], prepend=0)
     cat_dc = bitlen[np.abs(diff)]
+    # parity with the scalar path's dc_codes[cat] KeyError: a category
+    # absent from the table must fail loudly, not drop from the stream
+    # (zero length in the lookup arrays marks an absent symbol)
+    missing = np.nonzero(dc_larr[cat_dc] == 0)[0]
+    if missing.size:
+        raise KeyError(int(cat_dc[missing[0]]))
     bits_dc = np.where(diff > 0, diff, diff + (1 << cat_dc) - 1)
 
     # AC: nonzero runs per block
@@ -704,6 +711,9 @@ def _component_items(zz, dc_codes, ac_codes):
     rem = run & 15
     cat_ac = bitlen[np.abs(vals)]
     sym = (rem << 4) | cat_ac
+    missing = np.nonzero(ac_larr[sym] == 0)[0]
+    if missing.size:  # same loud-failure parity as ac_codes[sym]
+        raise KeyError(int(sym[missing[0]]))
     bits_ac = np.where(vals > 0, vals, vals + (1 << cat_ac) - 1)
 
     # expand each nonzero into [ZRL * zrl, AC code, AC bits]

@@ -497,3 +497,32 @@ def test_vectorized_entropy_matches_scalar():
         ]
         got = J._pack_entropy(*J._interleave_items(parts, pattern))
         assert got == expected, f"pattern {pattern} diverged"
+
+
+def test_vectorized_entropy_fails_loudly_on_out_of_table_symbols():
+    # Review finding (round 7): the scalar path raises KeyError on a
+    # coefficient whose category is absent from the Huffman table; the
+    # vectorized path must do the same, not silently drop the symbol and
+    # emit a corrupt stream.
+    from assemblagedb_spark.functions import jpeg as J
+
+    dc = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    zz = np.zeros((1, 64), dtype=np.int64)
+    zz[0, 5] = 1024  # |v| >= 1024 -> AC category 11, not in Annex K
+    with pytest.raises(KeyError):
+        J._component_items(zz, dc, ac)
+    zz2 = np.zeros((1, 64), dtype=np.int64)
+    zz2[0, 0] = 4096  # DC diff category 13, beyond the DC table
+    with pytest.raises(KeyError):
+        J._component_items(zz2, dc, ac)
+
+
+def test_quality_scale_cache_is_shape_aware():
+    from assemblagedb_spark.functions import jpeg as J
+
+    flat = J.quality_scale(QUANT_LUMA, 50)
+    square = J.quality_scale(np.asarray(QUANT_LUMA).reshape(8, 8), 50)
+    assert flat.shape == (64,)
+    assert square.shape == (8, 8)
+    assert (square.ravel() == flat).all()
