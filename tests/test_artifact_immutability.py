@@ -49,3 +49,21 @@ def test_bench_snapshots_unchanged():
             f"{name} was modified — historical bench snapshots are "
             "immutable; write new results to a new BENCH_LOCAL_r{N}.json"
         )
+
+
+def test_reportlib_section_merge_preserves_other_sections():
+    # RECALL.md / SCALING.md sweep sections survive main-report regens
+    # through tools/reportlib; pin the boundary parsing both ledgers use.
+    import tempfile
+
+    from tools.reportlib import carry_section, extract_section, merge_section
+
+    with tempfile.NamedTemporaryFile("w", suffix=".md", delete=False) as fh:
+        fh.write("# T\n\nbody\n\n## keep\n\nx\n\n## target\n\nold\n")
+        path = fh.name
+    merge_section(path, "## target", "## target\n\nnew\n")
+    text = open(path).read()
+    assert "new" in text and "old" not in text and "## keep" in text
+    assert extract_section(text, "## keep").startswith("## keep")
+    regen = carry_section(path, "## target", "# regen\n\nmain\n")
+    assert regen.startswith("# regen") and regen.rstrip().endswith("new")

@@ -153,14 +153,6 @@ def probe_sweep(spark, sf_dir: str, exact_by_q: dict, n: int, q: int):
 NLIST_HEADER = "## nlist sweep — √N cell counts"
 
 
-def _extract_section(text: str, header: str) -> str:
-    i = text.find(header)
-    if i < 0:
-        return ""
-    j = text.find("\n## ", i + 1)
-    return (text[i:] if j < 0 else text[i : j + 1]).rstrip() + "\n"
-
-
 def nlist_sweep_mode(sf_dir: str, out_md: str) -> None:
     """VERDICT r6 #4: the nprobe work fractions in the main tables are
     corpus-relative at the gate's nlist=8. At scale nlist grows ~√N
@@ -277,18 +269,9 @@ def nlist_sweep_mode(sf_dir: str, out_md: str) -> None:
         "full corpus — exactly the regime √N cell counts avoid.",
         "",
     ]
-    section = "\n".join(lines)
-    try:
-        existing = open(out_md).read()
-    except FileNotFoundError:
-        existing = ""
-    old = _extract_section(existing, NLIST_HEADER)
-    if old:
-        existing = existing.replace(old, section)
-    else:
-        existing = existing.rstrip() + "\n\n" + section
-    with open(out_md, "w") as f:
-        f.write(existing)
+    from tools.reportlib import merge_section
+
+    merge_section(out_md, NLIST_HEADER, "\n".join(lines))
     print(f"wrote {out_md} ({NLIST_HEADER!r} section)")
 
 
@@ -394,15 +377,10 @@ def main() -> None:
         "see the constants' comments in harness.py for the sweep numbers.",
         "",
     ]
-    text = "\n".join(lines)
-    try:
-        prior = _extract_section(open(out_md).read(), NLIST_HEADER)
-    except FileNotFoundError:
-        prior = ""
-    if prior:
-        text = text.rstrip() + "\n\n" + prior
+    from tools.reportlib import carry_section
+
     with open(out_md, "w") as f:
-        f.write(text)
+        f.write(carry_section(out_md, NLIST_HEADER, "\n".join(lines)))
     print(f"wrote {out_md}")
 
 
