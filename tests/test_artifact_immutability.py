@@ -67,3 +67,50 @@ def test_reportlib_section_merge_preserves_other_sections():
     assert extract_section(text, "## keep").startswith("## keep")
     regen = carry_section(path, "## target", "# regen\n\nmain\n")
     assert regen.startswith("# regen") and regen.rstrip().endswith("new")
+
+
+def test_reportlib_regen_preserves_sweep_section_through_truncation():
+    # Round-7 advice: both main-report tools opened out_md with mode "w"
+    # (truncating it) BEFORE carry_section read it, silently deleting the
+    # preserved sweep section on every regeneration. regen_report is the
+    # one shared path now; pin that a regen against a file that already
+    # contains a sweep section keeps it.
+    import tempfile
+
+    from tools.reportlib import regen_report
+
+    with tempfile.NamedTemporaryFile("w", suffix=".md", delete=False) as fh:
+        fh.write("# old main\n\nstale\n\n## sweep\n\nmeasured rows\n")
+        path = fh.name
+    regen_report(path, "## sweep", "# new main\n\nfresh\n")
+    text = open(path).read()
+    assert text.startswith("# new main")
+    assert "stale" not in text
+    assert "## sweep" in text and "measured rows" in text
+    # idempotent: a second regen must not duplicate the sweep section
+    regen_report(path, "## sweep", "# new main\n\nfresh\n")
+    assert open(path).read().count("## sweep") == 1
+
+
+def test_reportlib_header_matches_are_line_anchored():
+    # Round-7 advice: a section header quoted inside another section's
+    # prose must not be extracted or spliced over (substring find matched
+    # anywhere; replace() hit all occurrences).
+    import tempfile
+
+    from tools.reportlib import extract_section, merge_section
+
+    body = (
+        "# T\n\nprose quoting `## target` inline should be inert\n\n"
+        "## targeted\n\nnot the same header (longer line)\n\n"
+        "## target\n\nreal section\n"
+    )
+    assert extract_section(body, "## target") == "## target\n\nreal section\n"
+    with tempfile.NamedTemporaryFile("w", suffix=".md", delete=False) as fh:
+        fh.write(body)
+        path = fh.name
+    merge_section(path, "## target", "## target\n\nreplaced\n")
+    text = open(path).read()
+    assert "real section" not in text and "replaced" in text
+    assert "prose quoting `## target` inline" in text
+    assert "## targeted\n\nnot the same header" in text

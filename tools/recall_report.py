@@ -377,10 +377,9 @@ def main() -> None:
         "see the constants' comments in harness.py for the sweep numbers.",
         "",
     ]
-    from tools.reportlib import carry_section
+    from tools.reportlib import regen_report
 
-    with open(out_md, "w") as f:
-        f.write(carry_section(out_md, NLIST_HEADER, "\n".join(lines)))
+    regen_report(out_md, NLIST_HEADER, "\n".join(lines))
     print(f"wrote {out_md}")
 
 

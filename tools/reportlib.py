@@ -10,30 +10,63 @@ cannot drift between the ledgers.
 from __future__ import annotations
 
 
+def _find_section(text: str, header: str) -> tuple[int, int]:
+    """(start, end) byte span of the `header`-led section of `text`, or
+    (-1, -1) if absent. The header only matches at the start of a line,
+    so quoting the header text inside another section's prose is inert."""
+    i = -1
+    pos = 0
+    while True:
+        cand = text.find(header, pos)
+        if cand < 0:
+            return -1, -1
+        at_line_start = cand == 0 or text[cand - 1] == "\n"
+        whole_line = text[cand + len(header) : cand + len(header) + 1] in ("\n", "")
+        if at_line_start and whole_line:
+            i = cand
+            break
+        pos = cand + 1
+    j = text.find("\n## ", i + 1)
+    return (i, len(text)) if j < 0 else (i, j + 1)
+
+
 def extract_section(text: str, header: str) -> str:
     """The `header`-led section of `text` up to the next `## ` heading
-    (trailing newline normalized), or '' if absent."""
-    i = text.find(header)
+    (trailing newline normalized), or '' if absent. The header must sit
+    at a line start and span the whole line."""
+    i, j = _find_section(text, header)
     if i < 0:
         return ""
-    j = text.find("\n## ", i + 1)
-    return (text[i:] if j < 0 else text[i : j + 1]).rstrip() + "\n"
+    return text[i:j].rstrip() + "\n"
 
 
 def merge_section(path: str, header: str, section: str) -> None:
     """Replace the `header` section of the file at `path` with `section`,
-    or append it if absent (creating the file if needed)."""
+    or append it if absent (creating the file if needed). Splices by span
+    index, so only the one anchored section is touched."""
     try:
         existing = open(path).read()
     except FileNotFoundError:
         existing = ""
-    old = extract_section(existing, header)
-    if old:
-        existing = existing.replace(old, section)
+    i, j = _find_section(existing, header)
+    if i >= 0:
+        tail = existing[j:]
+        existing = existing[:i] + section.rstrip() + "\n" + ("\n" + tail if tail.strip() else tail)
     else:
         existing = (existing.rstrip() + "\n\n" + section) if existing else section
     with open(path, "w") as fh:
         fh.write(existing)
+
+
+def regen_report(path: str, header: str, text: str) -> None:
+    """Overwrite the report at `path` with `text`, preserving the existing
+    `header` sweep section by appending it. Reads the prior file BEFORE
+    opening for write — `open(path, "w")` truncates, so inlining this at
+    the call site in the wrong order silently drops the sweep section
+    (round-7 advice item, both ledgers)."""
+    out = carry_section(path, header, text)
+    with open(path, "w") as fh:
+        fh.write(out)
 
 
 def carry_section(path: str, header: str, text: str) -> str:
