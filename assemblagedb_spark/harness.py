@@ -827,12 +827,18 @@ def _coeff_values_sql() -> str:
     return ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(minhash_coeffs(_MINHASH_K)))
 
 
-_DOC_SHINGLES_CTE = (
-    "shingles AS (SELECT DISTINCT doc_id, gram FROM "
-    f"(SELECT doc_id, {gram_term_sql('pb', 'i')} AS gram "
-    "FROM (SELECT doc_id, pb, unnest(range(0, len(pb) - 3)) AS i FROM "
-    f"(SELECT doc_id, {duckdb_padded_bytes_sql('text')} AS pb FROM documents))))"
-)
+def _shingles_cte(src: str = "documents") -> str:
+    """The distinct byte-4-gram shingle CTE over ``src`` (any relation with
+    doc_id + text columns) — shared by every minhash-family oracle."""
+    return (
+        "shingles AS (SELECT DISTINCT doc_id, gram FROM "
+        f"(SELECT doc_id, {gram_term_sql('pb', 'i')} AS gram "
+        "FROM (SELECT doc_id, pb, unnest(range(0, len(pb) - 3)) AS i FROM "
+        f"(SELECT doc_id, {duckdb_padded_bytes_sql('text')} AS pb FROM {src}))))"
+    )
+
+
+_DOC_SHINGLES_CTE = _shingles_cte()
 
 _MINHASH_CTE = (
     f"coeffs(j, a, b) AS (VALUES {{coeffs}}), "
@@ -870,6 +876,80 @@ O_DEDUP_LSH_PAIRS = (
     f"FROM mh GROUP BY doc_id, j // {_LSH_ROWS}) "
     "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
     "FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig "
+    "WHERE a.doc_id < b.doc_id"
+)
+
+
+# max_bucket gate: clones of one seed document manufacture a guaranteed
+# pathological band bucket (identical text -> identical signature -> every
+# band bucket the clones occupy has >= _CAP_CLONES + 1 members), so the cap
+# demonstrably fires at every scale factor. _CAP_MAX_BUCKET sits below the
+# clone-bucket size and above nothing in particular — natural corpus buckets
+# larger than the cap are dropped identically on both engines.
+_CAP_CLONES = 24
+_CAP_MAX_BUCKET = 20
+_CAP_ID_BASE = 10_000_000  # clone id space, disjoint from real doc_ids
+
+
+def _capped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus _CAP_CLONES copies of the min-doc_id document under
+    synthetic ids — the fixture corpus of the max_bucket gate."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = (
+        docs.orderBy("doc_id")
+        .limit(1)
+        .select("text")
+        .crossJoin(spark.range(_CAP_CLONES))
+        .select((F.lit(_CAP_ID_BASE) + F.col("id")).alias("doc_id"), "text")
+    )
+    return docs.unionByName(clones)
+
+
+def q_dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs under the ``max_bucket`` fan-out guard — the
+    adversarial-density operating point (dedup.py:lsh_candidate_pairs):
+    band buckets larger than the cap are DROPPED before pair expansion,
+    hard-bounding the bucket join's fan-out. The corpus is augmented with
+    a manufactured mega-cluster (24 clones of one document) so the cap
+    provably fires: every clone-bucket has >= 25 members > 20, so no
+    clone pair can survive (their bands are all identical, so they share
+    NO small bucket), while ordinary corpus pairs in small buckets pass
+    through. The oracle mirrors the bucket-size filter exactly; the
+    vacuity pin (test_gate_vacuity) proves both the drop and the
+    survivors are real."""
+    from assemblagedb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sig = minhash_signatures(_capped_corpus(spark, sf_dir), k=_MINHASH_K)
+    return lsh_candidate_pairs(
+        sig,
+        bands=_LSH_BANDS,
+        rows_per_band=_LSH_ROWS,
+        max_bucket=_CAP_MAX_BUCKET,
+    )
+
+
+_O_CAPPED_CORPUS_CTE = (
+    "corpus AS (SELECT doc_id, text FROM documents UNION ALL "
+    f"SELECT ({_CAP_ID_BASE} + r)::BIGINT AS doc_id, s.text "
+    "FROM (SELECT text FROM documents ORDER BY doc_id LIMIT 1) s, "
+    f"range(0, {_CAP_CLONES}) t(r))"
+)
+
+O_DEDUP_LSH_CAPPED = (
+    f"WITH {_O_CAPPED_CORPUS_CTE}, {_shingles_cte('corpus')}, "
+    f"{_MINHASH_CTE.format(coeffs=_coeff_values_sql())}, "
+    f"bands AS (SELECT doc_id, j // {_LSH_ROWS} AS band, "
+    "string_agg(minhash, ',' ORDER BY j) AS band_sig "
+    f"FROM mh GROUP BY doc_id, j // {_LSH_ROWS}), "
+    "small AS (SELECT band, band_sig FROM bands GROUP BY band, band_sig "
+    f"HAVING COUNT(*) <= {_CAP_MAX_BUCKET}), "
+    "kept AS (SELECT b.doc_id, b.band, b.band_sig FROM bands b "
+    "JOIN small USING (band, band_sig)) "
+    "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM kept a JOIN kept b ON a.band = b.band AND a.band_sig = b.band_sig "
     "WHERE a.doc_id < b.doc_id"
 )
 
@@ -6441,6 +6521,7 @@ SPARK_QUERIES = {
     "streaming_sessions_ingest": q_streaming_sessions_ingest,
     "streaming_broadcast_ingest": q_streaming_broadcast_ingest,
     "ann_ivfpq_rerank": q_ann_ivfpq_rerank,
+    "dedup_lsh_capped": q_dedup_lsh_capped,
 }
 
 ORACLES = {
@@ -6591,6 +6672,7 @@ ORACLES = {
     "streaming_sessions_ingest": _o_streaming_sessions(),
     "streaming_broadcast_ingest": O_STREAMING_BROADCAST_INGEST,
     "ann_ivfpq_rerank": _o_ann_ivfpq_rerank(),
+    "dedup_lsh_capped": O_DEDUP_LSH_CAPPED,
 }
 
 

@@ -25,6 +25,7 @@ BENCH_QUERIES = [
     "reindex_parents",
     "dedup_exact",
     "dedup_lsh_pairs",
+    "dedup_lsh_capped",
     "dedup_clusters",
     "dedup_simhash",
     "dedup_simhash_pairs",

@@ -30,6 +30,38 @@ def test_lsh_verify_gates_exercise_real_pairs(spark, sf_dir):
     assert _rows(spark, sf_dir, "dedup_minhash_est") >= 500
 
 
+def test_lsh_capped_gate_drops_the_mega_bucket_but_keeps_the_corpus(spark, sf_dir):
+    # the max_bucket gate must (a) return real surviving pairs, (b) have
+    # actually DROPPED the manufactured clone mega-bucket (clone bands are
+    # all identical, so no clone pair can reach the output through a small
+    # bucket), and (c) be a strict subset of the uncapped pair set on the
+    # same corpus — proving the cap, not a data accident, removed them
+    from pyspark.sql import functions as F
+
+    from assemblagedb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    capped = h.SPARK_QUERIES["dedup_lsh_capped"](spark, sf_dir)
+    n_capped = capped.count()
+    assert n_capped >= 500
+    assert (
+        capped.filter(
+            (F.col("id_a") >= h._CAP_ID_BASE) | (F.col("id_b") >= h._CAP_ID_BASE)
+        ).count()
+        == 0
+    )
+    sig = minhash_signatures(h._capped_corpus(spark, sf_dir), k=h._MINHASH_K)
+    uncapped = lsh_candidate_pairs(
+        sig, bands=h._LSH_BANDS, rows_per_band=h._LSH_ROWS
+    )
+    clone_pairs = uncapped.filter(F.col("id_b") >= h._CAP_ID_BASE).count()
+    assert clone_pairs >= h._CAP_CLONES * (h._CAP_CLONES - 1) // 2
+    assert capped.join(uncapped, ["id_a", "id_b"], "left_anti").count() == 0
+    assert n_capped < uncapped.count()
+
+
 def test_embedding_neardup_not_vacuous(spark, sf_dir):
     # cosine threshold 0.25 (was 0.40 → 0 rows at sf0.001, 3 at sf0.01)
     assert _rows(spark, sf_dir, "embedding_neardup") >= 20

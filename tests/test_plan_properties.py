@@ -207,6 +207,18 @@ def test_round3_gates_never_cartesian(spark, sf_dir):
             assert "BroadcastNestedLoopJoin" not in plan, q.__name__
 
 
+def test_lsh_capped_bucket_filter_stays_equijoin(spark, sf_dir):
+    # the max_bucket guard adds a bucket-size aggregate + semi-join in
+    # front of the band bucket join — all equi-joins; the ONLY nested-loop
+    # allowed is the sanctioned 1-row x 24 clone fan-out of the gate's
+    # fixture corpus (the k-row / 1-row pattern)
+    plan = formatted_plan(h.q_dedup_lsh_capped(spark, sf_dir))
+    nested = plan.count("CartesianProduct") + plan.count(
+        "BroadcastNestedLoopJoin"
+    )
+    assert nested <= 1, plan
+
+
 def test_ivfpq_serving_broadcasts_probes_and_dtable(spark, sf_dir):
     # IVFADC serving: the code table is the only big input — probes and
     # the ADC distance table ride in as broadcasts, nothing cartesian,

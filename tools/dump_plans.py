@@ -43,6 +43,7 @@ PICKS = [
     ("text_outliers", "exact quartiles off the two-phase rank; fence filter is a pure scan with literal bounds"),
     ("events_funnel", "k conditional aggregates over one cached scan; no global window over the stream"),
     ("dedup_lsh_verify", "LSH band candidates bucket-join the shingle postings; exact-jaccard verify is candidate-bounded, no CartesianProduct"),
+    ("dedup_lsh_capped", "max_bucket guard: bucket-size aggregate + semi-join precede the band bucket join, hard-bounding pair fan-out; only the gate fixture's 1-row x 24 clone fan-out is non-equi"),
     ("dedup_containment", "projection of the same shared overlap relation (dumped cold to show the full candidate-bounded shape); asymmetric denominators per side"),
     ("split_assign", "pure projection: per-row hash gate in WholeStageCodegen, zero exchanges"),
     ("select_best_group", "one shuffle on the group key; rank window is group-local, never a global sort"),
