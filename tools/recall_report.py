@@ -76,7 +76,8 @@ def candidate_count(spark, sf_dir: str, key: str, n: int, q: int) -> int:
     if key in ("ann_ivf_trained", "ann_ivfpq", "ann_ivfpq_rerank"):
         from assemblagedb_spark.operators.similarity import ivf_assign, ivf_probes
 
-        state = h._trained_kmeans(spark, sf_dir, h._IVT_K, 2)
+        nlist = h._IVT_K if key == "ann_ivf_trained" else h._IVFPQ_NLIST
+        state = h._trained_kmeans(spark, sf_dir, nlist, 2)
         assign = ivf_assign(emb, centroids=state)
         nprobe = (
             h._IVT_PROBE if key == "ann_ivf_trained" else h._IVFPQ_PROBE
@@ -102,7 +103,7 @@ def probe_sweep(spark, sf_dir: str, exact_by_q: dict, n: int, q: int):
 
     emb = h.load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    state = h._trained_kmeans(spark, sf_dir, h._IVT_K, 2)
+    state = h._trained_kmeans(spark, sf_dir, h._IVFPQ_NLIST, 2)
     assign = ivf_assign(emb, centroids=state)
 
     def recall(key):
@@ -161,8 +162,8 @@ def nlist_sweep_mode(sf_dir: str, out_md: str) -> None:
     shows (a) candidate fraction ≈ nprobe/nlist and (b) recall still
     equal to the exact-on-candidates ceiling after the rerank tier —
     i.e. the gate constants are a small-corpus setting of the same dial,
-    not a different algorithm. Gates are untouched: _IVT_K/_IVFPQ_PROBE
-    are monkeypatched per point and restored, caches cleared around each
+    not a different algorithm. Gates are untouched: _IVFPQ_NLIST/
+    _IVFPQ_PROBE are monkeypatched per point and restored, caches cleared around each
     nlist so nothing trained here leaks into gate runs."""
     import math
 
@@ -198,12 +199,12 @@ def nlist_sweep_mode(sf_dir: str, out_md: str) -> None:
         ) / len(exact_by_q)
 
     root_n = max(2, round(math.sqrt(n)))
-    nlists = sorted({h._IVT_K, 16, root_n})
-    saved_k, saved_p = h._IVT_K, h._IVFPQ_PROBE
+    nlists = sorted({8, h._IVFPQ_NLIST, root_n})
+    saved_k, saved_p = h._IVFPQ_NLIST, h._IVFPQ_PROBE
     rows = []
     try:
         for nlist in nlists:
-            h._IVT_K = nlist
+            h._IVFPQ_NLIST = nlist
             h.clear_artifact_cache("_IVFPQ_CACHE")
             state = h._trained_kmeans(spark, sf_dir, nlist, 2)
             assign = ivf_assign(emb, centroids=state)
@@ -233,7 +234,7 @@ def nlist_sweep_mode(sf_dir: str, out_md: str) -> None:
                     f"rerank={r_rr:.3f} ceiling={r_ceil:.3f}"
                 )
     finally:
-        h._IVT_K, h._IVFPQ_PROBE = saved_k, saved_p
+        h._IVFPQ_NLIST, h._IVFPQ_PROBE = saved_k, saved_p
         h.clear_artifact_cache("_IVFPQ_CACHE")
 
     lines = [
@@ -341,11 +342,12 @@ def main() -> None:
         f"Both serving legs at every probe width (gate point: nprobe="
         f"{h._IVFPQ_PROBE}, marked ◀). The candidate ceiling is what any "
         "rerank depth is bounded by; ADC recall under it is quantization "
-        "loss, which the exact-rerank tier recovers. NOTE the work "
-        f"fractions are inflated by this corpus's tiny nlist={h._IVT_K}: "
-        "at 100 TB nlist grows ~√N (FAISS practice), so the same "
-        "nprobe touches nprobe/nlist ≪ these fractions of the corpus — "
-        "nprobe is the dial, the fraction is corpus-relative.",
+        "loss, which the exact-rerank tier recovers. The serving legs "
+        f"run at nlist={h._IVFPQ_NLIST} ≈ √N at the graded sf0.01 "
+        "(retuned from 8 in round 8); at 100 TB nlist keeps growing ~√N "
+        "(FAISS practice), so the same nprobe touches nprobe/nlist of "
+        "the corpus — nprobe is the dial, the fraction is "
+        "corpus-relative.",
         "",
         "| nprobe | scored candidates | work vs exact | ann_ivfpq (ADC) | ann_ivfpq_rerank | exact-on-candidates ceiling |",
         "|---|---|---|---|---|---|",
