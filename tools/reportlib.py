@@ -58,13 +58,18 @@ def merge_section(path: str, header: str, section: str) -> None:
         fh.write(existing)
 
 
-def regen_report(path: str, header: str, text: str) -> None:
+def regen_report(path: str, headers, text: str) -> None:
     """Overwrite the report at `path` with `text`, preserving the existing
-    `header` sweep section by appending it. Reads the prior file BEFORE
-    opening for write — `open(path, "w")` truncates, so inlining this at
-    the call site in the wrong order silently drops the sweep section
-    (round-7 advice item, both ledgers)."""
-    out = carry_section(path, header, text)
+    sweep section(s) named by `headers` (one string or a list) by
+    appending them in order. Reads the prior file BEFORE opening for
+    write — `open(path, "w")` truncates, so inlining this at the call
+    site in the wrong order silently drops the sweep sections (round-7
+    advice item, both ledgers)."""
+    if isinstance(headers, str):
+        headers = [headers]
+    out = text
+    for header in headers:
+        out = carry_section(path, header, out)
     with open(path, "w") as fh:
         fh.write(out)
 
