@@ -85,6 +85,16 @@ def minhash_signatures(
         f"least(m, ((g % {MINHASH_PRIME}) * element_at({arr_a}, i + 1) "
         f"+ element_at({arr_b}, i + 1)) % {MINHASH_PRIME})))"
     )
+    # spread the scan before the per-row signature fold (same guard as
+    # ngram_overlap_pairs / simhash_fingerprints): a corpus file small in
+    # bytes but large in doc count parks the whole interpreted HOF fold in
+    # a handful of tasks otherwise (measured: 50k-doc single-file corpus
+    # ran the fold 3-wide — one straggler task held the stage for minutes
+    # on a 32-core machine); guarded so a large input never pays a
+    # raw-text shuffle
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism // 2:
+        docs = docs.repartition(parallelism, id_col)
     # NULL text has no shingle set: no signature row, never a candidate
     # (the SQL twin's gram CTE unnests nothing for it)
     return (

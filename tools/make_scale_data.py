@@ -120,10 +120,18 @@ def gen_documents_open(out: str, n: int, rng, dup_frac: float = 0.10) -> None:
     p = ranks ** -1.1
     p /= p.sum()
     counts = rng.integers(10, 101, n)
-    # vocabulary: zero-padded type ids — length-uniform words keep the
-    # byte-gram density comparable to the closed corpus's short words
-    width = len(str(V - 1))
-    va = np.array([f"w{i:0{width}d}" for i in range(V)])
+    # vocabulary: RANDOM lowercase strings (3..9 chars, source-like
+    # lengths). Structured type names (zero-padded ids) would be wrong
+    # here: numerically adjacent ids share almost all their byte 4-grams,
+    # which re-creates the closed corpus's dense gram space through the
+    # back door. Random strings make gram overlap track word overlap.
+    # Rare same-string collisions between two type ids just merge those
+    # types — harmless at these sizes.
+    lens = rng.integers(3, 10, V)
+    chars = rng.integers(97, 123, (V, 9), dtype=np.uint8)
+    va = np.array(
+        [chars[i, : lens[i]].tobytes().decode("ascii") for i in range(V)]
+    )
     docs: list[str] = []
     for i in range(n):
         if i > 0 and rng.random() < dup_frac:
