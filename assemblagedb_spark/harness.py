@@ -914,17 +914,33 @@ def q_dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     provably fires: every clone-bucket has >= 25 members > 20, so no
     clone pair can survive (their bands are all identical, so they share
     NO small bucket), while ordinary corpus pairs in small buckets pass
-    through. The oracle mirrors the bucket-size filter exactly; the
-    vacuity pin (test_gate_vacuity) proves both the drop and the
+    through. Signatures are per-row, so the clone signatures are derived
+    from the SHARED persisted signature relation (_doc_minhash_sigs —
+    the min-doc_id row replicated under the synthetic ids) rather than
+    re-folding the whole augmented corpus: the production shape, and it
+    keeps the gate's cost the LSH stage it exists to pin. A NULL-text
+    seed document has no signature row, so the broadcast seed join emits
+    no clones — matching the oracle, whose clone CTE unnests no shingles
+    for NULL text. The oracle mirrors the bucket-size filter exactly;
+    the vacuity pin (test_gate_vacuity) proves both the drop and the
     survivors are real."""
-    from assemblagedb_spark.operators.dedup import (
-        lsh_candidate_pairs,
-        minhash_signatures,
-    )
+    from assemblagedb_spark.operators.dedup import lsh_candidate_pairs
 
-    sig = minhash_signatures(_capped_corpus(spark, sf_dir), k=_MINHASH_K)
+    sig = _doc_minhash_sigs(spark, sf_dir)
+    seed = (
+        load_table(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(1)
+        .select("doc_id")
+    )
+    clone_sigs = (
+        sig.join(F.broadcast(seed), "doc_id")
+        .select("sig")
+        .crossJoin(spark.range(_CAP_CLONES))
+        .select((F.lit(_CAP_ID_BASE) + F.col("id")).alias("doc_id"), "sig")
+    )
     return lsh_candidate_pairs(
-        sig,
+        sig.unionByName(clone_sigs),
         bands=_LSH_BANDS,
         rows_per_band=_LSH_ROWS,
         max_bucket=_CAP_MAX_BUCKET,
