@@ -371,7 +371,7 @@ def contraction_pass(rel: DataFrame) -> DataFrame:
 def contracted_components(
     edges: DataFrame,
     *,
-    contraction_levels: int = 2,
+    contraction_levels: int = 3,
     fanin: int = 16,
     max_rounds: int = 200,
 ) -> DataFrame:
@@ -433,12 +433,28 @@ def contracted_components(
         F.coalesce("src", "dst").alias("src"),
         F.coalesce("dst", "src").alias("dst"),
     )
-    cur = fwd
-    for level in range(contraction_levels):
-        if level > 0:
-            parts = max(1, cur.rdd.getNumPartitions() // fanin)
-            cur = cur.coalesce(parts)
-        cur = contraction_pass(cur).localCheckpoint(eager=True)
+    # level 0 runs on the input's own partitioning; each further level
+    # coalesces fanin× and re-contracts, STOPPING EARLY once the star
+    # relation fits one partition (that task union-finds the whole
+    # contracted graph, so the finisher exits at its first probe). The
+    # early exit matters both ways: a single-partition input skips the
+    # extra levels entirely, and a small graph arriving in many
+    # partitions (e.g. pairs derived from a 32-way-parallelized build —
+    # the round-8 dedup_clusters regression: 2.3 → 4-6s when the minhash
+    # fold went 32-wide) collapses fully instead of leaving
+    # cross-partition chains to diameter-priced finisher rounds. The
+    # localCheckpoint makes getNumPartitions a metadata read, and
+    # ``contraction_levels`` still caps the pass count at scale (a
+    # 1000-partition corpus stops at 1000 → 63 → 4, each task's
+    # union-find dict fanin-bounded exactly as before).
+    cur = contraction_pass(fwd).localCheckpoint(eager=True)
+    for _ in range(1, contraction_levels):
+        n_parts = cur.rdd.getNumPartitions()
+        if n_parts <= 1:
+            break
+        cur = contraction_pass(
+            cur.coalesce(max(1, n_parts // fanin))
+        ).localCheckpoint(eager=True)
     return label_propagation_components(
         cur.select(
             F.col("src").alias("parent_id"), F.col("dst").alias("child_id")
