@@ -38,6 +38,12 @@ FROZEN = {
     # in ROTATION.md and git history; immutability binds at round close
     "BENCH_LOCAL_r07.json":
         "a7b042983edc4ed0364cf383d34fbea8fd2e1d0bc64c88e1b7f049254a0fa2ad",
+    # round 8: 103-key snapshot (adds dedup_lsh_capped), better of the two
+    # final-code runs (105.45 / 111.65). Shared-key total vs r7 (85.6) is
+    # host-envelope inflation, adjudicated in ROTATION round-8 (interleaved
+    # A/Bs on identical code spanned 1.5-2.7x on untouched keys this day)
+    "BENCH_LOCAL_r08.json":
+        "ea431b95de60e78f8089bf69221a3d328dc2fbe05f26802dda1988ae31496d3a",
 }
 
 
