@@ -896,7 +896,8 @@ def _capped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic ids — the fixture corpus of the max_bucket gate."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     clones = (
-        docs.orderBy("doc_id")
+        docs.filter(F.col("doc_id").isNotNull())
+        .orderBy("doc_id")
         .limit(1)
         .select("text")
         .crossJoin(spark.range(_CAP_CLONES))
@@ -927,8 +928,12 @@ def q_dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from assemblagedb_spark.operators.dedup import lsh_candidate_pairs
 
     sig = _doc_minhash_sigs(spark, sf_dir)
+    # NULLS-FIRST vs NULLS-LAST divergence guard: Spark sorts NULL doc_ids
+    # first ascending, DuckDB last — exclude them on both sides so the two
+    # engines pick the same seed row on a corpus with a NULL id
     seed = (
         load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
         .orderBy("doc_id")
         .limit(1)
         .select("doc_id")
@@ -950,7 +955,7 @@ def q_dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 _O_CAPPED_CORPUS_CTE = (
     "corpus AS (SELECT doc_id, text FROM documents UNION ALL "
     f"SELECT ({_CAP_ID_BASE} + r)::BIGINT AS doc_id, s.text "
-    "FROM (SELECT text FROM documents ORDER BY doc_id LIMIT 1) s, "
+    "FROM (SELECT text FROM documents WHERE doc_id IS NOT NULL ORDER BY doc_id LIMIT 1) s, "
     f"range(0, {_CAP_CLONES}) t(r))"
 )
 

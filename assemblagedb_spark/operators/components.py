@@ -447,14 +447,16 @@ def contracted_components(
     # ``contraction_levels`` still caps the pass count at scale (a
     # 1000-partition corpus stops at 1000 → 63 → 4, each task's
     # union-find dict fanin-bounded exactly as before).
-    cur = contraction_pass(fwd).localCheckpoint(eager=True)
-    for _ in range(1, contraction_levels):
-        n_parts = cur.rdd.getNumPartitions()
-        if n_parts <= 1:
-            break
-        cur = contraction_pass(
-            cur.coalesce(max(1, n_parts // fanin))
-        ).localCheckpoint(eager=True)
+    cur = fwd
+    if contraction_levels > 0:
+        cur = contraction_pass(cur).localCheckpoint(eager=True)
+        for _ in range(1, contraction_levels):
+            n_parts = cur.rdd.getNumPartitions()
+            if n_parts <= 1:
+                break
+            cur = contraction_pass(
+                cur.coalesce(max(1, n_parts // fanin))
+            ).localCheckpoint(eager=True)
     return label_propagation_components(
         cur.select(
             F.col("src").alias("parent_id"), F.col("dst").alias("child_id")

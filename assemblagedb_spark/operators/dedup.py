@@ -24,6 +24,20 @@ from pyspark.sql import DataFrame, functions as F
 from assemblagedb_spark.functions.core import MINHASH_PRIME, minhash_coeffs
 from assemblagedb_spark.operators.grams import grams_array
 
+def _spread_for_fold(docs: DataFrame, key_col: str) -> DataFrame:
+    """Spread a narrow scan before a CPU-heavy per-row fold: a corpus file
+    small in bytes but large in row count or gram expansion can park the
+    whole fold in a handful of tasks. Repartition on the bare key when the
+    input arrives in fewer than half the executor slots — guarded so a
+    large, already-split input never pays a raw-text shuffle. One helper so
+    the parallelism policy is single-sourced across the gram/minhash/
+    simhash folds (round-8 review find)."""
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism // 2:
+        return docs.repartition(parallelism, key_col)
+    return docs
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -92,9 +106,7 @@ def minhash_signatures(
     # ran the fold 3-wide — one straggler task held the stage for minutes
     # on a 32-core machine); guarded so a large input never pays a
     # raw-text shuffle
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parallelism // 2:
-        docs = docs.repartition(parallelism, id_col)
+    docs = _spread_for_fold(docs, id_col)
     # NULL text has no shingle set: no signature row, never a candidate
     # (the SQL twin's gram CTE unnests nothing for it)
     return (
@@ -216,9 +228,7 @@ def ngram_overlap_pairs(
     # spread the scan before the gram derivation: a corpus file small in
     # bytes but large in gram expansion can land the whole stage in ONE
     # task; guarded so a large input never pays a raw-text shuffle
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parallelism // 2:
-        docs = docs.repartition(parallelism, id_col)
+    docs = _spread_for_fold(docs, id_col)
     gram_sets = docs.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(grams_array(text_col)).alias("gs"),
@@ -302,9 +312,7 @@ def ngram_jaccard_pairs(
     # spread the scan before the shingle explode: a corpus file small in
     # bytes but large in gram expansion can land the whole explode in ONE
     # task; guarded so a large input never pays a raw-text shuffle
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parallelism // 2:
-        docs = docs.repartition(parallelism, id_col)
+    docs = _spread_for_fold(docs, id_col)
     shingles = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(grams_array(text_col))).alias("gram"),
@@ -410,9 +418,7 @@ def simhash_fingerprints(
     # spread the scan before the per-row gram/hash work (same guard as
     # ngram_overlap_pairs): a corpus file small in bytes parks the whole
     # CPU-bound projection in ONE task otherwise
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parallelism // 2:
-        docs = docs.repartition(parallelism, id_col)
+    docs = _spread_for_fold(docs, id_col)
     # NULL text has no shingle set: no fingerprint row (the SQL twin's
     # gram CTE unnests nothing for it; empty text '' keeps its 3
     # padding shingles in both engines)

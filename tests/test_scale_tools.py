@@ -76,6 +76,27 @@ def test_open_vocab_plants_real_near_dups(tmp_path):
     assert max_jaccard_pairs(without) == 0
 
 
+def test_open_vocab_mutations_stay_in_pool(tmp_path):
+    # round-8 review find: a fixed-width numpy array clipped replacement
+    # words to the source doc's longest word, planting truncated
+    # out-of-pool types in every mutated document. Every word in the
+    # corpus must be a pool word, even under heavy mutation.
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tools.make_scale_data import gen_documents_open
+
+    out = str(tmp_path / "pool")
+    os.makedirs(out, exist_ok=True)
+    pool = gen_documents_open(
+        out, 300, np.random.default_rng(5), dup_frac=0.5
+    )
+    t = pq.read_table(f"{out}/documents.parquet")
+    words = {w for s in t.column("text").to_pylist() for w in s.split(" ")}
+    assert words <= set(pool)
+
+
 def test_open_vocab_deterministic(tmp_path):
     a = _gen(tmp_path, 200, seed=11)
     b = _gen(tmp_path, 200, seed=11)

@@ -94,7 +94,7 @@ def gen_documents(src: str, out: str, mult: int, rng) -> None:
     _write(out, "documents", table)
 
 
-def gen_documents_open(out: str, n: int, rng, dup_frac: float = 0.10) -> None:
+def gen_documents_open(out: str, n: int, rng, dup_frac: float = 0.10):
     """documents.parquet with an OPEN Zipfian vocabulary (r7 verdict #3).
 
     The driver's testdata documents draw every word from the SAME closed
@@ -136,7 +136,10 @@ def gen_documents_open(out: str, n: int, rng, dup_frac: float = 0.10) -> None:
     for i in range(n):
         if i > 0 and rng.random() < dup_frac:
             src_words = docs[int(rng.integers(0, i))].split(" ")
-            w = np.array(src_words)
+            # dtype=object: a fixed-width U<n> array would silently CLIP
+            # replacement words to the source doc's longest word length,
+            # planting truncated out-of-pool types (round-8 review find)
+            w = np.array(src_words, dtype=object)
             n_mut = max(1, int(0.10 * len(w)))
             idx = rng.choice(len(w), n_mut, replace=False)
             w[idx] = va[rng.choice(V, n_mut, p=p)]
@@ -160,6 +163,7 @@ def gen_documents_open(out: str, n: int, rng, dup_frac: float = 0.10) -> None:
         }
     )
     _write(out, "documents", table)
+    return va
 
 
 def gen_embeddings(src: str, out: str, mult: int, rng) -> None:
