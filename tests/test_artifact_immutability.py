@@ -120,3 +120,24 @@ def test_reportlib_header_matches_are_line_anchored():
     assert "real section" not in text and "replaced" in text
     assert "prose quoting `## target` inline" in text
     assert "## targeted\n\nnot the same header" in text
+
+
+def test_reportlib_header_match_tolerates_trailing_whitespace():
+    # Round-8 advice: the whole-line check accepted only "\n" or EOF right
+    # after the header, so a trailing space or CRLF ending made the header
+    # invisible and merge_section appended a DUPLICATE section. Tolerant
+    # now: trailing spaces/\r before the newline still match.
+    import tempfile
+
+    from tools.reportlib import extract_section, merge_section
+
+    for tail in (" \n", "\r\n", "  \r\n"):
+        body = f"# T\n\nbody\n\n## target{tail}\nold\n"
+        assert "old" in extract_section(body, "## target")
+        with tempfile.NamedTemporaryFile("w", suffix=".md", delete=False, newline="") as fh:
+            fh.write(body)
+            path = fh.name
+        merge_section(path, "## target", "## target\n\nnew\n")
+        text = open(path, newline="").read()
+        assert text.count("## target") == 1, f"duplicate section for tail {tail!r}"
+        assert "new" in text and "old" not in text

@@ -216,6 +216,15 @@ def test_ivfpq_rerank_sits_on_exact_on_candidates_ceiling(spark, sf_dir):
     # only on larger env-selected corpora (e.g. sf0.1 N=2000, where the
     # regenerated RECALL.md table shows rerank 0.445 < ceiling 0.448 —
     # the overflow regime the √N dial exists to avoid)
+    # a query whose probed cells contain no candidates produces no rerank
+    # rows at all — it is absent from `got`, so iterating `got` alone
+    # would silently bypass both the ceiling pin and the recall floor for
+    # it (round-8 advice item); surface the asymmetry readably instead
+    empty_cand = set(exact) - set(got)
+    assert all(not cmap.get(q) for q in empty_cand), (
+        f"queries {sorted(q for q in empty_cand if cmap.get(q))} have "
+        "probed candidates but returned no rerank rows"
+    )
     fits_all = all(len(cmap[q]) <= h._IVFPQ_RERANK_R for q in got)
     if not fits_all and len(vecs) > 1000:
         import pytest
@@ -236,7 +245,7 @@ def test_ivfpq_rerank_sits_on_exact_on_candidates_ceiling(spark, sf_dir):
     # can't flake) — asserted only in the fits-shortlist regime above
     def recall(res):
         return sum(
-            len(set(res[q].values()) & set(exact[q].values()))
+            len(set(res.get(q, {}).values()) & set(exact[q].values()))
             / len(exact[q])
             for q in exact
         ) / len(exact)

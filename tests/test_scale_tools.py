@@ -102,3 +102,36 @@ def test_open_vocab_deterministic(tmp_path):
     b = _gen(tmp_path, 200, seed=11)
     assert a.column("text").to_pylist() == b.column("text").to_pylist()
     assert a.column("doc_id").to_pylist() == b.column("doc_id").to_pylist()
+
+
+def test_dedup_family_flags_on_open_corpus(tmp_path):
+    # round-8 verdict #4: dedup/overlaps-family scaling flags come from the
+    # open-vocabulary control corpus once measured (sidecar), so generator
+    # density can't keep re-raising corpus-shape flags; non-family keys and
+    # unmeasured family keys still flag closed; an open-DNF entry (null) is
+    # adjudicated, not flagged
+    import json
+
+    from tools.scale_curve import _flag_alpha, _load_open_alphas, _open_sidecar_path
+
+    out_md = str(tmp_path / "SCALING.md")
+    with open(_open_sidecar_path(out_md), "w") as fh:
+        json.dump({"open_alpha": {"dedup_lsh_verify": 0.51, "overlaps": None}}, fh)
+    open_alphas = _load_open_alphas(out_md)
+    assert _flag_alpha("dedup_lsh_verify", 1.40, open_alphas) == (0.51, "open")
+    assert _flag_alpha("overlaps", 1.33, open_alphas) == (None, "open-DNF")
+    # family key without a sidecar entry → closed fallback
+    assert _flag_alpha("dedup_clusters", 0.30, open_alphas) == (0.30, "closed")
+    # non-family key always flags closed even if a sidecar row existed
+    assert _flag_alpha("ann_pq_adc", 1.50, open_alphas) == (1.50, "closed")
+    # absent sidecar → everything closed
+    assert _load_open_alphas(str(tmp_path / "nowhere" / "S.md")) == {}
+
+    # the committed repo sidecar itself must cover the measured family
+    import os
+
+    repo_md = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
+    )
+    repo_alphas = _load_open_alphas(repo_md)
+    assert "dedup_lsh_verify" in repo_alphas and "overlaps" in repo_alphas

@@ -21,7 +21,9 @@ def _find_section(text: str, header: str) -> tuple[int, int]:
         if cand < 0:
             return -1, -1
         at_line_start = cand == 0 or text[cand - 1] == "\n"
-        whole_line = text[cand + len(header) : cand + len(header) + 1] in ("\n", "")
+        line_end = text.find("\n", cand + len(header))
+        rest = text[cand + len(header) :] if line_end < 0 else text[cand + len(header) : line_end]
+        whole_line = rest.strip() == ""
         if at_line_start and whole_line:
             i = cand
             break
