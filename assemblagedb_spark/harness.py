@@ -679,21 +679,68 @@ LEFT JOIN digest dnext ON dnext.l_orderkey = p1.next_o
 
 def q_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric materialized overlaps, score > 0.5, self excluded
-    (index.rs:302-347), over the doc_id % 5 == 0 block subset."""
-    from assemblagedb_spark.operators.overlaps import overlap_pairs, overlap_pairs_dense
+    (index.rs:302-347), over the doc_id % 5 == 0 block subset.
+
+    Routed through the density-dispatched front door (round-9): on this
+    closed-vocabulary corpus the dispatcher picks the dense matrix kernel
+    — result-identical to the pre-front-door inline dispatch (the
+    dispatch-vacuity pytest pins that the OPEN corpus takes the other
+    branch)."""
+    from assemblagedb_spark.operators.overlaps import store_overlaps
 
     # filter the memoized persisted index — the self-join reads the gram
     # relation three times (two sides + counts); recomputing the gram
     # aggregation per read would triple the dominant cost
     g = _doc_gram_index(spark, sf_dir).filter(F.col("node_id") % 5 == 0)
-    dense = overlap_pairs_dense(g)
-    if dense is not None:
-        return dense.select(
-            F.col("src_id").cast("long"), F.col("dst_id").cast("long"),
-            "a", "b", "intersection", "score",
-        )
-    c = gram_counts(g)
-    return overlap_pairs(g, c, broadcast_grams=True).select(
+    return store_overlaps(g, gram_counts(g)).select(
+        F.col("src_id").cast("long"), F.col("dst_id").cast("long"),
+        "a", "b", "intersection", "score",
+    )
+
+
+def q_overlaps_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The open-vocabulary broadcast kernel for store_overlaps, forced on
+    the graded corpus: exact multiset intersections via the (gram, copy)
+    binary expansion + per-block bincount gather over broadcast CSR
+    postings (overlaps.py ``overlap_pairs_sparse``). Same subset and same
+    all-pairs SQL oracle as the `overlaps` gate — the kernel is exact by
+    the expansion identity sum_g min(a_g,b_g) = |expand(a) ∩ expand(b)|,
+    so the driver compares it row-for-row against the naive self-join.
+    This is the route the front door picks on the 50k-doc open-vocabulary
+    corpus, where the exact postings JOIN was a structural DNF (round-8
+    SCALING.md) and this kernel measures in seconds."""
+    from assemblagedb_spark.operators.overlaps import overlap_pairs_sparse
+
+    g = _doc_gram_index(spark, sf_dir).filter(F.col("node_id") % 5 == 0)
+    out = overlap_pairs_sparse(g)
+    assert out is not None, "graded corpus exceeds the sparse broadcast budget"
+    return out.select(
+        F.col("src_id").cast("long"), F.col("dst_id").cast("long"),
+        "a", "b", "intersection", "score",
+    )
+
+
+def q_overlaps_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPEN-VOCABULARY physical strategy for store_overlaps, forced on
+    the graded corpus: exact prefix-filtered candidates (ppjoin-family
+    pigeonhole over (gram, copy) expanded elements; overlaps.py
+    ``overlap_pairs_prefix``) + per-pair compact map intersection. Same
+    all-pairs SQL oracle as the `overlaps` gate BY THEOREM — the prefix
+    filter provably loses no score>0.5 pair through the 255-floored
+    integer score — so the driver pins the scale plan's exactness, not a
+    recall estimate."""
+    from assemblagedb_spark.operators.overlaps import overlap_pairs_prefix
+
+    # % 20 subset (not the overlaps gate's % 5): the closed-vocabulary
+    # corpus is this plan's designed-for WORST case — prefixes cannot
+    # thin candidates when every pair genuinely shares rare grams, so the
+    # gate's candidate set is ~all pairs and scales B². The driver pin is
+    # about EXACTNESS of the prefix+positional filter under the floored
+    # score (recall theorem), which a 250-block subset pins as well as a
+    # 1000-block one; the open-corpus decade-up point in SCALING.md is
+    # where the plan's scale behavior is measured.
+    g = _doc_gram_index(spark, sf_dir).filter(F.col("node_id") % 20 == 0)
+    return overlap_pairs_prefix(g, gram_counts(g)).select(
         F.col("src_id").cast("long"), F.col("dst_id").cast("long"),
         "a", "b", "intersection", "score",
     )
@@ -724,6 +771,12 @@ FROM scored WHERE (intersection / LEAST(a, b)) > 0.5
 """
 
 
+# same exact all-pairs oracle as O_OVERLAPS on the overlaps_prefix gate's
+# % 20 block subset — the prefix+positional candidate filter is exact by
+# theorem, so the SQL twin stays the naive self-join
+O_OVERLAPS_PREFIX = O_OVERLAPS.replace("doc_id % 5 = 0", "doc_id % 20 = 0")
+
+
 # ---------------------------------------------------------------------------
 # Dedup suite (training-data pipeline operators)
 # ---------------------------------------------------------------------------
@@ -737,22 +790,17 @@ def q_overlaps_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the whole index and mirror the reverse edges onto affected
     partners. The changed set broadcasts; untouched pairs are never
     rescored."""
-    from assemblagedb_spark.operators.overlaps import overlap_pairs, overlap_pairs_dense
+    from assemblagedb_spark.operators.overlaps import store_overlaps
 
     g = _doc_gram_index(spark, sf_dir).filter(F.col("node_id") % 5 == 0)
     changed = g.select("node_id").filter(F.col("node_id") % 20 == 0).distinct()
-    # dense-regime strategy, same as q_overlaps: only the changed matrix
-    # rows are scanned against the full matrix (the incremental regime)
-    dense = overlap_pairs_dense(g, changed=changed)
-    if dense is not None:
-        return dense.select(
-            F.col("src_id").cast("long"), F.col("dst_id").cast("long"),
-            "a", "b", "intersection", "score",
-        )
-    # per-block totals are subset-independent: reuse the memoized stored
-    # counts (slot 3) instead of re-aggregating the postings twice
+    # front door: dense-regime strategy on this corpus (only the changed
+    # matrix rows scan the full matrix); over the dense budget it routes
+    # the changed-side-bounded sparse postings join. Per-block totals are
+    # subset-independent, so reuse the memoized stored counts (slot 3)
+    # instead of re-aggregating the postings twice.
     counts = _doc_gram_counts(spark, sf_dir).filter(F.col("node_id") % 5 == 0)
-    out = overlap_pairs(g, counts, changed=changed, broadcast_grams=True)
+    out = store_overlaps(g, counts, changed=changed)
     return out.select(
         F.col("src_id").cast("long"), F.col("dst_id").cast("long"),
         "a", "b", "intersection", "score",
@@ -4284,6 +4332,17 @@ def clear_artifact_cache(cache_name: str) -> None:
             except Exception:
                 pass
     cache.clear()
+    # Anchor the checkpointed states' reclamation to THIS idle moment:
+    # without it, the py4j finalizer → ContextCleaner.removeRdd chain
+    # fires at whatever arbitrary point Python GC next runs — possibly
+    # mid-query, where it can race Spark's end-of-life lock bookkeeping
+    # (the round-8 transient `Block rdd_N does not exist`; see
+    # session.py's task-retry note for the full mechanism). A cache clear
+    # always sits between queries, so collecting here moves the cleaner
+    # work into the gap.
+    import gc
+
+    gc.collect()
 
 
 def clear_shared_artifact_caches() -> None:
@@ -6427,6 +6486,8 @@ SPARK_QUERIES = {
     "graph_ancestor_path": q_graph_ancestor_path,
     "siblings": q_siblings,
     "overlaps": q_overlaps,
+    "overlaps_sparse": q_overlaps_sparse,
+    "overlaps_prefix": q_overlaps_prefix,
     "overlaps_incremental": q_overlaps_incremental,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -6576,6 +6637,8 @@ ORACLES = {
     "graph_ancestor_path": O_GRAPH_ANCESTOR_PATH,
     "siblings": O_SIBLINGS,
     "overlaps": O_OVERLAPS,
+    "overlaps_sparse": O_OVERLAPS,
+    "overlaps_prefix": O_OVERLAPS_PREFIX,
     "overlaps_incremental": O_OVERLAPS_INCREMENTAL,
     "dedup_exact": O_DEDUP_EXACT,
     "dedup_minhash_sig": O_DEDUP_MINHASH_SIG,

@@ -31,7 +31,11 @@ def _spread_for_fold(docs: DataFrame, key_col: str) -> DataFrame:
     input arrives in fewer than half the executor slots — guarded so a
     large, already-split input never pays a raw-text shuffle. One helper so
     the parallelism policy is single-sourced across the gram/minhash/
-    simhash folds (round-8 review find)."""
+    simhash folds (round-8 review find). Note the probe itself is not free:
+    `docs.rdd.getNumPartitions()` converts the plan to an RDD per call, so
+    callers on hot paths should filter rows they intend to drop BEFORE
+    calling (the spread would shuffle them too) and call at most once per
+    fold."""
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < parallelism // 2:
         return docs.repartition(parallelism, key_col)
@@ -106,13 +110,11 @@ def minhash_signatures(
     # ran the fold 3-wide — one straggler task held the stage for minutes
     # on a 32-core machine); guarded so a large input never pays a
     # raw-text shuffle
-    docs = _spread_for_fold(docs, id_col)
     # NULL text has no shingle set: no signature row, never a candidate
-    # (the SQL twin's gram CTE unnests nothing for it)
-    return (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
-    )
+    # (the SQL twin's gram CTE unnests nothing for it) — filtered BEFORE
+    # the spread so dropped rows are never shuffled (round-8 advice item)
+    docs = _spread_for_fold(docs.filter(F.col(text_col).isNotNull()), id_col)
+    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
 
 
 def _grams_sql(text_col: str) -> str:

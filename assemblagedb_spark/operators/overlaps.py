@@ -269,6 +269,447 @@ def overlap_pairs_dense(
     return out
 
 
+def overlap_pairs_sparse(
+    grams: DataFrame,
+    *,
+    min_score: float = OVERLAP_MIN_SCORE,
+    max_sparse_nnz: int = 64_000_000,
+    changed: DataFrame | None = None,
+) -> DataFrame | None:
+    """Open-vocabulary sibling of :func:`overlap_pairs_dense`: the same
+    broadcast + chunked-scan strategy, but over a COMPRESSED SPARSE
+    representation, for corpora whose vocabulary blows the dense matrix
+    budget while the postings themselves still fit a broadcast.
+
+    Identity that makes the sparse kernel exact: expanding each block's
+    gram multiset to (gram, copy) elements (copy k present iff
+    occurrences ≥ k) turns the multiset intersection into a BINARY set
+    intersection — ``sum_g min(a_g, b_g) = |expand(a) ∩ expand(b)|`` — so
+    one ``np.bincount`` over the concatenated postings lists of a block's
+    elements yields its exact intersection with EVERY other block at
+    once. Work is sum_e df(e)² (the true pair-sharing mass), fully
+    vectorized, zero shuffle; on an open vocabulary df(e) thins as the
+    corpus grows, which is exactly the regime where the round-8 exact
+    batch was a structural DNF (the postings JOIN materialized the same
+    mass as shuffled rows; this scan keeps it in a per-task integer
+    gather).
+
+    Returns ``None`` when the expanded postings exceed ``max_sparse_nnz``
+    (broadcast budget ~8 bytes/element); callers fall back to the
+    distributed prefix plan. Output/semantics identical to
+    :func:`overlap_pairs_dense` (both directions, u8-floored score,
+    ``changed`` restricts scanned rows with mirrored reverse edges).
+    """
+    import numpy as np
+    import pandas as pd
+
+    expanded = grams.agg(
+        F.sum("occurrences").cast("long").alias("n")
+    ).collect()[0]["n"]
+    if expanded is not None and expanded > max_sparse_nnz:
+        return None
+    spark = grams.sparkSession
+    id_type = dict(grams.dtypes)["node_id"]
+    empty_schema = (
+        f"src_id {id_type}, dst_id {id_type}, a int, b int, "
+        "intersection int, score double"
+    )
+    if expanded is None:  # empty corpus: trivially in budget, no pairs
+        return spark.createDataFrame([], empty_schema)
+    pdf = grams.select("node_id", "gram", "occurrences").toArrow().to_pandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], empty_schema)
+    occ = pdf["occurrences"].to_numpy()
+    # expand to (block, element) incidence: element = (gram, copy) —
+    # vectorized (cumsum offsets, no per-row arange): the expansion runs
+    # on the driver for up to max_sparse_nnz elements
+    rep = np.repeat(np.arange(len(pdf)), occ)
+    starts = np.cumsum(occ) - occ
+    copy = np.arange(rep.size, dtype=np.int64) - starts[rep] + 1
+    node_codes, id_index = pd.factorize(pdf["node_id"])
+    blocks = rep  # row index per incidence
+    elem_keys = pd.MultiIndex.from_arrays(
+        [pdf["gram"].to_numpy()[rep], copy]
+    )
+    elem_codes, _ = pd.factorize(elem_keys)
+    bid = node_codes[blocks]
+    # CSR by element: postings[eptr[e]:eptr[e+1]] = block ids holding e
+    order = np.argsort(elem_codes, kind="stable")
+    postings = bid[order].astype(np.int32)
+    eptr = np.zeros(elem_codes.max() + 2, dtype=np.int64)
+    np.add.at(eptr, elem_codes + 1, 1)
+    eptr = np.cumsum(eptr)
+    # CSR by block: elems[bptr[i]:bptr[i+1]] = element ids of block i
+    order_b = np.argsort(bid, kind="stable")
+    blk_elems = elem_codes[order_b].astype(np.int64)
+    bptr = np.zeros(len(id_index) + 1, dtype=np.int64)
+    np.add.at(bptr, bid + 1, 1)
+    bptr = np.cumsum(bptr)
+    tot = np.diff(bptr).astype(np.int64)  # gram_count per block
+    id_list = id_index.to_numpy()
+    if changed is None:
+        sel = np.arange(len(id_list))
+    else:
+        ch = changed.select("node_id").toArrow().to_pandas()["node_id"].to_numpy()
+        sel = np.flatnonzero(np.isin(id_list, ch))
+    b_csr = spark.sparkContext.broadcast(
+        (postings, eptr, blk_elems, bptr, tot, id_list, sel)
+    )
+
+    id_type = dict(grams.dtypes)["node_id"]
+    out_schema = (
+        f"src_id {id_type}, dst_id {id_type}, a int, b int, "
+        "intersection int, score double"
+    )
+
+    def kernel(batches):
+        post, ep, be, bp, c, idl, sl = b_csr.value
+        n = len(c)
+        rng = np.arange(n)
+        for pdf_in in batches:
+            acc = []
+            for start_i in pdf_in["i"].to_numpy():
+                for i in sl[start_i : start_i + _DENSE_CHUNK]:
+                    es = be[bp[i] : bp[i + 1]]
+                    if len(es) == 0:
+                        continue
+                    gathered = np.concatenate(
+                        [post[ep[e] : ep[e + 1]] for e in es]
+                    )
+                    i_raw = np.bincount(gathered, minlength=n).astype(np.int64)
+                    mx = np.maximum(c[i], c)
+                    mx_safe = np.where(mx == 0, 1, mx)
+                    a = 255 * c[i] // mx_safe
+                    b = 255 * c // mx_safe
+                    inter = 255 * i_raw // mx_safe
+                    mn = np.minimum(a, b)
+                    score = np.where(mn == 0, 0.0, inter / np.where(mn == 0, 1, mn))
+                    keep = (score > min_score) & (rng != i)
+                    if keep.any():
+                        acc.append((i, keep, a[keep], b[keep], inter[keep], score[keep]))
+            if not acc:
+                continue
+            yield pd.DataFrame(
+                {
+                    "src_id": np.concatenate([np.repeat(idl[t[0]], len(t[2])) for t in acc]),
+                    "dst_id": np.concatenate([idl[t[1]] for t in acc]),
+                    "a": np.concatenate([t[2] for t in acc]).astype("int32"),
+                    "b": np.concatenate([t[3] for t in acc]).astype("int32"),
+                    "intersection": np.concatenate([t[4] for t in acc]).astype("int32"),
+                    "score": np.concatenate([t[5] for t in acc]),
+                }
+            )
+
+    starts = list(range(0, len(sel), _DENSE_CHUNK))
+    if not starts:
+        return spark.createDataFrame([], out_schema)
+    par = min(spark.sparkContext.defaultParallelism, len(starts))
+    idx = spark.createDataFrame([(s,) for s in starts], "i int")
+    out = idx.repartition(par).mapInPandas(kernel, out_schema)
+    if changed is not None:
+        out = out.localCheckpoint(eager=True)
+        rev = out.select(
+            F.col("dst_id").alias("src_id"),
+            F.col("src_id").alias("dst_id"),
+            F.col("b").alias("a"),
+            F.col("a").alias("b"),
+            "intersection",
+            "score",
+        )
+        out = out.unionByName(rev).distinct()
+    return out
+
+
+def overlap_pairs_prefix(
+    grams: DataFrame,
+    counts: DataFrame | None = None,
+    *,
+    min_score: float = OVERLAP_MIN_SCORE,
+    excluded_pairs: DataFrame | None = None,
+    both_directions: bool = True,
+) -> DataFrame:
+    """EXACT symmetric overlaps via prefix-filtered candidates — the plan
+    for corpora whose vocabulary is too large for the dense matrix and
+    whose Zipf head makes the naive postings self-join ~B² (every pair
+    shares head grams). Same output as :func:`overlap_pairs` with
+    ``changed=None``; only the physical strategy differs.
+
+    The filter (ppjoin-family, Xiao et al. WWW'08, adapted to this
+    engine's 255-floored multiset score): expand each block's gram
+    multiset to (gram, copy) elements — copy k exists iff occurrences ≥ k
+    — so multiset intersection becomes set intersection of equal-sized
+    expansions. For a passing pair, score > 0.5 forces (through the
+    integer floors of data.rs:521-529: 2·floor(255i/m) ≥ floor(255c/m)+1
+    ⇒ 255i/m > 255c/(2m) ⇒ i ≥ θ := floor(c/2)+1) the pair to share MORE
+    than half the smaller block's elements. Order ALL elements by one
+    global total order (document frequency asc, gram, copy) and let e* be
+    the globally-rarest SHARED element: every other shared element ranks
+    above e* in both blocks, so rank_x(e*) ≤ cnt_x − θ + 1 = ceil(c/2)
+    AND rank_y(e*) ≤ cnt_y − θ + 1 — the SAME element lands in the
+    smaller block's rarest-half prefix and in the larger block's first
+    cnt_y − floor(c/2) positions (ppjoin's positional filter). Candidates
+    are therefore the (gram, copy) equi-join of prefixes against ranked
+    expansions with both rank conditions as residual predicates, plus the
+    size cut cnt_y ≤ 255·cnt_x (beyond it floor(255·cnt_x/cnt_y) = 0 and
+    the score is NULL) — Zipf-head elements rank LAST inside both blocks,
+    so the df² head blow-up of the naive postings join disappears while
+    exactness is a theorem, not a recall measurement. Survivors get the
+    exact multiset intersection via a per-pair map_zip_with over two
+    compact gram→occurrence maps (~2 KB a side, the dedup compact-verify
+    shape).
+
+    100 TB audit: every step is a key-partitioned equi-join / aggregation
+    (elements shuffle on (gram, copy), blocks on node_id, candidates on
+    the pair) — no broadcast of corpus-sized state, no driver collect, no
+    cross join. Worst case (all blocks near-identical) degrades to the
+    output size, which is itself B² then — output-complete, not a plan
+    defect.
+    """
+    if counts is None:
+        counts = grams.groupBy("node_id").agg(
+            F.sum("occurrences").cast("long").alias("gram_count")
+        )
+    cnt = counts.select("node_id", F.col("gram_count").cast("long"))
+    # (node_id, gram, copy) expanded elements; copies are 1..occurrences
+    el = grams.select(
+        "node_id",
+        "gram",
+        F.explode(F.expr("sequence(1, occurrences)")).alias("copy"),
+    )
+    edf = el.groupBy("gram", "copy").agg(F.count(F.lit(1)).alias("edf"))
+    from pyspark.sql import Window
+
+    ranked = (
+        el.join(edf, ["gram", "copy"])
+        .join(cnt, "node_id")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("node_id").orderBy("edf", "gram", "copy")
+            ),
+        )
+        # consumed twice (prefix probe side + full index side of the
+        # candidate self-join): pin, or the expand+df+window subtree runs
+        # once per side — measured 10x on the gate (13.5s -> 1.4s).
+        # localCheckpoint (not persist): blocks self-release on GC instead
+        # of accumulating in the CacheManager across calls
+        .localCheckpoint(eager=True)
+    )
+    # prefix = the ceil(count/2) rarest elements of each block (the bound
+    # for e* on the smaller side, rank ≤ cnt − θ + 1 with θ = floor(c/2)+1)
+    prefix = ranked.filter(
+        F.col("rnk") <= F.expr("CAST(ceil(gram_count / 2) AS BIGINT)")
+    ).select(
+        F.col("node_id").alias("src_id"),
+        "gram",
+        "copy",
+        F.col("rnk").alias("rnk_a"),
+        F.col("gram_count").alias("cnt_a"),
+    )
+    full = ranked.select(
+        F.col("node_id").alias("dst_id"),
+        "gram",
+        "copy",
+        F.col("rnk").alias("rnk_b"),
+        F.col("gram_count").alias("cnt_b"),
+    )
+    # canonical orientation: probe side is the smaller block (ties by id),
+    # so each unordered pair is generated exactly once, from the side
+    # whose prefix the pigeonhole argument applies to. The two residual
+    # predicates are what keep Zipf-head elements from pairing everything:
+    # - positional: e* must also sit within the larger block's first
+    #   cnt_b − floor(cnt_a/2) positions (head elements rank near cnt_b)
+    # - size: past cnt_b > 255·cnt_a the u8-floored score is NULL
+    cand = (
+        prefix.join(full, ["gram", "copy"])
+        .filter(
+            (F.col("cnt_a") < F.col("cnt_b"))
+            | (
+                (F.col("cnt_a") == F.col("cnt_b"))
+                & (F.col("src_id") < F.col("dst_id"))
+            )
+        )
+        .filter(
+            F.col("rnk_b")
+            <= F.col("cnt_b") - F.expr("CAST(floor(cnt_a / 2) AS BIGINT)")
+        )
+        .filter(F.col("cnt_b") <= 255 * F.col("cnt_a"))
+        .select("src_id", "dst_id")
+        .distinct()
+    )
+    maps = grams.groupBy("node_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("gram", F.col("occurrences").cast("long")))
+        ).alias("gmap"),
+        F.sum("occurrences").cast("long").alias("gcnt"),
+    )
+    scored = (
+        cand.join(
+            maps.select(
+                F.col("node_id").alias("src_id"),
+                F.col("gmap").alias("gmap_a"),
+                F.col("gcnt").alias("source_count"),
+            ),
+            "src_id",
+        )
+        .join(
+            maps.select(
+                F.col("node_id").alias("dst_id"),
+                F.col("gmap").alias("gmap_b"),
+                F.col("gcnt").alias("match_count"),
+            ),
+            "dst_id",
+        )
+        .withColumn(
+            "intersection_raw",
+            F.expr(
+                "aggregate(map_values(map_zip_with(gmap_a, gmap_b, "
+                "(k, va, vb) -> least(coalesce(va, 0L), coalesce(vb, 0L)))), "
+                "0L, (acc, v) -> acc + v)"
+            ),
+        )
+        .withColumn("a", F.expr("(255 * source_count) div greatest(source_count, match_count)").cast("int"))
+        .withColumn("b", F.expr("(255 * match_count) div greatest(source_count, match_count)").cast("int"))
+        .withColumn(
+            "intersection",
+            F.expr("(255 * intersection_raw) div greatest(source_count, match_count)").cast("int"),
+        )
+        .withColumn("score", F.col("intersection") / F.least("a", "b"))
+        .filter(F.col("score") > min_score)
+    )
+    if excluded_pairs is not None:
+        scored = scored.join(excluded_pairs, ["src_id", "dst_id"], "left_anti")
+    out = scored.select("src_id", "dst_id", "a", "b", "intersection", "score")
+    if both_directions:
+        # pin before mirroring: the union reads `out` once directly and
+        # once through `rev`; unpinned, the candidate+verify pipeline
+        # would execute twice (same reasoning as overlap_pairs_dense's
+        # changed path)
+        out = out.localCheckpoint(eager=True)
+        rev = out.select(
+            F.col("dst_id").alias("src_id"),
+            F.col("src_id").alias("dst_id"),
+            F.col("b").alias("a"),
+            F.col("a").alias("b"),
+            "intersection",
+            "score",
+        )
+        out = out.unionByName(rev)
+    return out
+
+
+def store_overlaps(
+    grams: DataFrame,
+    counts: DataFrame | None = None,
+    *,
+    min_score: float = OVERLAP_MIN_SCORE,
+    changed: DataFrame | None = None,
+    excluded_pairs: DataFrame | None = None,
+    both_directions: bool = True,
+    max_dense_cells: int = 64_000_000,
+    max_nnz: int = 8_000_000,
+    max_sparse_nnz: int = 64_000_000,
+    dispatch_out: dict | None = None,
+) -> DataFrame:
+    """THE front door for materialized overlaps (round-8 verdict #3): one
+    entry with the reference's exact semantics (score > 0.5, reverse
+    edges, exclusion anti-join; ``assemblage_db/src/index.rs:302-347``),
+    dispatching the physical strategy by measured corpus density instead
+    of leaving the choice to each caller.
+
+    Route, from ONE cheap stats aggregate over the gram relation
+    (rows / distinct grams / distinct blocks):
+
+    - ``dense`` — the broadcast count-matrix L1 kernel
+      (:func:`overlap_pairs_dense`), when blocks × vocab fits the
+      broadcast budget: the closed-vocabulary regime, where the postings
+      join would emit ~sum(df²) rows for output that a vectorized scan
+      computes shuffle-free.
+    - ``sparse`` — the broadcast-CSR bincount kernel
+      (:func:`overlap_pairs_sparse`), when the vocabulary outgrows the
+      dense matrix but the expanded postings still fit a broadcast: the
+      open-vocabulary single-machine-index regime — the round-8 50k-doc
+      open corpus, a structural DNF for the exact postings JOIN, computes
+      here in seconds because the same pair-sharing mass is an integer
+      gather instead of a shuffle.
+    - ``prefix`` — the exact prefix+positional-filtered candidate plan
+      (:func:`overlap_pairs_prefix`), when the index outgrows any
+      broadcast: the fully distributed plan; candidates collapse on
+      corpora whose rare elements are discriminative, and degrade toward
+      the (then intrinsically large) output size when they are not.
+    - ``sparse-incremental`` — the df-bounded postings join restricted to
+      ``changed`` blocks (:func:`overlap_pairs`), when a changed set is
+      given and no broadcast kernel fits: only changed-block postings
+      probe the index.
+
+    ``dispatch_out`` (optional dict) receives ``{"route": <name>}`` —
+    the branch-vacuity hook (tests pin that both corpus families actually
+    take different branches).
+    """
+    stats = grams.agg(
+        F.count(F.lit(1)).alias("nnz"),
+        F.countDistinct("gram").alias("vocab"),
+        F.countDistinct("node_id").alias("blocks"),
+    ).collect()[0]
+    dense_ok = (
+        stats["nnz"] <= max_nnz
+        and stats["blocks"] * stats["vocab"] <= max_dense_cells
+    )
+    if dense_ok:
+        dense = overlap_pairs_dense(
+            grams,
+            min_score=min_score,
+            max_dense_cells=max_dense_cells,
+            max_nnz=max_nnz,
+            changed=changed,
+        )
+        if dense is not None:
+            if excluded_pairs is not None:
+                dense = dense.join(
+                    excluded_pairs, ["src_id", "dst_id"], "left_anti"
+                )
+            if dispatch_out is not None:
+                dispatch_out["route"] = "dense"
+            return dense
+    sparse = overlap_pairs_sparse(
+        grams,
+        min_score=min_score,
+        max_sparse_nnz=max_sparse_nnz,
+        changed=changed,
+    )
+    if sparse is not None:
+        if excluded_pairs is not None:
+            sparse = sparse.join(excluded_pairs, ["src_id", "dst_id"], "left_anti")
+        if dispatch_out is not None:
+            dispatch_out["route"] = "sparse"
+        return sparse
+    if counts is None:
+        counts = grams.groupBy("node_id").agg(
+            F.sum("occurrences").cast("long").alias("gram_count")
+        )
+    if changed is not None:
+        if dispatch_out is not None:
+            dispatch_out["route"] = "sparse-incremental"
+        return overlap_pairs(
+            grams,
+            counts,
+            min_score=min_score,
+            changed=changed,
+            excluded_pairs=excluded_pairs,
+            both_directions=both_directions,
+            broadcast_grams=True,
+        )
+    if dispatch_out is not None:
+        dispatch_out["route"] = "prefix"
+    return overlap_pairs_prefix(
+        grams,
+        counts,
+        min_score=min_score,
+        excluded_pairs=excluded_pairs,
+        both_directions=both_directions,
+    )
+
+
 def merge_overlaps(existing: DataFrame, recomputed: DataFrame, changed: DataFrame) -> DataFrame:
     """Replace all overlap rows touching a changed block with the recomputed
     set (the batch equivalent of the reference's per-write set-diff merge,

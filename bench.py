@@ -21,6 +21,8 @@ BENCH_QUERIES = [
     "search",
     "find_symmetric",
     "overlaps",
+    "overlaps_sparse",
+    "overlaps_prefix",
     "overlaps_incremental",
     "reindex_parents",
     "dedup_exact",
@@ -155,6 +157,85 @@ def reset_shared_caches(name: str) -> None:
         clear_artifact_cache(cache_attr)
 
 
+# ---------------------------------------------------------------------------
+# Host-drift canary (round-9 verdict #1)
+# ---------------------------------------------------------------------------
+# Two consecutive rounds adjudicated double-digit committed-snapshot
+# inflation as host envelope (r7: 85.6 -> r8: 104s best-of on identical
+# untouched keys; interleaved same-code A/Bs spanned 1.5-2.7x in ONE day).
+# The canary makes that envelope a measured column instead of a prose
+# adjudication: a small PINNED set of pure-JVM probes — no harness code, no
+# parquet, no Python workers — timed at the start, middle and end of every
+# bench run. Their sources and baselines are sha-pinned by
+# tests/test_artifact_immutability.py: changing a canary is changing the
+# ruler, and must re-baseline explicitly.
+#
+# The committed artifact then carries, per key: the absolute time, the run's
+# canary factor (median canary total / frozen baseline total), and the
+# canary-NORMALIZED time (absolute / factor). Round-over-round adjudication
+# applies the 1.5x bar to the NORMALIZED column; the absolute column remains
+# what the driver's 2x gate sees.
+
+
+def _canary_shuffle(spark):
+    # scheduler + shuffle write/read + partial aggregation
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(0, 8_000_000)
+        .withColumn("k", F.col("id") % 4096)
+        .groupBy("k")
+        .agg(F.sum("id").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _canary_join(spark):
+    # sort-merge/hash join machinery on two generated relations
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 4_000_000).withColumn("k", F.col("id") % 100_000)
+    b = spark.range(0, 100_000).withColumn("v", F.col("id") * 3)
+    return a.join(b.withColumnRenamed("id", "k2"), a["k"] == F.col("k2")).agg(
+        F.sum("v").alias("s")
+    )
+
+
+def _canary_codegen(spark):
+    # whole-stage-codegen arithmetic throughput, no exchange
+    from pyspark.sql import functions as F
+
+    c = (F.col("id") * 2654435761) % 2**31
+    return spark.range(0, 100_000_000).select(
+        F.sum((c * c) % 997).alias("s")
+    )
+
+
+CANARY_QUERIES = {
+    "canary_shuffle": _canary_shuffle,
+    "canary_join": _canary_join,
+    "canary_codegen": _canary_codegen,
+}
+
+# Frozen reference totals (seconds, min-of-2 per key, summed): measured at
+# the round-9 close on the bench host in a quiet window. factor = measured
+# total / this total; factor 1.0 = the reference envelope, 2.0 = the host
+# is running at half the reference throughput. NEVER retune silently — the
+# immutability test pins these values with the canary sources.
+CANARY_BASELINE_TOTAL = 0.75
+
+
+def time_canaries(spark, runs: int = 2) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for name, fn in CANARY_QUERIES.items():
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            fn(spark).collect()
+            best = min(best, time.time() - t0)
+        out[name] = best
+    return out
+
+
 def warmup(spark, sf_dir: str) -> None:
     """JVM + parquet footer reads + Python-UDF worker pool warmup (the 32
     workers cost ~6s to spawn; that's provisioning, not query time)."""
@@ -166,6 +247,10 @@ def warmup(spark, sf_dir: str) -> None:
     spark.range(64).repartition(32).mapInPandas(
         lambda it: (_pd.DataFrame({"x": [1]}) for _ in it), "x int"
     ).count()
+    # warm the canary plans too: the first canary leg must measure the
+    # host, not the canaries' own one-off codegen/JIT
+    for fn in CANARY_QUERIES.values():
+        fn(spark).collect()
 
 
 def time_queries(
@@ -204,10 +289,31 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     warmup(spark, sf_dir)
+    # canary legs interleave the suite: start / middle / end. The median
+    # total is the run's envelope sample (median, not min: the canary
+    # measures the HOST during this run, so a one-off quiet leg must not
+    # mask a loaded session)
+    canary_runs = [time_canaries(spark)]
+    half = len(BENCH_QUERIES) // 2
     timings = {
         name: round(t, 3)
-        for name, t in time_queries(spark, sf_dir, BENCH_QUERIES).items()
+        for name, t in time_queries(spark, sf_dir, BENCH_QUERIES[:half]).items()
     }
+    canary_runs.append(time_canaries(spark))
+    timings.update(
+        {
+            name: round(t, 3)
+            for name, t in time_queries(
+                spark, sf_dir, BENCH_QUERIES[half:]
+            ).items()
+        }
+    )
+    canary_runs.append(time_canaries(spark))
+
+    canary_totals = sorted(sum(c.values()) for c in canary_runs)
+    canary_median = canary_totals[len(canary_totals) // 2]
+    factor = canary_median / CANARY_BASELINE_TOTAL
+    normalized = {k: round(v / factor, 3) for k, v in timings.items()}
 
     total = round(sum(timings.values()), 3)
     payload = json.dumps(
@@ -217,6 +323,16 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            "canary": {
+                "legs": [
+                    {k: round(v, 3) for k, v in c.items()} for c in canary_runs
+                ],
+                "median_total": round(canary_median, 3),
+                "baseline_total": CANARY_BASELINE_TOTAL,
+                "factor": round(factor, 3),
+            },
+            "queries_normalized": normalized,
+            "value_normalized": round(sum(normalized.values()), 3),
         }
     )
     print(payload)

@@ -57,6 +57,35 @@ def test_bench_snapshots_unchanged():
         )
 
 
+def test_bench_canary_ruler_is_pinned():
+    # Round-9: per-key bench times are committed alongside a
+    # canary-NORMALIZED column (absolute / host-drift factor), and the 1.5x
+    # regression bar applies to the normalized number. That only works if
+    # the ruler itself is frozen: this pin covers the three canary probe
+    # sources AND the baseline constant. Changing either is re-calibrating
+    # every historical normalized number — do it only with an explicit
+    # re-baseline note in ROTATION.md, then update this hash.
+    import inspect
+    import sys
+
+    sys.path.insert(0, REPO)
+    import bench
+
+    src = "".join(
+        inspect.getsource(bench.CANARY_QUERIES[k])
+        for k in sorted(bench.CANARY_QUERIES)
+    )
+    src += f"\nBASELINE={bench.CANARY_BASELINE_TOTAL}\n"
+    got = hashlib.sha256(src.encode()).hexdigest()
+    assert got == (
+        "e17cc3fd039678958f313948e8f470657bd66d740f74258aa36c970fc8f680fc"
+    ), (
+        "bench canary probes or baseline changed — this re-calibrates every "
+        "normalized bench number; re-baseline explicitly (ROTATION.md note) "
+        "and update this pin"
+    )
+
+
 def test_reportlib_section_merge_preserves_other_sections():
     # RECALL.md / SCALING.md sweep sections survive main-report regens
     # through tools/reportlib; pin the boundary parsing both ledgers use.

@@ -315,3 +315,22 @@ def test_multimodal_codec_gates_shuffle_only_bare_ids(spark, sf_dir):
     decode = h.q_multimodal_decode(spark, sf_dir)
     assert count_exchanges(decode) == 0
     assert "MapInPandas" in formatted_plan(decode)
+
+
+def test_overlaps_sparse_kernel_is_scan_only(spark, sf_dir):
+    # the broadcast-CSR kernel's returned plan must be a MapInPandas over
+    # the tiny chunk-index frame: the postings travel as a broadcast, so
+    # no join and no corpus shuffle may appear — the exact property that
+    # turned the 50k-doc open corpus from DNF into seconds
+    plan = formatted_plan(h.q_overlaps_sparse(spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_overlaps_prefix_all_joins_equi(spark, sf_dir):
+    # the distributed exact plan must be key-partitioned equi-joins only:
+    # no cartesian, no broadcast nested loop — the shapes that survive a
+    # corpus no broadcast can hold
+    plan = formatted_plan(h.q_overlaps_prefix(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -66,3 +66,23 @@ def test_clear_caches_is_idempotent(spark):
     h.clear_shared_artifact_caches()
     assert (not h._OVERLAP_CACHE and not h._KMEANS_CACHE
             and not h._PQ_CACHE and not h._SHARED_EDGES_CACHE)
+
+
+def test_session_master_enables_task_retries(spark):
+    # round-8 transient `Block rdd_N does not exist` (sfempty sweep): the
+    # only throw site in spark-core 4.1.2 is BlockInfoManager.blockInfo(),
+    # reached when end-of-life lock bookkeeping races ContextCleaner's
+    # removeRdd — a one-off that is fatal ONLY because plain local[N]
+    # hardwires maxTaskFailures=1. session.py now uses local[N,F]; pin it
+    # so a refactor can't silently drop the retry budget back to 1.
+    import os
+    import re
+
+    if os.environ.get("SPARK_MASTER"):
+        import pytest
+
+        pytest.skip("explicit SPARK_MASTER overrides the retry default")
+    m = spark.sparkContext.master
+    match = re.fullmatch(r"local\[(\d+|\*)\s*,\s*(\d+)\]", m)
+    assert match, f"master {m!r} lacks the local[N,F] task-retry form"
+    assert int(match.group(2)) >= 2

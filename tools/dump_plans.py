@@ -23,6 +23,8 @@ PICKS = [
     ("ann_topk", "no join operator: corpus scored in one MapInPandas scan, only per-partition top-k reaches the rank window"),
     ("display_class", "pointer-doubling: log-round joins instead of one join per hop"),
     ("events_asof", "as-of join as union + single window pass (no per-row range probe)"),
+    ("overlaps_sparse", "open-vocabulary broadcast kernel: (gram,copy) binary expansion collected to CSR postings, per-block bincount gather inside MapInPandas — exact multiset intersections, no shuffle, no join"),
+    ("overlaps_prefix", "fully distributed exact plan: prefix+positional-filtered candidate equi-join on (gram,copy) elements, per-pair compact map_zip_with verify — every step a key-partitioned join/aggregation"),
     ("overlaps_incremental", "dense-regime incremental maintenance: only changed matrix rows scanned (MapInPandas, no shuffle); reverse edges mirrored + distinct; untouched pairs never rescored"),
     ("graph_components", "per-round |E| join + |V| aggregate; no transitive closure materialized"),
     ("embedding_neardup", "LSH band self equi-join generates candidates; exact cosine verifies; no CartesianProduct anywhere"),
