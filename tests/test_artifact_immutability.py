@@ -44,6 +44,12 @@ FROZEN = {
     # A/Bs on identical code spanned 1.5-2.7x on untouched keys this day)
     "BENCH_LOCAL_r08.json":
         "ea431b95de60e78f8089bf69221a3d328dc2fbe05f26802dda1988ae31496d3a",
+    # round 9: 105-key snapshot (adds overlaps_sparse/overlaps_prefix),
+    # first with the canary columns — factor 1.029, normalized total 82.0.
+    # Zero shared-key normalized regressions vs r8 (worst 1.02x, median
+    # 0.72x): the r8 committed inflation was host envelope, as adjudicated
+    "BENCH_LOCAL_r09.json":
+        "0bce4d4f0a38c6b7d14c482720d303f629df35092f367dd1d2bc7c0887ebe6df",
 }
 
 
