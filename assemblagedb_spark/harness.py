@@ -713,7 +713,8 @@ def q_overlaps_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _doc_gram_index(spark, sf_dir).filter(F.col("node_id") % 5 == 0)
     out = overlap_pairs_sparse(g)
-    assert out is not None, "graded corpus exceeds the sparse broadcast budget"
+    if out is None:  # explicit raise: survives python -O, unlike assert
+        raise RuntimeError("graded corpus exceeds the sparse broadcast budget")
     return out.select(
         F.col("src_id").cast("long"), F.col("dst_id").cast("long"),
         "a", "b", "intersection", "score",

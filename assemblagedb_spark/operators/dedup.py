@@ -417,14 +417,15 @@ def simhash_fingerprints(
     corpora of wide documents, where the numpy vote matrix amortizes).
     ``impl='arrow'``: vectorized numpy kernel, property-tested equal.
     """
+    # NULL text has no shingle set: no fingerprint row (the SQL twin's
+    # gram CTE unnests nothing for it; empty text '' keeps its 3
+    # padding shingles in both engines) — filtered BEFORE the spread so
+    # dropped rows are never shuffled, per _spread_for_fold's policy
+    docs = docs.filter(F.col(text_col).isNotNull())
     # spread the scan before the per-row gram/hash work (same guard as
     # ngram_overlap_pairs): a corpus file small in bytes parks the whole
     # CPU-bound projection in ONE task otherwise
     docs = _spread_for_fold(docs, id_col)
-    # NULL text has no shingle set: no fingerprint row (the SQL twin's
-    # gram CTE unnests nothing for it; empty text '' keeps its 3
-    # padding shingles in both engines)
-    docs = docs.filter(F.col(text_col).isNotNull())
     if impl == "arrow":
         return _simhash_arrow(
             docs, id_col=id_col, text_col=text_col, bits=bits, seed=seed

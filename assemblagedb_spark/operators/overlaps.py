@@ -126,6 +126,60 @@ def overlap_pairs(
 _DENSE_CHUNK = 8  # rows per work unit; chunking amortizes Arrow round-trips
 
 
+def _u8_scores(c_i, c, i_raw, rng, i, min_score):
+    """Shared u8-floored scoring for the broadcast kernels: one block's raw
+    intersections against every block → (keep, a, b, intersection, score)
+    per data.rs:521-529. SINGLE-SOURCED so the dense and sparse kernels
+    cannot drift apart in score semantics (route invariance is a pinned
+    contract of the front door)."""
+    import numpy as np
+
+    mx = np.maximum(c_i, c)
+    mx_safe = np.where(mx == 0, 1, mx)
+    a = 255 * c_i // mx_safe
+    b = 255 * c // mx_safe
+    inter = 255 * i_raw // mx_safe
+    mn = np.minimum(a, b)
+    score = np.where(mn == 0, 0.0, inter / np.where(mn == 0, 1, mn))
+    keep = (score > min_score) & (rng != i)
+    return keep, a, b, inter, score
+
+
+def _emit_pairs_batch(acc, idl):
+    """Assemble one Arrow batch from accumulated per-row keeps (the shared
+    tail of both broadcast kernels); per-row yields cost more in
+    serialization than the whole numpy pass."""
+    import numpy as np
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "src_id": np.concatenate([np.repeat(idl[t[0]], len(t[2])) for t in acc]),
+            "dst_id": np.concatenate([idl[t[1]] for t in acc]),
+            "a": np.concatenate([t[2] for t in acc]).astype("int32"),
+            "b": np.concatenate([t[3] for t in acc]).astype("int32"),
+            "intersection": np.concatenate([t[4] for t in acc]).astype("int32"),
+            "score": np.concatenate([t[5] for t in acc]),
+        }
+    )
+
+
+def _mirror_changed_distinct(out: DataFrame) -> DataFrame:
+    """Reverse-edge maintenance for the broadcast kernels' changed path:
+    pin the kernel output (the union reads it twice), mirror, and distinct
+    (changed-changed pairs are computed from both ends)."""
+    out = out.localCheckpoint(eager=True)
+    rev = out.select(
+        F.col("dst_id").alias("src_id"),
+        F.col("src_id").alias("dst_id"),
+        F.col("b").alias("a"),
+        F.col("a").alias("b"),
+        "intersection",
+        "score",
+    )
+    return out.unionByName(rev).distinct()
+
+
 def overlap_pairs_dense(
     grams: DataFrame,
     *,
@@ -133,6 +187,7 @@ def overlap_pairs_dense(
     max_dense_cells: int = 64_000_000,
     max_nnz: int = 8_000_000,
     changed: DataFrame | None = None,
+    precounted_nnz: int | None = None,
 ) -> DataFrame | None:
     """Dense-regime physical strategy for the symmetric overlap self-join.
 
@@ -168,8 +223,10 @@ def overlap_pairs_dense(
 
     # one cheap count() guards the collect; vocab/block sizes are derived
     # from the collected batch itself (a countDistinct pre-pass costs more
-    # than the whole kernel)
-    if grams.count() > max_nnz:
+    # than the whole kernel). The front door passes its stats aggregate's
+    # row count through ``precounted_nnz`` so the guard costs no extra job.
+    nnz = grams.count() if precounted_nnz is None else precounted_nnz
+    if nnz > max_nnz:
         return None
 
     spark = grams.sparkSession
@@ -217,30 +274,14 @@ def overlap_pairs_dense(
                 for i in sl[start_i : start_i + _DENSE_CHUNK]:
                     l1 = np.abs(m - m[i]).sum(axis=1, dtype=np.int64)
                     i_raw = (c[i] + c - l1) // 2
-                    mx = np.maximum(c[i], c)
-                    mx_safe = np.where(mx == 0, 1, mx)
-                    a = 255 * c[i] // mx_safe
-                    b = 255 * c // mx_safe
-                    inter = 255 * i_raw // mx_safe
-                    mn = np.minimum(a, b)
-                    score = np.where(mn == 0, 0.0, inter / np.where(mn == 0, 1, mn))
-                    keep = (score > min_score) & (rng != i)
+                    keep, a, b, inter, score = _u8_scores(
+                        c[i], c, i_raw, rng, i, min_score
+                    )
                     if keep.any():
                         acc.append((i, keep, a[keep], b[keep], inter[keep], score[keep]))
             if not acc:
                 continue
-            # one Arrow batch per task input batch — per-row yields cost more
-            # in serialization than the whole numpy pass
-            yield pd.DataFrame(
-                {
-                    "src_id": np.concatenate([np.repeat(idl[t[0]], len(t[2])) for t in acc]),
-                    "dst_id": np.concatenate([idl[t[1]] for t in acc]),
-                    "a": np.concatenate([t[2] for t in acc]).astype("int32"),
-                    "b": np.concatenate([t[3] for t in acc]).astype("int32"),
-                    "intersection": np.concatenate([t[4] for t in acc]).astype("int32"),
-                    "score": np.concatenate([t[5] for t in acc]),
-                }
-            )
+            yield _emit_pairs_batch(acc, idl)
 
     starts = list(range(0, len(sel), _DENSE_CHUNK))
     if not starts:
@@ -249,23 +290,10 @@ def overlap_pairs_dense(
     idx = spark.createDataFrame([(s,) for s in starts], "i int")
     out = idx.repartition(par).mapInPandas(kernel, out_schema)
     if changed is not None:
-        # pin the kernel output before referencing it twice: the
-        # union-distinct below reads `out` once directly and once through
-        # `rev`, and an unpinned mapInPandas would re-run the dense L1
-        # pass for each branch — exactly the work the changed-row
-        # restriction exists to avoid (review finding, round 4)
-        out = out.localCheckpoint(eager=True)
-        # reverse-edge maintenance: partners get the mirrored overlap row
-        # (distinct folds changed-changed pairs computed from both ends)
-        rev = out.select(
-            F.col("dst_id").alias("src_id"),
-            F.col("src_id").alias("dst_id"),
-            F.col("b").alias("a"),
-            F.col("a").alias("b"),
-            "intersection",
-            "score",
-        )
-        out = out.unionByName(rev).distinct()
+        # an unpinned mapInPandas would re-run the dense L1 pass for each
+        # union branch — exactly the work the changed-row restriction
+        # exists to avoid (review finding, round 4); the helper pins first
+        out = _mirror_changed_distinct(out)
     return out
 
 
@@ -275,6 +303,7 @@ def overlap_pairs_sparse(
     min_score: float = OVERLAP_MIN_SCORE,
     max_sparse_nnz: int = 64_000_000,
     changed: DataFrame | None = None,
+    precounted_expanded: int | None = None,
 ) -> DataFrame | None:
     """Open-vocabulary sibling of :func:`overlap_pairs_dense`: the same
     broadcast + chunked-scan strategy, but over a COMPRESSED SPARSE
@@ -303,22 +332,25 @@ def overlap_pairs_sparse(
     import numpy as np
     import pandas as pd
 
-    expanded = grams.agg(
-        F.sum("occurrences").cast("long").alias("n")
-    ).collect()[0]["n"]
+    if precounted_expanded is not None:
+        expanded = precounted_expanded
+    else:
+        expanded = grams.agg(
+            F.sum("occurrences").cast("long").alias("n")
+        ).collect()[0]["n"]
     if expanded is not None and expanded > max_sparse_nnz:
         return None
     spark = grams.sparkSession
     id_type = dict(grams.dtypes)["node_id"]
-    empty_schema = (
+    out_schema = (
         f"src_id {id_type}, dst_id {id_type}, a int, b int, "
         "intersection int, score double"
     )
     if expanded is None:  # empty corpus: trivially in budget, no pairs
-        return spark.createDataFrame([], empty_schema)
+        return spark.createDataFrame([], out_schema)
     pdf = grams.select("node_id", "gram", "occurrences").toArrow().to_pandas()
     if len(pdf) == 0:
-        return spark.createDataFrame([], empty_schema)
+        return spark.createDataFrame([], out_schema)
     occ = pdf["occurrences"].to_numpy()
     # expand to (block, element) incidence: element = (gram, copy) —
     # vectorized (cumsum offsets, no per-row arange): the expansion runs
@@ -356,12 +388,6 @@ def overlap_pairs_sparse(
         (postings, eptr, blk_elems, bptr, tot, id_list, sel)
     )
 
-    id_type = dict(grams.dtypes)["node_id"]
-    out_schema = (
-        f"src_id {id_type}, dst_id {id_type}, a int, b int, "
-        "intersection int, score double"
-    )
-
     def kernel(batches):
         post, ep, be, bp, c, idl, sl = b_csr.value
         n = len(c)
@@ -377,28 +403,14 @@ def overlap_pairs_sparse(
                         [post[ep[e] : ep[e + 1]] for e in es]
                     )
                     i_raw = np.bincount(gathered, minlength=n).astype(np.int64)
-                    mx = np.maximum(c[i], c)
-                    mx_safe = np.where(mx == 0, 1, mx)
-                    a = 255 * c[i] // mx_safe
-                    b = 255 * c // mx_safe
-                    inter = 255 * i_raw // mx_safe
-                    mn = np.minimum(a, b)
-                    score = np.where(mn == 0, 0.0, inter / np.where(mn == 0, 1, mn))
-                    keep = (score > min_score) & (rng != i)
+                    keep, a, b, inter, score = _u8_scores(
+                        c[i], c, i_raw, rng, i, min_score
+                    )
                     if keep.any():
                         acc.append((i, keep, a[keep], b[keep], inter[keep], score[keep]))
             if not acc:
                 continue
-            yield pd.DataFrame(
-                {
-                    "src_id": np.concatenate([np.repeat(idl[t[0]], len(t[2])) for t in acc]),
-                    "dst_id": np.concatenate([idl[t[1]] for t in acc]),
-                    "a": np.concatenate([t[2] for t in acc]).astype("int32"),
-                    "b": np.concatenate([t[3] for t in acc]).astype("int32"),
-                    "intersection": np.concatenate([t[4] for t in acc]).astype("int32"),
-                    "score": np.concatenate([t[5] for t in acc]),
-                }
-            )
+            yield _emit_pairs_batch(acc, idl)
 
     starts = list(range(0, len(sel), _DENSE_CHUNK))
     if not starts:
@@ -407,16 +419,7 @@ def overlap_pairs_sparse(
     idx = spark.createDataFrame([(s,) for s in starts], "i int")
     out = idx.repartition(par).mapInPandas(kernel, out_schema)
     if changed is not None:
-        out = out.localCheckpoint(eager=True)
-        rev = out.select(
-            F.col("dst_id").alias("src_id"),
-            F.col("src_id").alias("dst_id"),
-            F.col("b").alias("a"),
-            F.col("a").alias("b"),
-            "intersection",
-            "score",
-        )
-        out = out.unionByName(rev).distinct()
+        out = _mirror_changed_distinct(out)
     return out
 
 
@@ -537,12 +540,15 @@ def overlap_pairs_prefix(
         .select("src_id", "dst_id")
         .distinct()
     )
+    # per-block totals come from the SAME counts relation the ranking cuts
+    # used (re-summing grams here would both duplicate a corpus-wide
+    # aggregation and open a latent rank-vs-score disagreement if a
+    # caller's counts ever diverged from grams)
     maps = grams.groupBy("node_id").agg(
         F.map_from_entries(
             F.collect_list(F.struct("gram", F.col("occurrences").cast("long")))
         ).alias("gmap"),
-        F.sum("occurrences").cast("long").alias("gcnt"),
-    )
+    ).join(cnt.select("node_id", F.col("gram_count").alias("gcnt")), "node_id")
     scored = (
         cand.join(
             maps.select(
@@ -645,69 +651,82 @@ def store_overlaps(
     ``dispatch_out`` (optional dict) receives ``{"route": <name>}`` —
     the branch-vacuity hook (tests pin that both corpus families actually
     take different branches).
+
+    ``excluded_pairs`` and ``both_directions`` are applied HERE, after the
+    chosen kernel, never inside it: the kernels differ in which
+    orientation they compute first (dense/sparse emit both directions,
+    the join plans mirror a canonical half), so a kernel-side anti-join
+    would make exclusion orientation-sensitive per route — the front
+    door's route-invariance contract forbids that. Post-kernel, exclusion
+    removes exactly the listed (src, dst) orientations on every route,
+    and ``both_directions=False`` keeps the same canonical half on every
+    route (src < dst for the full self-join; the changed-side orientation
+    in incremental mode).
     """
     stats = grams.agg(
         F.count(F.lit(1)).alias("nnz"),
         F.countDistinct("gram").alias("vocab"),
         F.countDistinct("node_id").alias("blocks"),
+        F.sum("occurrences").cast("long").alias("expanded"),
     ).collect()[0]
     dense_ok = (
         stats["nnz"] <= max_nnz
         and stats["blocks"] * stats["vocab"] <= max_dense_cells
     )
+    out = None
     if dense_ok:
-        dense = overlap_pairs_dense(
+        out = overlap_pairs_dense(
             grams,
             min_score=min_score,
             max_dense_cells=max_dense_cells,
             max_nnz=max_nnz,
             changed=changed,
+            precounted_nnz=stats["nnz"],
         )
-        if dense is not None:
-            if excluded_pairs is not None:
-                dense = dense.join(
-                    excluded_pairs, ["src_id", "dst_id"], "left_anti"
-                )
-            if dispatch_out is not None:
-                dispatch_out["route"] = "dense"
-            return dense
-    sparse = overlap_pairs_sparse(
-        grams,
-        min_score=min_score,
-        max_sparse_nnz=max_sparse_nnz,
-        changed=changed,
-    )
-    if sparse is not None:
-        if excluded_pairs is not None:
-            sparse = sparse.join(excluded_pairs, ["src_id", "dst_id"], "left_anti")
-        if dispatch_out is not None:
-            dispatch_out["route"] = "sparse"
-        return sparse
-    if counts is None:
-        counts = grams.groupBy("node_id").agg(
-            F.sum("occurrences").cast("long").alias("gram_count")
-        )
-    if changed is not None:
-        if dispatch_out is not None:
-            dispatch_out["route"] = "sparse-incremental"
-        return overlap_pairs(
+        if out is not None and dispatch_out is not None:
+            dispatch_out["route"] = "dense"
+    if out is None:
+        out = overlap_pairs_sparse(
             grams,
-            counts,
             min_score=min_score,
+            max_sparse_nnz=max_sparse_nnz,
             changed=changed,
-            excluded_pairs=excluded_pairs,
-            both_directions=both_directions,
-            broadcast_grams=True,
+            precounted_expanded=stats["expanded"],
         )
-    if dispatch_out is not None:
-        dispatch_out["route"] = "prefix"
-    return overlap_pairs_prefix(
-        grams,
-        counts,
-        min_score=min_score,
-        excluded_pairs=excluded_pairs,
-        both_directions=both_directions,
-    )
+        if out is not None and dispatch_out is not None:
+            dispatch_out["route"] = "sparse"
+    if out is None:
+        if counts is None:
+            counts = grams.groupBy("node_id").agg(
+                F.sum("occurrences").cast("long").alias("gram_count")
+            )
+        if changed is not None:
+            if dispatch_out is not None:
+                dispatch_out["route"] = "sparse-incremental"
+            out = overlap_pairs(
+                grams,
+                counts,
+                min_score=min_score,
+                changed=changed,
+                broadcast_grams=True,
+            )
+        else:
+            if dispatch_out is not None:
+                dispatch_out["route"] = "prefix"
+            out = overlap_pairs_prefix(grams, counts, min_score=min_score)
+    if excluded_pairs is not None:
+        out = out.join(excluded_pairs, ["src_id", "dst_id"], "left_anti")
+    if not both_directions:
+        if changed is None:
+            out = out.filter(F.col("src_id") < F.col("dst_id"))
+        else:
+            out = out.join(
+                F.broadcast(
+                    changed.select(F.col("node_id").alias("src_id"))
+                ).distinct(),
+                "src_id",
+            )
+    return out
 
 
 def merge_overlaps(existing: DataFrame, recomputed: DataFrame, changed: DataFrame) -> DataFrame:

@@ -90,17 +90,40 @@ def test_route_invariance_changed(spark, grams):
 
 
 def test_exclusion_applied_on_every_route(spark, grams):
+    # exclusion is ORIENTATION-EXACT and route-invariant: excluding one
+    # (src, dst) removes exactly that orientation on every route — the
+    # mirror row survives (the kernels differ in which orientation they
+    # compute first, so a kernel-side anti-join would be route-sensitive;
+    # the front door applies it post-kernel, uniformly)
     counts = h.gram_counts(grams)
     base = store_overlaps(grams, counts)
     one = base.limit(1).collect()
     assert one, "vacuous: nothing to exclude"
-    excl = spark.createDataFrame(
-        [(one[0]["src_id"], one[0]["dst_id"])], "src_id long, dst_id long"
-    )
+    s, d = one[0]["src_id"], one[0]["dst_id"]
+    excl = spark.createDataFrame([(s, d)], "src_id long, dst_id long")
+    mirror = spark.createDataFrame([(d, s)], "src_id long, dst_id long")
     for kwargs in ({}, {"max_dense_cells": 0}, {"max_dense_cells": 0, "max_sparse_nnz": 0}):
         out = store_overlaps(grams, counts, excluded_pairs=excl, **kwargs)
-        hit = out.join(excl, ["src_id", "dst_id"]).count()
-        assert hit == 0
+        assert out.join(excl, ["src_id", "dst_id"]).count() == 0
+        assert out.join(mirror, ["src_id", "dst_id"]).count() == 1
+
+
+def test_single_direction_is_route_invariant(spark, grams):
+    # both_directions=False returns the SAME canonical half (src < dst)
+    # on every route, even though dense/sparse kernels natively emit both
+    counts = h.gram_counts(grams)
+    frames = {}
+    for name, kwargs in (
+        ("dense", {}),
+        ("sparse", {"max_dense_cells": 0}),
+        ("prefix", {"max_dense_cells": 0, "max_sparse_nnz": 0}),
+    ):
+        out = store_overlaps(grams, counts, both_directions=False, **kwargs)
+        assert out.filter(F.col("src_id") >= F.col("dst_id")).count() == 0
+        frames[name] = _frame(out)
+    assert len(frames["dense"]) > 0
+    pd.testing.assert_frame_equal(frames["dense"], frames["sparse"])
+    pd.testing.assert_frame_equal(frames["dense"], frames["prefix"])
 
 
 def test_sparse_kernel_multiset_exactness(spark):
