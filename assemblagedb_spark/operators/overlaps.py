@@ -467,6 +467,20 @@ def overlap_pairs_prefix(
     cross join. Worst case (all blocks near-identical) degrades to the
     output size, which is itself B² then — output-complete, not a plan
     defect.
+
+    Measured density band (round 9, /tmp/open_sf1): prefix filtering
+    thins poorly on LONG multisets at this threshold — 10k blocks of
+    ~500-word Zipfian docs yield 29.6M candidates (59% of all pairs) for
+    609,738 true output rows (48x), because most block pairs share some
+    mid-rank (gram, copy) element; the 2.5k-block subset completes in
+    ~36s (33,944 rows). The verify stage's per-pair compact maps are the
+    cost at that candidate volume (~2 KB × candidates of shuffle). This
+    is ppjoin's known long-record behavior, not an implementation gap:
+    on corpora both too large for every broadcast kernel AND this dense,
+    exact all-pairs overlap is intrinsically candidate-bound — route
+    maintenance through ``changed`` (incremental) or the candidate-
+    bounded LSH family instead. The front door prefers the broadcast
+    kernels whenever they fit for exactly this reason.
     """
     if counts is None:
         counts = grams.groupBy("node_id").agg(
@@ -642,7 +656,12 @@ def store_overlaps(
       (:func:`overlap_pairs_prefix`), when the index outgrows any
       broadcast: the fully distributed plan; candidates collapse on
       corpora whose rare elements are discriminative, and degrade toward
-      the (then intrinsically large) output size when they are not.
+      ALL-PAIRS when block multisets are long and share mid-rank
+      elements (measured, round 9: 10k 500-word Zipfian blocks → 29.6M
+      candidates = 59% of all pairs for 610k true output — see the
+      density note in :func:`overlap_pairs_prefix`). The route ordering
+      encodes that measurement: broadcast kernels are always preferred
+      while they fit.
     - ``sparse-incremental`` — the df-bounded postings join restricted to
       ``changed`` blocks (:func:`overlap_pairs`), when a changed set is
       given and no broadcast kernel fits: only changed-block postings
