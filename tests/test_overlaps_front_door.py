@@ -108,6 +108,43 @@ def test_exclusion_applied_on_every_route(spark, grams):
         assert out.join(mirror, ["src_id", "dst_id"]).count() == 1
 
 
+def test_changed_single_direction_and_exclusion_are_route_invariant(spark, grams):
+    # the post-kernel branch COMBINATIONS on the incremental path: with a
+    # changed set, both_directions=False must keep exactly the
+    # changed-side orientation (the broadcast semi-join branch, otherwise
+    # untested) and exclusion must stay orientation-exact — on every
+    # route that accepts a changed set
+    counts = h.gram_counts(grams)
+    changed = grams.select("node_id").filter(F.col("node_id") % 20 == 0).distinct()
+    ch_ids = {r["node_id"] for r in changed.collect()}
+    base = store_overlaps(grams, counts, changed=changed)
+    # pick an excluded pair the single-direction filter would KEEP (src in
+    # changed), so the exclusion assertion below is non-vacuous
+    one = base.join(
+        changed.withColumnRenamed("node_id", "src_id"), "src_id"
+    ).limit(1).collect()
+    assert one, "vacuous fixture"
+    s, d = one[0]["src_id"], one[0]["dst_id"]
+    excl = spark.createDataFrame([(s, d)], "src_id long, dst_id long")
+    frames = {}
+    for name, kwargs in (
+        ("dense", {}),
+        ("sparse", {"max_dense_cells": 0}),
+        ("sparse-incremental", {"max_dense_cells": 0, "max_sparse_nnz": 0}),
+    ):
+        out = store_overlaps(
+            grams, counts, changed=changed, both_directions=False,
+            excluded_pairs=excl, **kwargs,
+        )
+        rows = out.collect()
+        assert all(r["src_id"] in ch_ids for r in rows), name
+        assert all((r["src_id"], r["dst_id"]) != (s, d) for r in rows), name
+        frames[name] = _frame(out)
+    assert len(frames["dense"]) > 0
+    pd.testing.assert_frame_equal(frames["dense"], frames["sparse"])
+    pd.testing.assert_frame_equal(frames["dense"], frames["sparse-incremental"])
+
+
 def test_single_direction_is_route_invariant(spark, grams):
     # both_directions=False returns the SAME canonical half (src < dst)
     # on every route, even though dense/sparse kernels natively emit both
