@@ -474,13 +474,20 @@ def overlap_pairs_prefix(
     609,738 true output rows (48x), because most block pairs share some
     mid-rank (gram, copy) element; the 2.5k-block subset completes in
     ~36s (33,944 rows). The verify stage's per-pair compact maps are the
-    cost at that candidate volume (~2 KB × candidates of shuffle). This
-    is ppjoin's known long-record behavior, not an implementation gap:
-    on corpora both too large for every broadcast kernel AND this dense,
-    exact all-pairs overlap is intrinsically candidate-bound — route
+    cost at that candidate volume (~2 KB × candidates of shuffle): under
+    the harness's static 32 shuffle partitions that is ~GBs per task and
+    the local JVM GC-thrashes, while at a scale-appropriate setting
+    (``SPARK_GRAFT_SHUFFLE=512``; AQE coalesced the verify exchange to
+    328 tasks) the SAME plan completes the 10k-block subset EXACTLY —
+    609,738 rows, equal to the sparse kernel's count on the same input —
+    in 631s. Partition sizing, not the plan; a real cluster runs with
+    thousands of shuffle partitions and AQE does this sizing by default.
+    The 46x gap vs the sparse kernel's 13.6s on the same subset is why
+    the front door prefers the broadcast kernels whenever they fit; on
+    corpora both too large for every broadcast AND this dense, exact
+    all-pairs overlap is intrinsically candidate-bound — route
     maintenance through ``changed`` (incremental) or the candidate-
-    bounded LSH family instead. The front door prefers the broadcast
-    kernels whenever they fit for exactly this reason.
+    bounded LSH family instead.
     """
     if counts is None:
         counts = grams.groupBy("node_id").agg(
