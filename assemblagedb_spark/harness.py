@@ -3442,12 +3442,18 @@ def q_view_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "aft", F.min(elig).over(pw.rowsBetween(1, Window.unboundedFollowing))
     ).filter(F.col("l_orderkey") % 10 == 0)
-    cands = sib.filter(F.col("bef").isNotNull()).select(
-        F.col("l_orderkey").alias("root_ok"), F.col("bef.c").alias("bid"), F.col("bef.o").alias("bok")
-    ).unionByName(
-        sib.filter(F.col("aft").isNotNull()).select(
-            F.col("l_orderkey").alias("root_ok"), F.col("aft.c").alias("bid"), F.col("aft.o").alias("bok")
+    # one explode, not a two-branch union: Catalyst does not share the sib
+    # subtree (scan + distinct + join + two windows) across union branches,
+    # so the union formulation computed it twice (round-9 plan audit —
+    # same fix as components.triangle_counts); explode(array(bef, aft))
+    # emits the identical candidate multiset from one copy
+    cands = (
+        sib.select(
+            F.col("l_orderkey").alias("root_ok"),
+            F.explode(F.array("bef", "aft")).alias("s"),
         )
+        .filter(F.col("s").isNotNull())
+        .select("root_ok", F.col("s.c").alias("bid"), F.col("s.o").alias("bok"))
     )
     br = (
         cands.filter(F.col("bok") != F.col("root_ok"))
@@ -5668,7 +5674,14 @@ def _ivfpq_index(
         assign = ivf_assign(emb, centroids=state).withColumnRenamed(
             "c_id", "vec_id"
         )
-        resid = residual_vectors(emb, assign, coarse)
+        # consumed twice (codebook training + encode): pin, or the whole
+        # residual pipeline — quantize + assign Arrow kernels + coarse
+        # join — executes once per consumer (round-9 plan audit: the
+        # cell_codes plan carried TWO copies of the resid subtree, one
+        # under the broadcast rbook branch)
+        resid = residual_vectors(emb, assign, coarse).localCheckpoint(
+            eager=True
+        )
         rbook = pq_train_arrow(
             resid, m=_RPQ_M, sub_dim=_RPQ_SUBDIM, k=_RPQ_K,
             iters=_RPQ_ITERS, vec_col="rvec", scale=None,

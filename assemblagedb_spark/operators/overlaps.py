@@ -561,6 +561,20 @@ def overlap_pairs_prefix(
         .select("src_id", "dst_id")
         .distinct()
     )
+    # Spread the candidate relation before the verify stage: its rows are
+    # two ids (tiny in bytes) but each costs a full map_zip_with multiset
+    # intersection downstream, so AQE's byte-based coalescing parks the
+    # whole verify in ONE task (measured at the gate: 30,778 candidates ->
+    # 1 partition, verify single-threaded; round-9 audit). Keyless
+    # round-robin with an EXPLICIT count: a keyed repartition on the pair
+    # key would be collapsed into the distinct's identical exchange
+    # whenever the counts match (exactly the bench configuration), and
+    # AQE never coalesces a user-specified numPartitions. The
+    # sort-before-repartition determinism cost is two long columns per
+    # row — negligible against the per-pair intersection it parallelizes.
+    cand = cand.repartition(
+        grams.sparkSession.sparkContext.defaultParallelism
+    )
     # per-block totals come from the SAME counts relation the ranking cuts
     # used (re-summing grams here would both duplicate a corpus-wide
     # aggregation and open a latent rank-vs-score disagreement if a

@@ -513,6 +513,14 @@ def chunk_dedup(
             ).alias("__chunks"),
         )
         .select("doc_id", F.posexplode("__chunks").alias("chunk_idx", "chunk"))
+        # `chunks` is consumed twice (corpus df aggregate + the tag join),
+        # so the tokenize+chunk explode runs once per consumer when the
+        # full output is materialized. A pin was A/B'd in the round-9
+        # audit (full materialization 2.6s -> 1.7s at sf0.1, identical
+        # output) but NOT kept: an eager checkpoint always computes the
+        # explode, while unpinned, actions that don't read the aggregate
+        # columns (e.g. a bare count(): the unique-key left join below is
+        # eliminated outright) skip this subtree entirely.
     )
     freq = chunks.groupBy("chunk").agg(
         F.countDistinct("doc_id").alias("chunk_df")

@@ -334,3 +334,89 @@ def test_overlaps_prefix_all_joins_equi(spark, sf_dir):
     plan = formatted_plan(h.q_overlaps_prefix(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_enumeration_joins_appear_once(spark):
+    # round-9: the per-node census is one explode over the enumeration
+    # join's output, NOT a 3-branch union — Catalyst does not share common
+    # subtrees across union branches, so the union formulation executed
+    # the two-join triangle enumeration three times (plan-audited; noop
+    # 8.1s -> 3.7s at sf0.1). Pin: exactly 3 join nodes total (two
+    # enumeration joins + the node left join) and exactly 1 Generate.
+    import re
+
+    from assemblagedb_spark.operators.components import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "parent_id long, child_id long"
+    )
+    plan = formatted_plan(triangle_counts(edges))
+    joins = re.findall(
+        r"^\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)",
+        plan,
+        re.MULTILINE,
+    )
+    gens = re.findall(r"^\(\d+\) Generate", plan, re.MULTILINE)
+    assert len(joins) == 3, plan
+    assert len(gens) == 1, plan
+
+
+def test_table_profile_minmax_not_routed_through_expand(spark):
+    # round-9: COUNT/nulls/min/max live in their own single-pass aggregate,
+    # cross-joined (1 row x 1 row) with the multi-distinct aggregate —
+    # mixing them made RewriteDistinctAggregates route every min/max input
+    # column through the (k+1)-way grouping-sets Expand (measured 16.6s vs
+    # 0.9s + 1.9s at sf0.1 lineitem, identical output). Pin: exactly one
+    # Expand (the distinct branch keeps the standard one-pass plan), and
+    # the min/max aggregate sits on the other side of the sanctioned
+    # single-row cross join, outside the Expand subtree.
+    import re
+
+    from assemblagedb_spark.operators.profile import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", None)], "id long, s string, v double"
+    )
+    plan = formatted_plan(table_profile(df))
+    expands = re.findall(r"^\(\d+\) Expand", plan, re.MULTILINE)
+    assert len(expands) == 1, plan
+    # the 1x1 cross join of the two aggregate branches is present
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan, plan
+    # min/max never appear in the Expand's projection list
+    expand_section = plan.split("Expand")[1].split("(")[0]
+    assert "min(" not in expand_section and "max(" not in expand_section
+
+
+def test_prefix_candidates_spread_before_verify(spark, sf_dir):
+    # round-9: the candidate relation is hash-spread on the pair key
+    # before the per-pair map_zip_with verify — its rows are tiny in
+    # bytes but CPU-heavy downstream, so AQE's byte-based coalescing
+    # otherwise parks the whole verify stage in ONE task (measured at the
+    # gate: 30,778 candidates -> 1 partition). Pin: an explicit-count
+    # round-robin exchange (REPARTITION_BY_NUM) exists in the plan —
+    # keyless, because a keyed repartition on the pair key is collapsed
+    # into the distinct's identical exchange whenever the partition
+    # counts match, and AQE never coalesces an explicit numPartitions.
+    # The gate's own returned frame is the post-checkpoint mirror (its
+    # plan is just the ExistingRDD union), so pin the live pipeline via
+    # both_directions=False.
+    from assemblagedb_spark.operators.overlaps import overlap_pairs_prefix
+
+    g = h._doc_gram_index(spark, sf_dir).filter(F.col("node_id") % 20 == 0)
+    plan = formatted_plan(overlap_pairs_prefix(g, both_directions=False))
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert "roundrobinpartitioning" in plan.lower(), plan
+
+
+def test_ivfpq_codes_residuals_computed_once(spark, sf_dir):
+    # round-9: the residual relation is localCheckpoint-pinned before the
+    # codebook-train + encode consumers — unpinned, the whole residual
+    # pipeline (quantize + assign Arrow kernels + coarse join) executed
+    # once per consumer (plan-audited: two copies of the resid subtree,
+    # one under the broadcast rbook branch; cold build 2.8s -> 1.8s).
+    # Pin: the cached cell_codes plan reads the pinned RDD — no parquet
+    # scan and no ArrowEvalPython assign kernels remain in its lineage.
+    _, cell_codes, _ = h._ivfpq_index(spark, sf_dir)
+    plan = formatted_plan(cell_codes)
+    assert "ArrowEvalPython" not in plan, plan
+    assert "Scan parquet" not in plan, plan
