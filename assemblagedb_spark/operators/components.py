@@ -461,6 +461,21 @@ def contracted_components(
             cur = contraction_pass(
                 cur.coalesce(max(1, n_parts // fanin))
             ).localCheckpoint(eager=True)
+        # Exactness shortcut: mapInPandas is partition-preserving, so the
+        # checkpointed star relation has exactly its pass's input
+        # partition count — if that is ONE, the last union-find task saw
+        # every edge of the (contracted) graph and its per-task min-id
+        # roots ARE the global components. The finisher would symmetrize,
+        # persist and probe one propagation round just to confirm the
+        # fixed point; skip it and emit the stars as labels directly
+        # ((root, node) rows cover every node exactly once, roots
+        # included). The condition is checked mechanically at runtime —
+        # a multi-partition relation still takes the probed finisher, so
+        # exactness never rests on the contraction having converged.
+        if cur.rdd.getNumPartitions() == 1:
+            return cur.select(
+                F.col("dst").alias("node_id"), F.col("src").alias("component")
+            )
     return label_propagation_components(
         cur.select(
             F.col("src").alias("parent_id"), F.col("dst").alias("child_id")
@@ -544,6 +559,7 @@ def bfs_depth(
     seeds: DataFrame,
     *,
     max_depth: int,
+    broadcast_rows: int = 500_000,
 ) -> DataFrame:
     """Multi-source BFS: (node_id, depth) = fewest hops from ANY seed,
     following edges parent→child, for every node within ``max_depth``.
@@ -556,6 +572,18 @@ def bfs_depth(
     visited-set analogue), so round r costs |frontier_r ⋈ E|, never |V|².
     Seeds report depth 0; a node reachable at several depths reports the
     minimum (BFS invariant: first visit is shallowest).
+
+    Join strategy is chosen from the loop's OWN runtime statistics: the
+    settled union is counted every round anyway (the convergence probe),
+    so the exact frontier and settled sizes are known before each join is
+    planned. While they fit a broadcast (``broadcast_rows``, ~tens of MB
+    of node ids), the frontier side of the expansion join and the settled
+    side of the anti-join are broadcast — the edge relation is never
+    shuffled for a small frontier. Past the bound the hints are simply
+    not attached and both joins fall back to shuffles: the hub-explosion
+    regime keeps the shuffle plan, a thin frontier (the common BFS tail)
+    never pays it. Identical output either way — the hints move bytes,
+    not semantics.
     """
     fwd = edges.select(
         F.col("parent_id").alias("src"), F.col("child_id").alias("dst")
@@ -563,24 +591,34 @@ def bfs_depth(
     settled = seeds.select("node_id").distinct().withColumn(
         "depth", F.lit(0).cast("long")
     ).localCheckpoint(eager=True)
+    n_settled = settled.count()
+    frontier_n = n_settled
     for d in range(1, max_depth + 1):
         # one checkpoint per round: the settled∪frontier union is pinned
         # and the next frontier is a cheap filter over its in-memory
         # blocks (depth == d-1), so neither the frontier nor the union is
         # ever recomputed from lineage
-        frontier = settled.filter(F.col("depth") == d - 1)
+        frontier = settled.filter(F.col("depth") == d - 1).select(
+            F.col("node_id").alias("src")
+        )
+        if frontier_n <= broadcast_rows:
+            frontier = F.broadcast(frontier)
+        anti = settled.select("node_id")
+        if n_settled <= broadcast_rows:
+            anti = F.broadcast(anti)
         nxt = (
-            fwd.join(
-                frontier.select(F.col("node_id").alias("src")), "src"
-            )
+            fwd.join(frontier, "src")
             .select(F.col("dst").alias("node_id"))
             .distinct()
-            .join(settled.select("node_id"), "node_id", "left_anti")
+            .join(anti, "node_id", "left_anti")
             .withColumn("depth", F.lit(d).cast("long"))
         )
         merged = settled.unionByName(nxt).localCheckpoint(eager=True)
-        if merged.count() == settled.count():
+        n_new = merged.count()
+        if n_new == n_settled:
             break
+        frontier_n = n_new - n_settled
+        n_settled = n_new
         settled = merged
     return settled
 

@@ -363,3 +363,24 @@ def test_candidate_verify_equals_allpairs_restricted(spark):
         assert (r["inter"], r["n_a"], r["n_b"]) == (inter, na, nb)
         assert r["containment_a"] == inter / na
         assert r["containment_b"] == inter / nb
+
+
+def test_bfs_depth_broadcast_guard_parity(spark):
+    # round-9 optimization pin: the frontier/settled broadcast hints are
+    # a join-strategy choice driven by the loop's own runtime counts —
+    # disabling them (broadcast_rows=0) must yield the identical depth
+    # map on a graph whose frontier is revisited across rounds
+    from assemblagedb_spark.operators.components import bfs_depth
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 5), (5, 6), (6, 5), (4, 1)],
+        "parent_id long, child_id long",
+    )
+    seeds = spark.createDataFrame([(1,), (3,)], "node_id long")
+    with_bcast = {(r["node_id"], r["depth"])
+                  for r in bfs_depth(e, seeds, max_depth=10).collect()}
+    no_bcast = {(r["node_id"], r["depth"])
+                for r in bfs_depth(
+                    e, seeds, max_depth=10, broadcast_rows=0).collect()}
+    assert with_bcast == no_bcast
+    assert dict(with_bcast) == {1: 0, 3: 0, 2: 1, 5: 1, 4: 1, 6: 2}

@@ -726,3 +726,35 @@ def test_trained_ivf_cell_balance(spark, sf_dir):
     assert sum(sizes.values()) == n
     assert len(sizes) >= 6, sizes
     assert max(sizes.values()) <= 0.45 * n, sizes
+
+
+def test_contracted_components_single_partition_skips_finisher(spark, monkeypatch):
+    # round-9 optimization pin: when the last contraction pass saw the
+    # whole (contracted) graph in ONE partition, its union-find had
+    # global view and the emitted stars ARE the exact components — the
+    # propagation finisher is provably redundant and must be skipped.
+    # Monkeypatching the finisher to explode proves which branch ran.
+    from assemblagedb_spark.operators import components as C
+
+    def boom(*a, **k):  # pragma: no cover - must not be reached
+        raise AssertionError("finisher invoked on a single-partition graph")
+
+    rows = [(i, i + 1) for i in range(40)] + [(90, 91), (95, 95)]
+    e = spark.createDataFrame(rows, "parent_id long, child_id long")
+
+    monkeypatch.setattr(C, "label_propagation_components", boom)
+    got = sorted((r["node_id"], r["component"])
+                 for r in C.contracted_components(e.repartition(1)).collect())
+    assert got == ([(i, 0) for i in range(41)]
+                   + [(90, 90), (91, 90), (95, 95)])
+
+    # adversarial layout with the contraction budget exhausted before the
+    # star relation fits one partition: the probed finisher is still the
+    # exactness backstop — the shortcut must NOT fire there
+    monkeypatch.setattr(C, "label_propagation_components", boom)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "parent_id long, child_id long"
+    ).repartition(12)
+    import pytest as _pytest
+    with _pytest.raises(AssertionError, match="finisher invoked"):
+        C.contracted_components(chain, contraction_levels=1, fanin=1)
