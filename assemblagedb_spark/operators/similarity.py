@@ -391,6 +391,15 @@ def _nearest_cells(
             out.append(cent_ids[idx])
         return pd.Series(out)
 
+    # The kernel is a pure function of its input, but it must be declared
+    # nondeterministic: Catalyst otherwise infers a size(cells)>0 predicate
+    # below the explode (InferFiltersFromGenerate + constraint propagation
+    # from the downstream cell-join's null filter) and duplicates the whole
+    # matmul into a second ArrowEvalPython per side — 2x the Python-boundary
+    # work for a filter the explode already implies. The marker only blocks
+    # that collapse/pushdown; row values are unchanged (oracle-pinned).
+    cells = cells.asNondeterministic()
+
     return df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias(f"{side}_id"), cells(vec_col).alias("cells")
     ).select(f"{side}_id", F.explode("cells").alias("cell"))

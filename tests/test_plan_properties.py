@@ -420,3 +420,22 @@ def test_ivfpq_codes_residuals_computed_once(spark, sf_dir):
     plan = formatted_plan(cell_codes)
     assert "ArrowEvalPython" not in plan, plan
     assert "Scan parquet" not in plan, plan
+
+
+def test_ivf_probe_kernel_evaluated_once_per_side(spark, sf_dir):
+    # round-9 optimization: with the cells kernel left deterministic,
+    # Catalyst infers a size(cells)>0 predicate below the probe explode
+    # (InferFiltersFromGenerate + the downstream cell-join's null
+    # constraint) and extracts a SECOND ArrowEvalPython per side — the
+    # full corpus and query embedding columns each crossed the Python
+    # boundary twice for a filter the explode already implies.
+    # _nearest_cells now marks the kernel nondeterministic (values are
+    # unchanged — it is a pure matmul — only the collapse/pushdown is
+    # blocked). Pin: exactly one cells eval per side (corpus assign +
+    # query probes), not two.
+    from assemblagedb_spark.operators.similarity import ivf_topk
+
+    emb = h.load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    plan = formatted_plan(ivf_topk(emb, queries, k=10, nlist=16, nprobe=4))
+    assert plan.count("cells(") == 2, plan
