@@ -765,6 +765,14 @@ def k_core(
     )
 
 
+# rewrite-vs-tail pivot for k_core_delta: a rewrite round moves
+# O(n_alive) rows through one shuffle+sort+pin, a tail round touches
+# ≤ Σ edeg(frontier) candidate rows through broadcast joins (both pay
+# the flat edge scan) — switch to tail rounds once the candidate
+# fringe is this factor smaller than the alive table
+_KCORE_TAIL_FACTOR = 8
+
+
 def k_core_delta(
     edges: DataFrame,
     k: int,
@@ -803,7 +811,38 @@ def k_core_delta(
     round-0 frontier join (the one big frontier: every initially-
     under-k node) re-shuffles the FULL edge relation; broadcasting the
     frontier keeps every round's scan exchange-free (interleaved A/B at
-    sf0.1: ~8.6s → ~5.4s end to end, identical output)."""
+    sf0.1: ~8.6s → ~5.4s end to end, identical output).
+
+    Round-10 restructure (measured round anatomy at sf0.1: the
+    O(|V_alive|) shuffle+sort+re-pin of the degree table cost
+    0.65–1.0 s/round even for a 40-node frontier, while the frontier
+    work itself was milliseconds): the loop now runs two round shapes,
+    chosen per round from its OWN runtime statistics. While the dying
+    fringe is of the same order as the table (``Σ edeg(frontier) ·
+    _KCORE_TAIL_FACTOR > n_alive``, e.g. the first peel of a
+    leaf-heavy graph where half of V dies at once), a REWRITE round
+    re-pins the alive degree table — the old shape, optimal when most
+    rows change. Once the fringe is an order smaller (the long
+    shrinking-frontier tail, the common peel profile), a TAIL round
+    pins ONE candidate table — ``(u, deg, edeg, dec)`` for the ≤ Σ
+    edeg(frontier) nodes adjacent to the frontier — built from
+    broadcast joins over pinned blocks only: current degree =
+    ``base.deg − Σ tail decs``, and decrements only lower it, so a
+    node dead once stays dead with no dead-set bookkeeping. ``edeg``
+    (each node's degree in the STATIC symmetrized edge relation) rides
+    along through rewrites because ``Σ edeg(frontier)`` — returned by
+    each round's single probe aggregate, together with the frontier
+    count — is an EXACT upper bound on the next round's candidate
+    count: every broadcast is gated on it BEFORE the round is planned
+    (the same runtime-stats-guard pattern as :func:`bfs_depth`), and
+    past ``broadcast_max_dead`` the loop simply consolidates with a
+    rewrite round. Candidates already dead before a tail round are
+    dropped from its pinned table: their accumulated decrements put
+    them permanently under k at their death round, so the final ≥ k
+    filter never resurrects them and no later round consults their
+    cum. At 100 TB the tail — however long — pays O(|frontier
+    neighborhood|) per round plus the flat edge scan, never
+    rounds × |V|."""
     sym = _symmetrized(edges)
     if not assume_distinct:
         sym = sym.distinct()
@@ -812,50 +851,188 @@ def k_core_delta(
     # reuse the partitioning itself; keyed beats round-robin's
     # determinism sort — all three A/B-measured at sf0.1)
     parts = edges.sparkSession.sparkContext.defaultParallelism
-    e = sym.repartition(parts, "v").localCheckpoint(eager=True)
 
-    deg = (
-        e.groupBy("u")
-        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-        .localCheckpoint(eager=True)
-    )
-    dead = deg.filter(F.col("deg") < k).select("u").localCheckpoint(
-        eager=True
-    )
-    alive_deg = deg.filter(F.col("deg") >= k)
-    converged = False
-    n_dead = dead.count()
-    for _ in range(max_rounds):
-        if n_dead == 0:
-            converged = True
-            break
-        # decrements: surviving neighbors of last round's deaths. The
-        # probe's exact count gates the broadcast (see docstring).
-        dead_v = dead.select(F.col("u").alias("v"))
-        if n_dead <= broadcast_max_dead:
-            dead_v = F.broadcast(dead_v)
-        dec = (
-            e.join(dead_v, "v")
-            .groupBy("u")
-            .agg(F.count(F.lit(1)).cast("long").alias("dec"))
-        )
-        updated = (
-            alive_deg.join(dec, "u", "left")
-            .select(
-                "u",
-                (F.col("deg") - F.coalesce(F.col("dec"), F.lit(0)))
-                .alias("deg"),
-            )
+    def _pin_e() -> DataFrame:
+        return sym.repartition(parts, "v").localCheckpoint(eager=True)
+
+    def _pin_base(src: DataFrame) -> DataFrame:
+        # base carries (deg = current degree, edeg = degree in the
+        # static edge relation e). Initially equal; rewrites update deg.
+        return (
+            src.groupBy("u")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+            .withColumn("edeg", F.col("deg"))
             .localCheckpoint(eager=True)
         )
-        # dead/alive stay lazy filters over the checkpointed blocks: the
-        # count probe and next round's frontier join each rescan the
-        # in-memory degree table, which is cheaper than a third
-        # materialization job per round
-        dead = updated.filter(F.col("deg") < k).select("u")
-        alive_deg = updated.filter(F.col("deg") >= k)
-        n_dead = dead.count()
-    if not converged and n_dead > 0:
+
+    if assume_distinct:
+        # the two setup pins are independent jobs over the same input —
+        # overlap them (guide §2.6) instead of serializing two full
+        # passes; with a distinct() in sym they would each re-run the
+        # dedup shuffle, so that case derives base from the pinned e
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_e = pool.submit(_pin_e)
+            f_base = pool.submit(_pin_base, sym)
+            e, base = f_e.result(), f_base.result()
+    else:
+        e = _pin_e()
+        base = _pin_base(e)
+    # one setup probe: frontier count, Σ edeg over it (the broadcast-
+    # safety bound for the next candidate set), and the alive count
+    # (the rewrite-vs-tail pivot)
+    dead0 = F.col("deg") < k
+    st = base.agg(
+        F.sum(dead0.cast("long")),
+        F.sum(F.when(dead0, F.col("edeg"))),
+        F.sum((~dead0).cast("long")),
+    ).first()
+    n_front, bound, n_alive = st[0] or 0, st[1] or 0, st[2] or 0
+    # frontier = nodes that died exactly this round (round 0: initial
+    # degree below k) — always a lazy filter over pinned blocks
+    frontier = base.filter(dead0).select("u")
+    # pinned (u, dec) relations of the tail rounds since the last
+    # rewrite; base.deg minus their sum is the current degree
+    decs: list[DataFrame] = []
+    dec_rows = 0
+    rounds_left = max_rounds
+
+    def _cum(rels: list[DataFrame], rows: int):
+        cur = rels[0]
+        for d in rels[1:]:
+            cur = cur.unionByName(d)
+        cum = cur.groupBy("u").agg(F.sum("dec").cast("long").alias("cum"))
+        # total decrement rows were exactly counted, so the full-table
+        # join can stream the pinned base blocks against a broadcast —
+        # no |V| shuffle
+        return F.broadcast(cum) if rows <= broadcast_max_dead else cum
+
+    def _degrees():
+        if not decs:
+            return base
+        return base.join(_cum(decs, dec_rows), "u", "left").select(
+            "u",
+            (F.col("deg") - F.coalesce("cum", F.lit(0))).alias("deg"),
+            "edeg",
+        )
+
+    while n_front > 0 and rounds_left > 0:
+        rounds_left -= 1
+        if bound <= broadcast_max_dead and bound * _KCORE_TAIL_FACTOR <= n_alive:
+            # TAIL round: the candidate table (nodes adjacent to the
+            # frontier, ≤ bound rows by the probe's exact Σ edeg) is
+            # built with broadcast joins only and pinned in ONE job —
+            # the decrement kernel is ONE reused broadcast (ReuseExchange
+            # dedupes the second reference), so the edge relation is
+            # scanned once and nothing |V|-sized is shuffled or re-pinned
+            dec = F.broadcast(
+                e.join(
+                    F.broadcast(frontier.select(F.col("u").alias("v"))),
+                    "v",
+                )
+                .groupBy("u")
+                .agg(F.count(F.lit(1)).cast("long").alias("dec"))
+            )
+            cand = base.join(dec, "u")
+            if decs:
+                prior = decs[0]
+                for d in decs[1:]:
+                    prior = prior.unionByName(d)
+                # restrict the prior-decrement sum to this round's
+                # candidates through the SAME broadcast (so the
+                # aggregate is candidate-sized), and let the left join
+                # ride the pin job's exchanges — both sides are
+                # candidate-sized, and a broadcast build here would be
+                # one more driver-side job per round for no byte saving
+                prev_c = (
+                    prior.select("u", F.col("dec").alias("pdec"))
+                    .join(dec, "u")
+                    .groupBy("u")
+                    .agg(F.sum("pdec").cast("long").alias("cum"))
+                )
+                cand = cand.join(prev_c, "u", "left")
+            else:
+                cand = cand.withColumn("cum", F.lit(None).cast("long"))
+            roundtbl = (
+                cand.select(
+                    "u",
+                    "deg",
+                    "edeg",
+                    "dec",
+                    (F.col("deg") - F.coalesce("cum", F.lit(0))).alias(
+                        "pre"
+                    ),
+                )
+                # candidates already dead before this round carry no
+                # information (see docstring) — drop them so every
+                # later prior-scan and the final cum join stay
+                # alive-candidate-sized
+                .filter(F.col("pre") >= k)
+                .localCheckpoint(eager=True)
+            )
+            # a candidate dies now iff this round's decrements push it
+            # under k (pre ≥ k is already guaranteed by the row filter)
+            died = F.col("pre") - F.col("dec") < k
+            st = roundtbl.agg(
+                F.count(F.lit(1)),
+                F.sum(died.cast("long")),
+                F.sum(F.when(died, F.col("edeg"))),
+            ).first()
+            m, n_new, bound = st[0] or 0, st[1] or 0, st[2] or 0
+            n_alive -= n_new
+            n_front = n_new
+            frontier = roundtbl.filter(died).select("u")
+            decs.append(roundtbl.select("u", "dec"))
+            dec_rows += m
+            if len(decs) > 16:
+                # compact: one pinned (u, Σdec) relation keeps the
+                # per-round union (and its plan) bounded on long peels
+                prior = decs[0]
+                for d in decs[1:]:
+                    prior = prior.unionByName(d)
+                compacted = (
+                    prior.groupBy("u")
+                    .agg(F.sum("dec").cast("long").alias("dec"))
+                    .localCheckpoint(eager=True)
+                )
+                dec_rows = compacted.count()
+                decs = [compacted]
+        else:
+            # REWRITE round: most of the table is changing (or the
+            # candidate set may not fit a broadcast) — consolidate any
+            # accumulated decs and re-pin the alive degree table with
+            # one O(|V_alive|) shuffle round, the optimal shape when
+            # the fringe is of the table's order
+            front_v = frontier.select(F.col("u").alias("v"))
+            if n_front <= broadcast_max_dead:
+                front_v = F.broadcast(front_v)
+            dec = (
+                e.join(front_v, "v")
+                .groupBy("u")
+                .agg(F.count(F.lit(1)).cast("long").alias("dec"))
+            )
+            alive = _degrees().filter(F.col("deg") >= k)
+            base = (
+                alive.join(dec, "u", "left")
+                .select(
+                    "u",
+                    (F.col("deg") - F.coalesce(F.col("dec"), F.lit(0)))
+                    .alias("deg"),
+                    "edeg",
+                )
+                .localCheckpoint(eager=True)
+            )
+            decs, dec_rows = [], 0
+            dead_now = F.col("deg") < k
+            st = base.agg(
+                F.sum(dead_now.cast("long")),
+                F.sum(F.when(dead_now, F.col("edeg"))),
+                F.sum((~dead_now).cast("long")),
+            ).first()
+            n_front, bound, n_alive = st[0] or 0, st[1] or 0, st[2] or 0
+            frontier = base.filter(dead_now).select("u")
+    if n_front > 0:
         # a pending dead frontier means surviving degrees were never
         # decremented for those deaths — returning would be silently
         # wrong AND diverge from k_core; fail loudly (same contract)
@@ -864,6 +1041,8 @@ def k_core_delta(
             f"{max_rounds}; raise max_rounds (each round peels at least "
             "one node, so |V| rounds always suffice)"
         )
-    return alive_deg.select(
-        F.col("u").alias("node_id"), F.col("deg").alias("degree")
+    return (
+        _degrees()
+        .filter(F.col("deg") >= k)
+        .select(F.col("u").alias("node_id"), F.col("deg").alias("degree"))
     )

@@ -283,6 +283,34 @@ def test_k_core_delta_parity(spark, sf_dir):
             assert a == b, f"seed={seed} k={k}"
 
 
+def test_k_core_delta_mode_parity(spark, monkeypatch):
+    # the round-10 hybrid picks rewrite vs tail rounds from runtime
+    # stats (_KCORE_TAIL_FACTOR pivot; broadcast_max_dead cap). Force
+    # each mode across the full seeded sweep: factor so large the tail
+    # never engages (pure rewrite — the old shape), factor 0 with a big
+    # cap (tail whenever the broadcast fits), and broadcast_max_dead=0
+    # (every broadcast gate off → pure rewrite with shuffle joins).
+    # All three must emit identical cores.
+    import random
+
+    from assemblagedb_spark.operators import components as C
+
+    for seed, n, m in ((3, 60, 50), (5, 60, 90), (9, 40, 200)):
+        rng = random.Random(seed)
+        rows = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        e = spark.createDataFrame(rows, "parent_id long, child_id long")
+        for k in (2, 3):
+            monkeypatch.setattr(C, "_KCORE_TAIL_FACTOR", 10**9)
+            rewrite_only = sorted(map(tuple, C.k_core_delta(e, k=k).collect()))
+            monkeypatch.setattr(C, "_KCORE_TAIL_FACTOR", 0)
+            tail_always = sorted(map(tuple, C.k_core_delta(e, k=k).collect()))
+            no_broadcast = sorted(
+                map(tuple, C.k_core_delta(e, k=k, broadcast_max_dead=0).collect())
+            )
+            assert rewrite_only == tail_always, f"seed={seed} k={k}"
+            assert rewrite_only == no_broadcast, f"seed={seed} k={k}"
+
+
 def test_k_core_raises_on_nonconvergence(spark):
     # an exhausted round budget with peeling still in flight must raise,
     # not silently return a superset core with sub-k degrees

@@ -1,9 +1,10 @@
-"""Round-9 optimization profiler: isolate per-key computation cost.
+"""Optimization profiler: isolate per-key computation cost.
 
 For each named bench key, times the query with the NOOP SINK (guide §1.4:
 eagerly computes every column of every row, no sink cost, full plan in the
 SQL tab) in addition to the bench's historical ``count()`` action, and dumps
-``explain('formatted')`` to ``plans/r09/<key>_<tag>.txt``.
+``explain('formatted')`` to ``plans/$SPARK_GRAFT_PLANS_ROUND/<key>_<tag>.txt``
+(default round dir: r10).
 
 Usage: python tools/profile_keys.py <tag> [key ...]
   tag: 'before' / 'after' (plan file suffix)
@@ -57,7 +58,7 @@ def main() -> None:
 
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r09",
+        "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r10"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
