@@ -95,18 +95,31 @@ def label_propagation_components(
                     "component", F.coalesce("nl", F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)  # one round computed once; lineage flat
         )
-        labels = nxt.select("node_id", "component")
         # labels virtually always change in the first rounds — skip those
-        # probe jobs (exactness unaffected: propagation past convergence
-        # is the identity, the loop just exits at the next probe).
-        # ``probe_from`` lets callers that feed an already-contracted
-        # graph probe from round 0, where the first round usually IS the
-        # fixed point.
-        if probe and r >= probe_from and nxt.filter(
-            F.col("component") != F.col("prev")
-        ).count() == 0:
+        # probe aggregates (exactness unaffected: propagation past
+        # convergence is the identity, the loop just exits at the next
+        # probe). ``probe_from`` lets callers that feed an already-
+        # contracted graph probe from round 0, where the first round
+        # usually IS the fixed point. The probe RIDES the checkpoint
+        # job via observe() (one job per round, not checkpoint + a
+        # second changed-count scan); an over-count under task retries
+        # only delays exit by a no-op round, an under-count cannot
+        # happen, so convergence stays exact.
+        do_probe = probe and r >= probe_from
+        if do_probe:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            nxt = nxt.observe(
+                obs,
+                F.sum(
+                    (F.col("component") != F.col("prev")).cast("long")
+                ).alias("changed"),
+            )
+        nxt = nxt.localCheckpoint(eager=True)  # one round computed once
+        labels = nxt.select("node_id", "component")
+        if do_probe and (obs.get["changed"] or 0) == 0:
             break
     und.unpersist()
     return labels
@@ -176,9 +189,21 @@ def pagerank_rounds(
                     + F.expr(f"({damping_pct} * coalesce(in_sum, 0)) div 100")
                 ).cast("long").alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
-        stable = probe and nxt.filter(F.col("rank") != F.col("prev")).count() == 0
+        # the fixed-point probe rides the checkpoint job via observe()
+        # (one job per round; see label_propagation_components)
+        if probe:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            nxt = nxt.observe(
+                obs,
+                F.sum((F.col("rank") != F.col("prev")).cast("long")).alias(
+                    "changed"
+                ),
+            )
+        nxt = nxt.localCheckpoint(eager=True)
+        stable = probe and (obs.get["changed"] or 0) == 0
         ranks = nxt.select("node_id", "rank")
         if stable:
             break
@@ -588,10 +613,19 @@ def bfs_depth(
     fwd = edges.select(
         F.col("parent_id").alias("src"), F.col("child_id").alias("dst")
     )
-    settled = seeds.select("node_id").distinct().withColumn(
-        "depth", F.lit(0).cast("long")
-    ).localCheckpoint(eager=True)
-    n_settled = settled.count()
+    from pyspark.sql import Observation
+
+    # the settled-count probe rides each checkpoint job via observe()
+    # (one job per round instead of checkpoint + count; see
+    # label_propagation_components for the retry-safety argument)
+    obs = Observation()
+    settled = (
+        seeds.select("node_id").distinct()
+        .withColumn("depth", F.lit(0).cast("long"))
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n_settled = obs.get["n"] or 0
     frontier_n = n_settled
     for d in range(1, max_depth + 1):
         # one checkpoint per round: the settled∪frontier union is pinned
@@ -613,8 +647,13 @@ def bfs_depth(
             .join(anti, "node_id", "left_anti")
             .withColumn("depth", F.lit(d).cast("long"))
         )
-        merged = settled.unionByName(nxt).localCheckpoint(eager=True)
-        n_new = merged.count()
+        obs = Observation()
+        merged = (
+            settled.unionByName(nxt)
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        n_new = obs.get["n"] or 0
         if n_new == n_settled:
             break
         frontier_n = n_new - n_settled
@@ -855,15 +894,34 @@ def k_core_delta(
     def _pin_e() -> DataFrame:
         return sym.repartition(parts, "v").localCheckpoint(eager=True)
 
-    def _pin_base(src: DataFrame) -> DataFrame:
+    from pyspark.sql import Observation
+
+    dead0 = F.col("deg") < k
+
+    def _probe_aggs():
+        # frontier count, Σ edeg over it (the broadcast-safety bound for
+        # the next candidate set), and the alive count (the rewrite-vs-
+        # tail pivot). Rides the pin job via observe() — no separate
+        # probe scan; retry over-counts only push the guards toward the
+        # conservative (shuffle / rewrite) branch
+        return (
+            F.sum(dead0.cast("long")).alias("n_front"),
+            F.sum(F.when(dead0, F.col("edeg"))).alias("bound"),
+            F.sum((~dead0).cast("long")).alias("n_alive"),
+        )
+
+    def _pin_base(src: DataFrame) -> tuple[DataFrame, "Observation"]:
         # base carries (deg = current degree, edeg = degree in the
         # static edge relation e). Initially equal; rewrites update deg.
-        return (
+        obs = Observation()
+        pinned = (
             src.groupBy("u")
             .agg(F.count(F.lit(1)).cast("long").alias("deg"))
             .withColumn("edeg", F.col("deg"))
+            .observe(obs, *_probe_aggs())
             .localCheckpoint(eager=True)
         )
+        return pinned, obs
 
     if assume_distinct:
         # the two setup pins are independent jobs over the same input —
@@ -875,20 +933,14 @@ def k_core_delta(
         with ThreadPoolExecutor(max_workers=2) as pool:
             f_e = pool.submit(_pin_e)
             f_base = pool.submit(_pin_base, sym)
-            e, base = f_e.result(), f_base.result()
+            e, (base, obs0) = f_e.result(), f_base.result()
     else:
         e = _pin_e()
-        base = _pin_base(e)
-    # one setup probe: frontier count, Σ edeg over it (the broadcast-
-    # safety bound for the next candidate set), and the alive count
-    # (the rewrite-vs-tail pivot)
-    dead0 = F.col("deg") < k
-    st = base.agg(
-        F.sum(dead0.cast("long")),
-        F.sum(F.when(dead0, F.col("edeg"))),
-        F.sum((~dead0).cast("long")),
-    ).first()
-    n_front, bound, n_alive = st[0] or 0, st[1] or 0, st[2] or 0
+        base, obs0 = _pin_base(e)
+    st = obs0.get
+    n_front = st["n_front"] or 0
+    bound = st["bound"] or 0
+    n_alive = st["n_alive"] or 0
     # frontier = nodes that died exactly this round (round 0: initial
     # degree below k) — always a lazy filter over pinned blocks
     frontier = base.filter(dead0).select("u")
@@ -954,6 +1006,11 @@ def k_core_delta(
                 cand = cand.join(prev_c, "u", "left")
             else:
                 cand = cand.withColumn("cum", F.lit(None).cast("long"))
+            # a candidate dies now iff this round's decrements push it
+            # under k (pre ≥ k is already guaranteed by the row filter);
+            # the probe rides the pin job via observe()
+            died = F.col("pre") - F.col("dec") < k
+            robs = Observation()
             roundtbl = (
                 cand.select(
                     "u",
@@ -969,17 +1026,16 @@ def k_core_delta(
                 # later prior-scan and the final cum join stay
                 # alive-candidate-sized
                 .filter(F.col("pre") >= k)
+                .observe(
+                    robs,
+                    F.count(F.lit(1)).alias("m"),
+                    F.sum(died.cast("long")).alias("n_new"),
+                    F.sum(F.when(died, F.col("edeg"))).alias("bound"),
+                )
                 .localCheckpoint(eager=True)
             )
-            # a candidate dies now iff this round's decrements push it
-            # under k (pre ≥ k is already guaranteed by the row filter)
-            died = F.col("pre") - F.col("dec") < k
-            st = roundtbl.agg(
-                F.count(F.lit(1)),
-                F.sum(died.cast("long")),
-                F.sum(F.when(died, F.col("edeg"))),
-            ).first()
-            m, n_new, bound = st[0] or 0, st[1] or 0, st[2] or 0
+            st = robs.get
+            m, n_new, bound = st["m"] or 0, st["n_new"] or 0, st["bound"] or 0
             n_alive -= n_new
             n_front = n_new
             frontier = roundtbl.filter(died).select("u")
@@ -991,12 +1047,14 @@ def k_core_delta(
                 prior = decs[0]
                 for d in decs[1:]:
                     prior = prior.unionByName(d)
+                cobs = Observation()
                 compacted = (
                     prior.groupBy("u")
                     .agg(F.sum("dec").cast("long").alias("dec"))
+                    .observe(cobs, F.count(F.lit(1)).alias("n"))
                     .localCheckpoint(eager=True)
                 )
-                dec_rows = compacted.count()
+                dec_rows = cobs.get["n"] or 0
                 decs = [compacted]
         else:
             # REWRITE round: most of the table is changing (or the
@@ -1013,6 +1071,7 @@ def k_core_delta(
                 .agg(F.count(F.lit(1)).cast("long").alias("dec"))
             )
             alive = _degrees().filter(F.col("deg") >= k)
+            robs = Observation()
             base = (
                 alive.join(dec, "u", "left")
                 .select(
@@ -1021,17 +1080,15 @@ def k_core_delta(
                     .alias("deg"),
                     "edeg",
                 )
+                .observe(robs, *_probe_aggs())
                 .localCheckpoint(eager=True)
             )
             decs, dec_rows = [], 0
-            dead_now = F.col("deg") < k
-            st = base.agg(
-                F.sum(dead_now.cast("long")),
-                F.sum(F.when(dead_now, F.col("edeg"))),
-                F.sum((~dead_now).cast("long")),
-            ).first()
-            n_front, bound, n_alive = st[0] or 0, st[1] or 0, st[2] or 0
-            frontier = base.filter(dead_now).select("u")
+            st = robs.get
+            n_front = st["n_front"] or 0
+            bound = st["bound"] or 0
+            n_alive = st["n_alive"] or 0
+            frontier = base.filter(dead0).select("u")
     if n_front > 0:
         # a pending dead frontier means surviving degrees were never
         # decremented for those deaths — returning would be silently

@@ -544,6 +544,20 @@ def overlap_pairs_prefix(
     # - positional: e* must also sit within the larger block's first
     #   cnt_b − floor(cnt_a/2) positions (head elements rank near cnt_b)
     # - size: past cnt_b > 255·cnt_a the u8-floored score is NULL
+    # Round-10 negative result, recorded so it is not re-tried: the
+    # ppjoin SUFFIX bound (per matched element e, intersection ≤
+    # min(rnk_a, rnk_b) − 1 + 1 + min(cnt_a − rnk_a, cnt_b − rnk_b),
+    # min'd over matches, pruned against θ = floor(cnt_a/2)+1) adds
+    # NOTHING here — it is implied by the two window filters below:
+    # any surviving row has rnk_b ≤ cnt_b − floor(cnt_a/2) (so
+    # cnt_b − rnk_b ≥ floor(cnt_a/2)) and rnk_a ≤ ceil(cnt_a/2) (so
+    # cnt_a − rnk_a ≥ floor(cnt_a/2)), hence the bound is ≥
+    # 1 + floor(cnt_a/2) = θ for every candidate. Measured to confirm:
+    # 0 of 30,778 pairs pruned at the gate, 0 of 9,693,647 on the
+    # open-vocabulary 5k-doc corpus. The count-based variant (shared
+    # prefix elements P + suffix bound at the highest-ranked match)
+    # degenerates the same way at P = 1. The per-element window filters
+    # ARE the tightest positional filter for this threshold.
     cand = (
         prefix.join(full, ["gram", "copy"])
         .filter(

@@ -388,8 +388,8 @@ def test_table_profile_minmax_not_routed_through_expand(spark):
 
 
 def test_prefix_candidates_spread_before_verify(spark, sf_dir):
-    # round-9: the candidate relation is hash-spread on the pair key
-    # before the per-pair map_zip_with verify — its rows are tiny in
+    # round-9: the candidate relation is round-robin spread before the
+    # per-pair map_zip_with verify — its rows are tiny in
     # bytes but CPU-heavy downstream, so AQE's byte-based coalescing
     # otherwise parks the whole verify stage in ONE task (measured at the
     # gate: 30,778 candidates -> 1 partition). Pin: an explicit-count
